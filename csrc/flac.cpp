@@ -1,0 +1,299 @@
+// Native streaming FLAC encoder for the audio serving edge.
+//
+// The reference links libFLAC++ and encodes each listener's int16 mono
+// stream at compression level 5 (reference: src/signal.cpp:17-28,
+// src/audio.cpp:38-52).  This image has no libFLAC, so this is a
+// from-scratch encoder emitting spec-conformant FLAC: fixed predictors
+// (orders 0-4) with Rice-coded residuals, 16-bit mono, streamable
+// subset (sample rate coded in each frame header), fixed blocksize.
+//
+// C ABI (used from Python via ctypes, one encoder per audio client):
+//   void*   phantom_flac_create(int sample_rate, int blocksize)
+//   int     phantom_flac_process(void*, const int16_t*, int n,
+//                                uint8_t* out, int cap)   -> bytes out
+//   int     phantom_flac_finish(void*, uint8_t* out, int cap)
+//   void    phantom_flac_destroy(void*)
+//
+// Build: make -C csrc   (produces libphantomhost.so)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+struct BitWriter {
+    std::vector<uint8_t> buf;
+    uint64_t acc = 0;
+    int nbits = 0;
+
+    void put(uint32_t val, int bits) {
+        // append `bits` bits (msb first)
+        acc = (acc << bits) | (uint64_t)(val & ((bits == 32) ? 0xFFFFFFFFu : ((1u << bits) - 1)));
+        nbits += bits;
+        while (nbits >= 8) {
+            nbits -= 8;
+            buf.push_back((uint8_t)(acc >> nbits));
+        }
+    }
+    void put_unary(uint32_t q) {
+        while (q >= 32) { put(0, 32); q -= 32; }
+        // q zero bits then a 1
+        put(1, (int)q + 1);
+    }
+    void align_zero() {
+        if (nbits) put(0, 8 - nbits);
+    }
+};
+
+uint8_t crc8(const uint8_t *d, size_t n) {
+    uint8_t crc = 0;
+    for (size_t i = 0; i < n; i++) {
+        crc ^= d[i];
+        for (int b = 0; b < 8; b++)
+            crc = (crc & 0x80) ? (uint8_t)((crc << 1) ^ 0x07) : (uint8_t)(crc << 1);
+    }
+    return crc;
+}
+
+uint16_t crc16(const uint8_t *d, size_t n) {
+    uint16_t crc = 0;
+    for (size_t i = 0; i < n; i++) {
+        crc ^= (uint16_t)d[i] << 8;
+        for (int b = 0; b < 8; b++)
+            crc = (crc & 0x8000) ? (uint16_t)((crc << 1) ^ 0x8005) : (uint16_t)(crc << 1);
+    }
+    return crc;
+}
+
+// frame-number coding: UTF-8-style, up to 31 bits (FLAC frame header)
+void put_coded_number(BitWriter &bw, uint32_t v) {
+    if (v < 0x80) {
+        bw.put(v, 8);
+    } else if (v < 0x800) {
+        bw.put(0xC0 | (v >> 6), 8);
+        bw.put(0x80 | (v & 0x3F), 8);
+    } else if (v < 0x10000) {
+        bw.put(0xE0 | (v >> 12), 8);
+        bw.put(0x80 | ((v >> 6) & 0x3F), 8);
+        bw.put(0x80 | (v & 0x3F), 8);
+    } else if (v < 0x200000) {
+        bw.put(0xF0 | (v >> 18), 8);
+        bw.put(0x80 | ((v >> 12) & 0x3F), 8);
+        bw.put(0x80 | ((v >> 6) & 0x3F), 8);
+        bw.put(0x80 | (v & 0x3F), 8);
+    } else if (v < 0x4000000) {
+        bw.put(0xF8 | (v >> 24), 8);
+        bw.put(0x80 | ((v >> 18) & 0x3F), 8);
+        bw.put(0x80 | ((v >> 12) & 0x3F), 8);
+        bw.put(0x80 | ((v >> 6) & 0x3F), 8);
+        bw.put(0x80 | (v & 0x3F), 8);
+    } else {
+        bw.put(0xFC | (v >> 30), 8);
+        bw.put(0x80 | ((v >> 24) & 0x3F), 8);
+        bw.put(0x80 | ((v >> 18) & 0x3F), 8);
+        bw.put(0x80 | ((v >> 12) & 0x3F), 8);
+        bw.put(0x80 | ((v >> 6) & 0x3F), 8);
+        bw.put(0x80 | (v & 0x3F), 8);
+    }
+}
+
+struct FlacEncoder {
+    int sample_rate;
+    int blocksize;
+    uint32_t frame_number = 0;
+    bool header_sent = false;
+    std::vector<int16_t> pending;
+    std::vector<int64_t> residual;  // scratch
+
+    void write_streaminfo(std::vector<uint8_t> &out) {
+        out.insert(out.end(), {'f', 'L', 'a', 'C'});
+        // metadata header: last-block=1, type=0 (STREAMINFO), len=34
+        out.push_back(0x80);
+        out.push_back(0);
+        out.push_back(0);
+        out.push_back(34);
+        BitWriter bw;
+        bw.put(blocksize, 16);      // min blocksize
+        bw.put(blocksize, 16);      // max blocksize
+        bw.put(0, 24);              // min framesize unknown
+        bw.put(0, 24);              // max framesize unknown
+        bw.put(sample_rate, 20);
+        bw.put(0, 3);               // channels - 1 (mono)
+        bw.put(15, 5);              // bps - 1 = 15
+        bw.put(0, 4);               // total samples high (unknown)
+        bw.put(0, 32);              // total samples low
+        for (int i = 0; i < 16; i++) bw.put(0, 8);  // MD5 unknown
+        out.insert(out.end(), bw.buf.begin(), bw.buf.end());
+    }
+
+    // best fixed predictor order by minimal sum of |residual|
+    int best_order(const int16_t *x, int n) {
+        // running difference chains in int64
+        uint64_t best_sum = ~0ull;
+        int best = 0;
+        std::vector<int64_t> d(x, x + n), nd(n);
+        for (int order = 0; order <= 4; order++) {
+            if (order > 0) {
+                for (int i = n - 1; i >= order; i--) d[i] = d[i] - d[i - 1];
+            }
+            if (n <= order)
+                break;
+            uint64_t s = 0;
+            for (int i = order; i < n; i++)
+                s += (uint64_t)(d[i] < 0 ? -d[i] : d[i]);
+            if (s < best_sum) {
+                best_sum = s;
+                best = order;
+            }
+            // early exit: higher orders rarely win after a big jump up
+        }
+        return best;
+    }
+
+    void compute_residual(const int16_t *x, int n, int order) {
+        residual.assign(x, x + n);
+        for (int o = 0; o < order; o++)
+            for (int i = n - 1; i >= o + 1; i--)
+                residual[i] -= residual[i - 1];
+    }
+
+    static int best_rice_param(const int64_t *r, int n) {
+        if (n == 0) return 0;
+        uint64_t usum = 0;
+        for (int i = 0; i < n; i++) {
+            int64_t v = r[i];
+            usum += (uint64_t)((v << 1) ^ (v >> 63));
+        }
+        // bits(k) = n*(k+1) + sum(u >> k); minimize over k
+        int best_k = 0;
+        uint64_t best_bits = ~0ull;
+        for (int k = 0; k < 30; k++) {
+            uint64_t bits = (uint64_t)n * (uint64_t)(k + 1) + (usum >> k);
+            if (bits < best_bits) {
+                best_bits = bits;
+                best_k = k;
+            }
+            if ((usum >> k) == 0) break;
+        }
+        return std::min(best_k, 14);  // 4-bit rice parameter, 15 = escape
+    }
+
+    void encode_frame(const int16_t *x, int n, std::vector<uint8_t> &out) {
+        BitWriter bw;
+        // ---- frame header ----
+        bw.put(0x3FFE, 14);          // sync
+        bw.put(0, 1);                // reserved
+        bw.put(0, 1);                // fixed blocksize strategy
+        bool std_bs = (n == blocksize);
+        int bs_code;
+        if (std_bs) {
+            // 256 * 2^(c-8) table when possible
+            bs_code = -1;
+            for (int c = 8; c <= 15; c++)
+                if (n == (256 << (c - 8))) { bs_code = c; break; }
+            if (n == 192) bs_code = 1;
+            for (int c = 2; c <= 5; c++)
+                if (n == (576 << (c - 2))) bs_code = c;
+            if (bs_code < 0) bs_code = (n <= 256) ? 6 : 7;
+        } else {
+            bs_code = (n <= 256) ? 6 : 7;  // blocksize-1 at header end
+        }
+        bw.put(bs_code, 4);
+        bw.put(13, 4);               // sample rate: 16-bit Hz at header end
+        bw.put(0, 4);                // channel assignment: mono
+        bw.put(4, 3);                // sample size: 16 bps
+        bw.put(0, 1);                // reserved
+        put_coded_number(bw, frame_number);
+        if (bs_code == 6) bw.put(n - 1, 8);
+        else if (bs_code == 7) bw.put(n - 1, 16);
+        bw.put(sample_rate, 16);     // rate in Hz (code 13)
+        uint8_t c8 = crc8(bw.buf.data(), bw.buf.size());
+        bw.put(c8, 8);
+
+        // ---- subframe (fixed order, single rice partition) ----
+        int order = best_order(x, n);
+        bw.put(0, 1);                          // zero pad
+        bw.put(0x08 | order, 6);               // fixed subframe, order
+        bw.put(0, 1);                          // no wasted bits
+        for (int i = 0; i < order; i++)
+            bw.put((uint16_t)x[i], 16);        // warmup (signed 16)
+        compute_residual(x, n, order);
+        const int64_t *res = residual.data() + order;
+        int nres = n - order;
+        int k = best_rice_param(res, nres);
+        bw.put(0, 2);                          // residual method: rice 4-bit
+        bw.put(0, 4);                          // partition order 0
+        bw.put(k, 4);
+        for (int i = 0; i < nres; i++) {
+            int64_t v = res[i];
+            uint64_t u = (uint64_t)((v << 1) ^ (v >> 63));
+            bw.put_unary((uint32_t)(u >> k));
+            if (k) bw.put((uint32_t)(u & ((1u << k) - 1)), k);
+        }
+        bw.align_zero();
+        uint16_t c16 = crc16(bw.buf.data(), bw.buf.size());
+        bw.put(c16 >> 8, 8);
+        bw.put(c16 & 0xFF, 8);
+        out.insert(out.end(), bw.buf.begin(), bw.buf.end());
+        frame_number++;
+    }
+
+    int process(const int16_t *samples, int n, uint8_t *out, int cap) {
+        std::vector<uint8_t> o;
+        if (!header_sent) {
+            write_streaminfo(o);
+            header_sent = true;
+        }
+        pending.insert(pending.end(), samples, samples + n);
+        size_t pos = 0;
+        while (pending.size() - pos >= (size_t)blocksize) {
+            encode_frame(pending.data() + pos, blocksize, o);
+            pos += blocksize;
+        }
+        pending.erase(pending.begin(), pending.begin() + pos);
+        if ((int)o.size() > cap) return -(int)o.size();
+        memcpy(out, o.data(), o.size());
+        return (int)o.size();
+    }
+
+    int finish(uint8_t *out, int cap) {
+        std::vector<uint8_t> o;
+        if (!header_sent) {
+            write_streaminfo(o);
+            header_sent = true;
+        }
+        if (!pending.empty()) {
+            encode_frame(pending.data(), (int)pending.size(), o);
+            pending.clear();
+        }
+        if ((int)o.size() > cap) return -(int)o.size();
+        memcpy(out, o.data(), o.size());
+        return (int)o.size();
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void *phantom_flac_create(int sample_rate, int blocksize) {
+    auto *e = new FlacEncoder();
+    e->sample_rate = sample_rate;
+    e->blocksize = blocksize;
+    return e;
+}
+
+int phantom_flac_process(void *enc, const int16_t *samples, int n,
+                         uint8_t *out, int cap) {
+    return ((FlacEncoder *)enc)->process(samples, n, out, cap);
+}
+
+int phantom_flac_finish(void *enc, uint8_t *out, int cap) {
+    return ((FlacEncoder *)enc)->finish(out, cap);
+}
+
+void phantom_flac_destroy(void *enc) { delete (FlacEncoder *)enc; }
+
+}  // extern "C"

@@ -1,0 +1,215 @@
+"""Server configuration: TOML surface + derived DSP parameters.
+
+Config-file-compatible with the reference (same sections/keys,
+reference: src/spectrumserver.cpp:17-151, 299-372, config.toml):
+``[server]`` port/html_root/otherusers/threads/host, ``[input]``
+sps/frequency/fft_size/signal/audio_sps/waterfall_size/
+brightness_offset/*_compression/accelerator/fft_threads,
+``[input.driver]`` name/format, ``[input.defaults]``
+frequency/modulation, ``[register]``, ``[limits]``.
+
+All derived quantities follow the reference formulas exactly
+(file:line cites inline).  ``accelerator``/``fft_threads`` are parsed
+for compatibility but the compute device here is always the TPU.
+"""
+
+from __future__ import annotations
+
+import math
+import secrets
+import tomllib
+from dataclasses import dataclass, field
+
+MODE_NAMES = ("USB", "LSB", "AM", "FM")
+
+
+@dataclass
+class ServerConfig:
+    # [server]
+    port: int = 9002
+    host: str = "0.0.0.0"
+    html_root: str = "html/"
+    otherusers: bool = True
+    threads: int = 1
+    # [input]
+    sps: int = 0
+    frequency: int = 0
+    fft_size: int = 131072          # default, spectrumserver.cpp:54
+    is_real: bool = False
+    audio_sps: int = 12000          # audio_max_sps default, :55
+    waterfall_size: int = 1024      # min_waterfall_fft default, :56
+    brightness_offset: int = 0
+    audio_compression: str = "flac"
+    waterfall_compression: str = "zstd"
+    input_format: str = "f32"
+    input_driver: str = "stdin"
+    # [input.defaults]
+    default_frequency: int = -1
+    default_mode_str: str = "USB"
+    # [register]
+    register_enable: bool = False
+    register_name: str = "SDR"
+    register_hardware: str = ""
+    register_antenna: str = ""
+    register_description: str = ""
+    register_url: str = ""
+    register_password: str = ""
+    # [limits] (parsed, reference never enforces them: spectrumserver.cpp:92-94)
+    limit_audio: int = 1000
+    limit_waterfall: int = 1000
+    limit_events: int = 1000
+    # TPU-build extras (not in the reference surface)
+    hop_batch: int = 4              # hops per device step
+    max_channels: int = 128         # static channel-table capacity
+    fft_strategy: str = "auto"
+
+    # ------------- derived (filled by finalize) -------------
+    fft_result_size: int = field(default=0)
+    basefreq: int = field(default=0)
+    audio_max_fft_size: int = field(default=0)
+    downsample_levels: int = field(default=0)
+    skip_num: int = field(default=1)
+    default_mode: str = field(default="USB")
+    default_l: int = field(default=0)
+    default_m: float = field(default=0.0)
+    default_r: int = field(default=0)
+
+    def finalize(self) -> "ServerConfig":
+        if self.sps <= 0:
+            raise ValueError("Missing sample rate ([input] sps)")
+        # spectrumserver.cpp:99-105
+        if self.is_real:
+            self.fft_result_size = self.fft_size // 2
+            self.basefreq = self.frequency
+        else:
+            self.fft_result_size = self.fft_size
+            self.basefreq = self.frequency - self.sps // 2
+
+        # spectrumserver.cpp:110-120
+        if self.default_frequency == -1:
+            self.default_frequency = self.basefreq + self.sps // 2
+        if self.is_real:
+            m = (self.default_frequency - self.basefreq) * self.fft_result_size * 2 / self.sps
+        else:
+            m = (self.default_frequency - self.basefreq) * self.fft_result_size / self.sps
+
+        # spectrumserver.cpp:121-149
+        off3 = 3000 * self.fft_result_size // self.sps
+        off5 = 5000 * self.fft_result_size // self.sps
+        off96 = 96000 * self.fft_result_size // self.sps
+        mode = self.default_mode_str.upper()
+        mi = int(m)
+        if mode == "LSB":
+            self.default_mode, l, r = "LSB", mi - off3, mi
+        elif mode == "AM":
+            self.default_mode, l, r = "AM", mi - off5, mi + off5
+        elif mode == "FM":
+            self.default_mode, l, r = "FM", mi - off5, mi + off5
+        elif mode == "WBFM":
+            self.default_mode, l, r = "FM", mi - off96, mi + off96
+        else:
+            self.default_mode, l, r = "USB", mi, mi + off3
+        self.default_m = max(0.0, min(float(self.fft_result_size), m))
+        self.default_l = max(0, min(self.fft_result_size, l))
+        self.default_r = max(0, min(self.fft_result_size, r))
+
+        # spectrumserver.cpp:151
+        self.audio_max_fft_size = (
+            math.ceil(self.audio_sps * self.fft_size / self.sps / 4.0) * 4
+        )
+
+        # spectrumserver.cpp:186-190
+        self.downsample_levels = 0
+        cur = self.fft_result_size
+        while cur >= self.waterfall_size:
+            self.downsample_levels += 1
+            cur //= 2
+
+        # fft.cpp:33 (waterfall ~10 fps throttle)
+        self.skip_num = max(1, int(self.sps / self.fft_size / 10.0) * 2)
+
+        if not self.register_password:
+            self.register_password = secrets.token_hex(16)
+        return self
+
+    # reference: size_log2 = round(log2(size)) + brightness_offset
+    # (fft_impl.cpp:68)
+    @property
+    def size_log2(self) -> int:
+        return int(round(math.log2(self.fft_size))) + self.brightness_offset
+
+    @property
+    def base_idx(self) -> int:
+        """IQ fftshift offset (fft_impl.cpp:148-153, websocket.cpp:157-160)."""
+        return 0 if self.is_real else self.fft_size // 2 + 1
+
+    @property
+    def audio_fft_size(self) -> int:
+        """Per-client IFFT size == audio_max_fft_size (websocket.cpp:133)."""
+        return self.audio_max_fft_size
+
+    @property
+    def total_bandwidth(self) -> int:
+        return self.sps // 2 if self.is_real else self.sps
+
+    @property
+    def hop_size(self) -> int:
+        return self.fft_size // 2
+
+
+def load_config(path: str) -> ServerConfig:
+    with open(path, "rb") as f:
+        t = tomllib.load(f)
+    return config_from_dict(t)
+
+
+def config_from_dict(t: dict) -> ServerConfig:
+    c = ServerConfig()
+    server = t.get("server", {})
+    c.port = int(server.get("port", c.port))
+    c.host = str(server.get("host", c.host))
+    c.html_root = str(server.get("html_root", c.html_root))
+    c.otherusers = int(server.get("otherusers", 1)) > 0
+    c.threads = int(server.get("threads", 1))
+
+    inp = t.get("input", {})
+    c.sps = int(inp.get("sps", 0))
+    c.frequency = int(inp.get("frequency", 0))
+    c.fft_size = int(inp.get("fft_size", c.fft_size))
+    sig = str(inp.get("signal", "iq")).lower()
+    if sig not in ("real", "iq"):
+        raise ValueError("Invalid signal type, specify either real or IQ input")
+    c.is_real = sig == "real"
+    c.audio_sps = int(inp.get("audio_sps", c.audio_sps))
+    c.waterfall_size = int(inp.get("waterfall_size", c.waterfall_size))
+    c.brightness_offset = int(inp.get("brightness_offset", 0))
+    c.audio_compression = str(inp.get("audio_compression", "flac")).lower()
+    c.waterfall_compression = str(inp.get("waterfall_compression", "zstd")).lower()
+
+    drv = inp.get("driver", {})
+    c.input_driver = str(drv.get("name", "stdin"))
+    c.input_format = str(drv.get("format", "f32")).lower()
+
+    dfl = inp.get("defaults", {})
+    c.default_frequency = int(dfl.get("frequency", -1))
+    c.default_mode_str = str(dfl.get("modulation", "USB")).upper()
+
+    reg = t.get("register", {})
+    c.register_enable = bool(reg.get("enable", False))
+    c.register_name = str(reg.get("name", "SDR"))
+    c.register_hardware = str(reg.get("hardware", ""))
+    c.register_antenna = str(reg.get("antenna", ""))
+    c.register_description = str(reg.get("description", ""))
+    c.register_url = str(reg.get("url", ""))
+    c.register_password = str(reg.get("password", ""))
+
+    lim = t.get("limits", {})
+    c.limit_audio = int(lim.get("audio", 1000))
+    c.limit_waterfall = int(lim.get("waterfall", 1000))
+    c.limit_events = int(lim.get("events", 1000))
+
+    tpu = t.get("tpu", {})
+    c.hop_batch = int(tpu.get("hop_batch", c.hop_batch))
+    c.max_channels = int(tpu.get("max_channels", c.max_channels))
+    c.fft_strategy = str(tpu.get("fft_strategy", c.fft_strategy))
+    return c.finalize()

@@ -1,0 +1,95 @@
+"""CLI entry: ``python -m phantomsdr_tpu -c config.toml``.
+
+Mirrors the reference main (reference: src/spectrumserver.cpp:299-372):
+parse -c/--config TOML, reopen stdin binary, build the sample source
+for the configured wire format, start the DSP driver and the serving
+edge, install SIGINT shutdown.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import faulthandler
+import signal
+import sys
+
+# kill -USR1 <pid> dumps all thread stacks to stderr (debugging aid)
+faulthandler.register(signal.SIGUSR1, all_threads=True)
+
+from aiohttp import web
+
+from .config import load_config
+from .runtime.driver import DSPDriver, SampleSource
+from .runtime.server import SpectrumServer
+
+
+def build(cfg, stream, loop_file=False, throttle=0.0):
+    server = SpectrumServer(cfg)
+    source = SampleSource(cfg, stream, loop_file=loop_file,
+                          throttle_sps=throttle)
+    driver = DSPDriver(
+        cfg, source, server.channels,
+        consumer=server.dispatch_threadsafe,
+        waterfall_active=server.waterfall_active,
+        audio_active=server.audio_active,
+    )
+    server.driver = driver
+    return server, driver
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="phantomsdr-tpu")
+    ap.add_argument("-c", "--config", default="config.toml",
+                    help="config file (=config.toml)")
+    ap.add_argument("--input-file", default=None,
+                    help="read samples from a file instead of stdin")
+    ap.add_argument("--loop", action="store_true",
+                    help="loop the input file forever")
+    ap.add_argument("--throttle", action="store_true",
+                    help="throttle file replay to the configured sps")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu); the container's "
+                         "sitecustomize pins the TPU backend, so a plain "
+                         "JAX_PLATFORMS env var is not enough")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    cfg = load_config(args.config)
+    if args.input_file:
+        stream = open(args.input_file, "rb")
+    else:
+        stream = sys.stdin.buffer
+
+    server, driver = build(
+        cfg, stream, loop_file=args.loop,
+        throttle=cfg.sps if args.throttle else 0.0,
+    )
+    driver.start()
+
+    async def _run():
+        runner = web.AppRunner(server.app)
+        await runner.setup()
+        site = web.TCPSite(runner, cfg.host, cfg.port, backlog=8192,
+                           reuse_address=True)
+        await site.start()
+        print(f"phantomsdr-tpu serving on {cfg.host}:{cfg.port} "
+              f"(fft_size={cfg.fft_size}, sps={cfg.sps}, "
+              f"{'real' if cfg.is_real else 'iq'})")
+        stop = asyncio.Event()
+        loop = asyncio.get_running_loop()
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            loop.add_signal_handler(sig, stop.set)
+        await stop.wait()
+        driver.stop()
+        await runner.cleanup()
+
+    asyncio.run(_run())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,230 @@
+"""Batched frequency-domain channelizer + demodulators (USB/LSB/AM/FM).
+
+This replaces the reference's per-client demod jobs (one asio task per
+client per frame, src/signal.cpp:102-298, dispatched from
+src/websocket.cpp:156-185) with ONE dense batched computation over a
+static channel table: every connected listener is a row in
+``[C, ...]`` arrays, inactive rows are masked.  That is the key
+TPU-idiomatic departure called out in SURVEY.md section 7 step 2: no
+per-client recompilation, no dynamic shapes, the whole channel
+population is a single vmapped/sharded kernel.
+
+Exact reference semantics implemented (with file:line cites):
+
+- Channel slice: client sees ``buf = &spectrum[(l + base_idx) % R]``
+  and indexes up to audio_fft_size bins beyond it, relying on the
+  DC-wrap tail copy for IQ (src/fft.cpp:91-98, src/websocket.cpp:156-185).
+- USB: spectrum bins [m, m+A) -> c2r IFFT input bins from 0
+  (src/signal.cpp:126-138).  FFTW c2r of size A only reads bins
+  [0, A/2], so only A/2+1 bins matter.
+- LSB: reversed bins (m - k -> k), c2r IFFT, then time reversal
+  (src/signal.cpp:139-156).
+- AM/FM: positive bins [m, m+A/2) -> [0, A/2), negative bins
+  (m - j -> A - j) -> c2c IFFT (src/signal.cpp:173-214).
+- Parity fix-up: on odd frames the waveform is negated when
+  (m even and IQ input) or (m odd and real input)
+  (src/signal.cpp:160-168, 223-234) -- the 50% overlap inverts
+  alternate frames depending on downconversion bin parity.
+- Overlap-add of the first half with the saved second half of the
+  previous frame (src/signal.cpp:170-172, 235-241, 274-275).
+- AM: envelope sqrt(re^2+im^2) of the overlap-added baseband
+  (src/signal.cpp:253-257, src/utils/dsp.cpp:116-126).  (The optional
+  liquid-dsp PLL carrier-sync path, src/signal.cpp:242-252, is not
+  replicated; envelope is the reference's own fallback.)
+- FM: polar discriminator arg(x[i] * conj(x[i-1])) seeded with the last
+  output sample of the previous frame (src/signal.cpp:259-263,
+  src/utils/dsp.cpp:27-35).
+- Average slice power: sum |bin|^2 over [l, r) (src/signal.cpp:117-119).
+
+All IFFTs follow FFTW's unnormalized backward convention, i.e.
+jnp.fft.ifft * A.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Demodulation mode codes (reference src/client.h:43 enum demodulation_mode)
+MODE_USB = 0
+MODE_LSB = 1
+MODE_AM = 2
+MODE_FM = 3
+
+
+class ChannelTable(NamedTuple):
+    """Dense per-channel tuning state; one row per (possible) listener.
+
+    l, r: slice bounds in display-order bins (0 <= l <= r < R),
+    m_idx: floor(mid) in display-order bins (the fractional mid is only
+    metadata, src/signal.cpp:107 uses floor), mode: MODE_*, active:
+    row is a live listener.
+    """
+
+    l: jnp.ndarray       # [C] int32
+    r: jnp.ndarray       # [C] int32
+    m_idx: jnp.ndarray   # [C] int32
+    mode: jnp.ndarray    # [C] int32
+    active: jnp.ndarray  # [C] bool
+
+
+class ChannelState(NamedTuple):
+    """Per-channel demod carry (the reference's per-client scratch).
+
+    Note on frame parity: send_audio's ``frame_num`` is the *global* hop
+    counter passed in from the FFT loop (src/websocket.cpp:180-182); the
+    AudioClient member of the same name is shadowed by the parameter
+    inside send_audio and never advances, so parity is global, not
+    per-client.  Hence no per-channel frame counter here.
+    """
+
+    ssb_prev: jnp.ndarray    # [C, A/2] f32   (audio_real_prev, signal.cpp:274)
+    cplx_prev: jnp.ndarray   # [C, A/2] c64   (audio_complex_baseband_prev)
+    fm_prev: jnp.ndarray     # [C] c64        (prev sample for discriminator)
+
+
+def init_channel_state(num_channels: int, audio_fft_size: int) -> ChannelState:
+    c, h = num_channels, audio_fft_size // 2
+    return ChannelState(
+        ssb_prev=jnp.zeros((c, h), jnp.float32),
+        cplx_prev=jnp.zeros((c, h), jnp.complex64),
+        fm_prev=jnp.zeros((c,), jnp.complex64),
+    )
+
+
+def extend_spectrum(spec: jnp.ndarray, is_real: bool, fft_result_size: int,
+                    audio_max_fft_size: int) -> jnp.ndarray:
+    """Append the DC-wrap tail: ext[R:R+A] = spec[0:A] for IQ.
+
+    Mirrors the memcpy in src/fft.cpp:91-98 that makes slices crossing
+    DC contiguous.  For real input the tail region is zeros (the
+    reference leaves it uninitialized; zeros are the benign choice).
+    """
+    r, a = fft_result_size, audio_max_fft_size
+    spec = spec[..., :r]
+    if is_real:
+        tail = jnp.zeros(spec.shape[:-1] + (a,), spec.dtype)
+    else:
+        tail = spec[..., :a]
+    return jnp.concatenate([spec, tail], axis=-1)
+
+
+def _gather_bins(spec_ext: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Masked gather from the extended spectrum: [C, K] indices -> values."""
+    maxi = spec_ext.shape[-1] - 1
+    safe = jnp.clip(idx, 0, maxi)
+    vals = spec_ext[safe]
+    return jnp.where(valid, vals, jnp.zeros((), spec_ext.dtype))
+
+
+def demodulate(
+    spec_ext: jnp.ndarray,
+    chans: ChannelTable,
+    state: ChannelState,
+    frame_num: jnp.ndarray,
+    *,
+    audio_fft_size: int,
+    fft_result_size: int,
+    base_idx: int,
+    is_real: bool,
+) -> tuple[ChannelState, jnp.ndarray, jnp.ndarray]:
+    """One hop of batched demodulation for all channels.
+
+    spec_ext: [R + A] complex64 normalized spectrum in natural FFT order
+    with the wrap tail appended (see extend_spectrum).
+    frame_num: scalar int32 global hop counter (drives parity).
+    Returns (new_state, audio [C, A/2] f32, avg_power [C] f32).
+    """
+    a = audio_fft_size
+    half = a // 2
+    c = chans.l.shape[0]
+
+    start = (chans.l + base_idx) % fft_result_size          # [C] slice pointer
+    audio_r = chans.r - chans.l                              # [C] slice length
+    m_rel = chans.m_idx - chans.l                            # [C] mid relative to slice
+
+    # ---- average slice power over [0, r-l) (signal.cpp:117-119) ----
+    k_a = jnp.arange(a, dtype=jnp.int32)                     # [A]
+    slice_idx = start[:, None] + k_a[None, :]                # [C, A]
+    slice_valid = k_a[None, :] < audio_r[:, None]
+    slice_vals = _gather_bins(spec_ext, slice_idx, slice_valid)
+    avg_power = jnp.sum(
+        jnp.real(slice_vals) ** 2 + jnp.imag(slice_vals) ** 2, axis=-1
+    )
+
+    # ---- SSB path: c2r input bins [0, A/2] (signal.cpp:126-156) ----
+    k_r = jnp.arange(half + 1, dtype=jnp.int32)              # [A/2+1]
+    usb_rel = m_rel[:, None] + k_r[None, :]                  # bin m+k
+    lsb_rel = m_rel[:, None] - k_r[None, :]                  # bin m-k
+    is_lsb = (chans.mode == MODE_LSB)[:, None]
+    ssb_rel = jnp.where(is_lsb, lsb_rel, usb_rel)
+    ssb_valid = (ssb_rel >= 0) & (ssb_rel < audio_r[:, None])
+    ssb_bins = _gather_bins(spec_ext, start[:, None] + ssb_rel, ssb_valid)
+    # FFTW unnormalized c2r == irfft * A
+    ssb_wave = jnp.fft.irfft(ssb_bins, n=a) * a              # [C, A]
+    ssb_wave = jnp.where(is_lsb, ssb_wave[:, ::-1], ssb_wave)
+
+    # ---- AM/FM path: c2c input (signal.cpp:173-214) ----
+    t = jnp.arange(a, dtype=jnp.int32)                       # [A]
+    pos_rel = m_rel[:, None] + t[None, :]
+    neg_rel = m_rel[:, None] - (a - t)[None, :]
+    is_pos = t[None, :] < half
+    is_neg = t[None, :] > half
+    cplx_rel = jnp.where(is_pos, pos_rel, neg_rel)
+    cplx_valid = (
+        (is_pos | is_neg)
+        & (cplx_rel >= 0)
+        & (cplx_rel < audio_r[:, None])
+    )
+    cplx_bins = _gather_bins(spec_ext, start[:, None] + cplx_rel, cplx_valid)
+    cplx_wave = jnp.fft.ifft(cplx_bins) * a                  # [C, A] c64
+
+    # ---- parity fix-up (signal.cpp:160-168, 223-234) ----
+    m_even = (chans.m_idx % 2) == 0
+    parity_mode = (~m_even) if is_real else m_even
+    negate = ((frame_num % 2) == 1) & parity_mode            # [C]
+    sgn_f = jnp.where(negate, -1.0, 1.0)[:, None]
+    ssb_wave = ssb_wave * sgn_f
+    cplx_wave = cplx_wave * sgn_f.astype(jnp.complex64)
+
+    # ---- overlap-add (signal.cpp:170-172, 235-241) ----
+    ssb_out = ssb_wave[:, :half] + state.ssb_prev
+    new_ssb_prev = ssb_wave[:, half:]
+    cplx_out = cplx_wave[:, :half] + state.cplx_prev
+    new_cplx_prev = cplx_wave[:, half:]
+
+    # ---- AM envelope (dsp.cpp:116-126) ----
+    am_audio = jnp.sqrt(
+        jnp.real(cplx_out) ** 2 + jnp.imag(cplx_out) ** 2
+    )
+
+    # ---- FM polar discriminator (dsp.cpp:27-35) ----
+    prev = jnp.concatenate([state.fm_prev[:, None], cplx_out[:, :-1]], axis=1)
+    fm_audio = jnp.angle(cplx_out * jnp.conj(prev))
+
+    mode = chans.mode[:, None]
+    audio = jnp.where(
+        mode == MODE_AM, am_audio,
+        jnp.where(mode == MODE_FM, fm_audio, ssb_out),
+    )
+    # NaN guard: the reference throws away the frame (signal.cpp:266-271);
+    # functionally we zero the offending samples instead.
+    audio = jnp.where(jnp.isnan(audio), 0.0, audio)
+
+    new_state = ChannelState(
+        ssb_prev=new_ssb_prev,
+        cplx_prev=new_cplx_prev,
+        fm_prev=cplx_out[:, -1],
+    )
+    return new_state, audio, avg_power
+
+
+def float_to_int16(audio: jnp.ndarray, mult: float = 65536.0 / 4.0) -> jnp.ndarray:
+    """Round-half-up float -> int16 (reference src/utils/dsp.cpp:152-165).
+
+    out = clamp((int)(x*mult + 32768.5) - 32768, -32768, 32767).
+    """
+    v = jnp.floor(audio * mult + 32768.5) - 32768.0
+    return jnp.clip(v, -32768.0, 32767.0).astype(jnp.int16)

@@ -1,0 +1,188 @@
+"""Serving-edge codecs: FLAC (native C++), Opus (system libopus via
+ctypes), zstd waterfall compression (python-zstandard / libzstd).
+
+Mirrors the reference codec layer:
+- FLAC: 1 channel, 16-bit, streamed; reference uses libFLAC level 5
+  (src/signal.cpp:17-28).  Here: csrc/flac.cpp, a from-scratch fixed-
+  predictor + Rice encoder (this image has no libFLAC).
+- Opus: <=48 kHz mono, 20 ms frames, 80 kbps, partial-frame queue
+  (src/audio.cpp:55-84).
+- zstd: per-client streaming compression of CBOR waterfall rows,
+  flushed per message (src/waterfallcompression.cpp:18-37).
+
+Each audio packet is CBOR {data, frame_num, l, m, pwr, r}
+(src/audio.cpp:17-36) -- built by the caller via runtime.cbor.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+
+import numpy as np
+
+_CSRC = Path(__file__).resolve().parent.parent.parent / "csrc"
+
+# ---------------------------------------------------------------- native lib
+
+_hostlib = None
+
+
+def _load_hostlib():
+    global _hostlib
+    if _hostlib is not None:
+        return _hostlib
+    so = _CSRC / "libphantomhost.so"
+    if not so.exists():
+        # try to build it (native toolchain is available in the image)
+        os.system(f"make -C {_CSRC} >/dev/null 2>&1")
+    if not so.exists():
+        raise RuntimeError("libphantomhost.so not built (run make -C csrc)")
+    lib = ctypes.CDLL(str(so))
+    lib.phantom_flac_create.restype = ctypes.c_void_p
+    lib.phantom_flac_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.phantom_flac_process.restype = ctypes.c_int
+    lib.phantom_flac_process.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int,
+    ]
+    lib.phantom_flac_finish.restype = ctypes.c_int
+    lib.phantom_flac_finish.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ]
+    lib.phantom_flac_destroy.argtypes = [ctypes.c_void_p]
+    _hostlib = lib
+    return lib
+
+
+class FlacEncoder:
+    """Streaming FLAC encoder (native).  blocksize 4096 like libFLAC's
+    default at the reference's level-5 settings."""
+
+    def __init__(self, sample_rate: int, blocksize: int = 4096):
+        self._lib = _load_hostlib()
+        self._enc = self._lib.phantom_flac_create(sample_rate, blocksize)
+        self._cap = 1 << 20
+        self._out = ctypes.create_string_buffer(self._cap)
+
+    def process(self, samples: np.ndarray) -> bytes:
+        """samples: int16 numpy array -> encoded bytes (may be empty)."""
+        samples = np.ascontiguousarray(samples, dtype=np.int16)
+        n = self._lib.phantom_flac_process(
+            self._enc, samples.ctypes.data, samples.size, self._out, self._cap
+        )
+        if n < 0:
+            raise RuntimeError("flac output buffer too small")
+        return self._out.raw[:n]
+
+    def finish(self) -> bytes:
+        n = self._lib.phantom_flac_finish(self._enc, self._out, self._cap)
+        return self._out.raw[:max(n, 0)]
+
+    def close(self):
+        if self._enc:
+            self._lib.phantom_flac_destroy(self._enc)
+            self._enc = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+# --------------------------------------------------------------------- opus
+
+_OPUS_APPLICATION_AUDIO = 2049
+_OPUS_SET_BITRATE_REQUEST = 4002
+
+_opuslib = None
+
+
+def _load_opus():
+    global _opuslib
+    if _opuslib is None:
+        lib = ctypes.CDLL("libopus.so.0")
+        lib.opus_encoder_create.restype = ctypes.c_void_p
+        lib.opus_encoder_create.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.opus_encode.restype = ctypes.c_int
+        lib.opus_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.opus_encoder_destroy.argtypes = [ctypes.c_void_p]
+        _opuslib = lib
+    return _opuslib
+
+
+class OpusChunkEncoder:
+    """Opus per the reference: <=48k mono, 20 ms frames, 80 kbps, queue
+    of partial frames (src/audio.cpp:55-84).  Each encoded packet is
+    returned separately (one CBOR packet per opus frame)."""
+
+    def __init__(self, sample_rate: int):
+        self._lib = _load_opus()
+        self.rate = min(sample_rate, 48000)
+        err = ctypes.c_int(0)
+        self._enc = self._lib.opus_encoder_create(
+            self.rate, 1, _OPUS_APPLICATION_AUDIO, ctypes.byref(err)
+        )
+        if err.value != 0 or not self._enc:
+            raise RuntimeError(f"opus_encoder_create failed: {err.value}")
+        # varargs call: wrap every argument explicitly
+        self._lib.opus_encoder_ctl(
+            ctypes.c_void_p(self._enc),
+            ctypes.c_int(_OPUS_SET_BITRATE_REQUEST),
+            ctypes.c_int(80000),
+        )
+        self.frame_size = self.rate * 20 // 1000
+        self._pending = np.zeros(0, np.int16)
+        self._buf = ctypes.create_string_buffer(1024)
+
+    def process(self, samples: np.ndarray) -> list[bytes]:
+        self._pending = np.concatenate(
+            [self._pending, np.ascontiguousarray(samples, np.int16)]
+        )
+        out = []
+        fs = self.frame_size
+        while self._pending.size > fs:  # note: '>' matches audio.cpp:70
+            frame = np.ascontiguousarray(self._pending[:fs])
+            n = self._lib.opus_encode(
+                self._enc, frame.ctypes.data, fs, self._buf, 1024
+            )
+            if n > 1:
+                out.append(self._buf.raw[:n])
+            self._pending = self._pending[fs:]
+        return out
+
+    def close(self):
+        if self._enc:
+            self._lib.opus_encoder_destroy(self._enc)
+            self._enc = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+# --------------------------------------------------------------------- zstd
+
+class ZstdStream:
+    """Per-client streaming zstd, flush per message
+    (ZSTD_compressStream2 with ZSTD_e_flush, waterfallcompression.cpp:24-37).
+    """
+
+    def __init__(self, level: int = 3):
+        import zstandard
+
+        self._c = zstandard.ZstdCompressor(level=level).compressobj()
+        self._flush_block = zstandard.COMPRESSOBJ_FLUSH_BLOCK
+
+    def compress(self, data: bytes) -> bytes:
+        return self._c.compress(data) + self._c.flush(self._flush_block)

@@ -1,0 +1,205 @@
+"""Host driver: sample reader thread + device step loop + metrics.
+
+Replaces the reference's fft_task thread and its async stdin
+triple-buffering (reference: src/fft.cpp:10-119): a reader thread
+fills raw blocks from the input stream (keeping the 50%-overlap halo),
+a device thread runs the jitted hop pipeline, and finished outputs are
+handed to a consumer callback (the websocket server) on its event loop.
+
+Also the home of the first-class perf counters SURVEY.md section 5
+calls for: hop counter, sustained MSPS, per-step device latency.
+"""
+
+from __future__ import annotations
+
+import collections
+import io
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+
+from ..config import ServerConfig
+from ..ops.convert import wire_dtype, host_preconvert
+from ..pipeline import HopPipeline, channels_from_numpy
+
+
+@dataclass
+class Metrics:
+    frames: int = 0
+    samples: int = 0
+    start_time: float = field(default_factory=time.monotonic)
+    step_seconds: collections.deque = field(
+        default_factory=lambda: collections.deque(maxlen=120))
+    idle_frames: int = 0
+    eof: bool = False
+
+    def snapshot(self, cfg: ServerConfig) -> dict:
+        el = max(time.monotonic() - self.start_time, 1e-9)
+        steps = list(self.step_seconds)
+        hop = cfg.hop_size
+        return {
+            "frames": self.frames,
+            "samples_in": self.samples,
+            "elapsed_s": el,
+            "msps_sustained": self.samples / el / 1e6,
+            "msps_device": (
+                (len(steps) * cfg.hop_batch * hop) / max(sum(steps), 1e-9) / 1e6
+                if steps else 0.0
+            ),
+            "step_ms_p50": (
+                sorted(steps)[len(steps) // 2] * 1e3 if steps else 0.0
+            ),
+            "idle_frames": self.idle_frames,
+            "eof": self.eof,
+        }
+
+
+class SampleSource:
+    """Blocking block reader over a binary stream (stdin or file),
+    maintaining the halo so every block is (B+1)*hop wire samples.
+    Mirrors SampleConverter reads (src/samplereader.cpp:42-70) but keeps
+    raw wire ints; conversion happens on device."""
+
+    def __init__(self, cfg: ServerConfig, stream: io.BufferedReader,
+                 loop_file: bool = False, throttle_sps: float = 0.0):
+        self.cfg = cfg
+        self.stream = stream
+        self.dtype = wire_dtype(cfg.input_format)
+        self.wire_per_hop = cfg.hop_size * (1 if cfg.is_real else 2)
+        self.block_wire = cfg.hop_batch * self.wire_per_hop
+        self.halo = np.zeros(self.wire_per_hop, self.dtype)
+        self.loop_file = loop_file
+        self.throttle_sps = throttle_sps  # simulate realtime for file replay
+        self._t0 = None
+        self._consumed = 0
+
+    def read_block(self) -> np.ndarray | None:
+        """Return [(B+1)*wph] wire samples (halo + new), or None on EOF."""
+        need = self.block_wire * self.dtype.itemsize
+        data = b""
+        while len(data) < need:
+            chunk = self.stream.read(need - len(data))
+            if not chunk:
+                if self.loop_file and hasattr(self.stream, "seek"):
+                    self.stream.seek(0)
+                    continue
+                return None
+            data += chunk
+        new = np.frombuffer(data, self.dtype)
+        block = np.concatenate([self.halo, new])
+        self.halo = new[-self.wire_per_hop:]
+        if self.throttle_sps > 0:
+            scalars_per_sample = 1 if self.cfg.is_real else 2
+            self._consumed += self.block_wire / scalars_per_sample
+            if self._t0 is None:
+                self._t0 = time.monotonic()
+            target = self._t0 + self._consumed / self.throttle_sps
+            delay = target - time.monotonic()
+            if delay > 0:
+                time.sleep(delay)
+        return block
+
+
+class DSPDriver:
+    """Reader thread -> bounded queue -> device-step thread -> consumer."""
+
+    def __init__(self, cfg: ServerConfig, source: SampleSource,
+                 channel_registry, consumer: Callable,
+                 waterfall_active: Callable[[], bool] = lambda: True,
+                 audio_active: Callable[[], bool] = lambda: True):
+        self.cfg = cfg
+        self.source = source
+        self.registry = channel_registry
+        self.consumer = consumer
+        self.waterfall_active = waterfall_active
+        self.audio_active = audio_active
+        self.metrics = Metrics()
+        self.pipe = HopPipeline(cfg)
+        self._queue: queue.Queue = queue.Queue(maxsize=3)
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._table_version = -1
+        self._table = None
+
+    # ------------------------------------------------------------------
+    def start(self):
+        tr = threading.Thread(target=self._read_loop, name="sdr-reader",
+                              daemon=True)
+        td = threading.Thread(target=self._device_loop, name="tpu-step",
+                              daemon=True)
+        self._threads = [tr, td]
+        tr.start()
+        td.start()
+
+    def stop(self):
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=5)
+
+    # ------------------------------------------------------------------
+    def _read_loop(self):
+        while not self._stop.is_set():
+            block = self.source.read_block()
+            if block is None:
+                self.metrics.eof = True
+                self._queue.put(None)
+                return
+            self._queue.put(block)
+
+    def _refresh_table(self):
+        v, arrays = self.registry.snapshot()
+        if v != self._table_version or self._table is None:
+            self._table = channels_from_numpy(*arrays)
+            self._table_version = v
+
+    def _device_loop(self):
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        state = self.pipe.init_state()
+        scalars_per_sample = 1 if cfg.is_real else 2
+        while not self._stop.is_set():
+            try:
+                block = self._queue.get(timeout=0.25)
+            except queue.Empty:
+                continue
+            if block is None:
+                break
+            self.metrics.samples += (
+                self.source.block_wire // scalars_per_sample
+            )
+            # skip all compute when nobody is listening (src/fft.cpp:72-79);
+            # state is intentionally left stale, like the reference.
+            if not self.audio_active() and not self.waterfall_active():
+                self.metrics.idle_frames += cfg.hop_batch
+                self.metrics.frames += cfg.hop_batch
+                continue
+            self._refresh_table()
+            want_wf = self.waterfall_active() and self._waterfall_due()
+            t0 = time.monotonic()
+            raw = jnp.asarray(host_preconvert(block, cfg.input_format))
+            state, out = self.pipe.step(state, raw, self._table, want_wf)
+            audio = np.asarray(out.audio)
+            pwr = np.asarray(out.avg_power)
+            pyr = np.asarray(out.pyramid) if want_wf else None
+            self.metrics.step_seconds.append(time.monotonic() - t0)
+            frame0 = self.metrics.frames
+            self.metrics.frames += cfg.hop_batch
+            try:
+                self.consumer(frame0, audio, pwr, pyr)
+            except Exception:
+                import traceback
+
+                traceback.print_exc()
+
+    def _waterfall_due(self) -> bool:
+        """Any hop in the upcoming batch on the skip_num cadence
+        (src/fft.cpp:33-34,100-105)?"""
+        cfg = self.cfg
+        f0 = self.metrics.frames
+        return any((f0 + i) % cfg.skip_num == 0 for i in range(cfg.hop_batch))

@@ -1,0 +1,166 @@
+"""Channel + waterfall slice registries.
+
+The reference keeps per-client slices in mutex-guarded multimaps keyed
+by (l, r) (reference: src/spectrumserver.h:160-174, re-keyed on retune
+in src/signal.cpp:81-94 and src/waterfall.cpp:25-42).  Here the audio
+side is a dense slot table feeding the device ChannelTable (static
+[max_channels] arrays, masked by `active`) -- the host-side face of the
+batched channelizer -- and the waterfall side is a plain dict, since
+waterfall slicing happens on host over the already-computed pyramid.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import ServerConfig
+
+MODE_CODES = {"USB": 0, "LSB": 1, "AM": 2, "FM": 3}
+
+
+@dataclass
+class AudioSlot:
+    slot: int
+    l: int = 0
+    r: int = 0
+    mid: float = 0.0
+    mode: str = "USB"
+    unique_id: str = ""
+    user_id: str = ""
+    mute: bool = False
+
+
+@dataclass
+class WaterfallSlot:
+    level: int = 0
+    l: int = 0
+    r: int = 0
+    user_id: str = ""
+
+
+class ChannelRegistry:
+    """Dense audio-channel slot allocator + device-table builder."""
+
+    def __init__(self, cfg: ServerConfig):
+        self.cfg = cfg
+        c = cfg.max_channels
+        self._lock = threading.Lock()
+        self._free = list(range(c - 1, -1, -1))
+        self.slots: dict[int, AudioSlot] = {}
+        self.l = np.zeros(c, np.int32)
+        self.r = np.zeros(c, np.int32)
+        self.m_idx = np.zeros(c, np.int32)
+        self.mode = np.zeros(c, np.int32)
+        self.active = np.zeros(c, bool)
+        self.version = 0  # bumped on any change; driver re-uploads the table
+
+    # -------------------------------------------------------------- slots
+    def acquire(self, unique_id: str) -> AudioSlot | None:
+        with self._lock:
+            if not self._free:
+                return None
+            s = self._free.pop()
+            slot = AudioSlot(slot=s, unique_id=unique_id)
+            self.slots[s] = slot
+            self.active[s] = False
+            self.version += 1
+            return slot
+
+    def release(self, slot: AudioSlot) -> None:
+        with self._lock:
+            if slot.slot in self.slots:
+                del self.slots[slot.slot]
+                self.active[slot.slot] = False
+                self._free.append(slot.slot)
+                self.version += 1
+
+    def retune(self, slot: AudioSlot, l: int, mid: float, r: int) -> None:
+        """Validation per src/signal.cpp:300-314: 0<=l<=r<R and
+        r-l <= audio_fft_size."""
+        cfg = self.cfg
+        if l < 0 or l >= cfg.fft_result_size or r < 0 or r >= cfg.fft_result_size:
+            return
+        if l > r or r - l > cfg.audio_fft_size:
+            return
+        with self._lock:
+            slot.l, slot.r, slot.mid = l, r, mid
+            s = slot.slot
+            self.l[s] = l
+            self.r[s] = r
+            self.m_idx[s] = int(np.floor(mid))
+            self.active[s] = True
+            self.version += 1
+
+    def set_mode(self, slot: AudioSlot, mode: str) -> bool:
+        if mode not in MODE_CODES:
+            return False
+        with self._lock:
+            slot.mode = mode
+            self.mode[slot.slot] = MODE_CODES[mode]
+            self.version += 1
+            return True
+
+    # ------------------------------------------------------------- device
+    def snapshot(self) -> tuple[int, tuple[np.ndarray, ...]]:
+        with self._lock:
+            return self.version, (
+                self.l.copy(), self.r.copy(), self.m_idx.copy(),
+                self.mode.copy(), self.active.copy(),
+            )
+
+    @property
+    def count(self) -> int:
+        return len(self.slots)
+
+
+class WaterfallRegistry:
+    """Waterfall client table; level selection per src/waterfall.cpp:53-94."""
+
+    def __init__(self, cfg: ServerConfig):
+        self.cfg = cfg
+        self._lock = threading.Lock()
+        self.clients: dict[int, WaterfallSlot] = {}
+        self._next = 0
+
+    def acquire(self) -> tuple[int, WaterfallSlot]:
+        with self._lock:
+            cid = self._next
+            self._next += 1
+            # default: entire spectrum at the coarsest level
+            ws = WaterfallSlot(level=self.cfg.downsample_levels - 1,
+                               l=0, r=self.cfg.waterfall_size)
+            self.clients[cid] = ws
+            return cid, ws
+
+    def release(self, cid: int) -> None:
+        with self._lock:
+            self.clients.pop(cid, None)
+
+    def retune(self, ws: WaterfallSlot, new_l: int, new_r: int) -> None:
+        """Pick the pyramid level whose slice width lands closest to
+        waterfall_size points (src/waterfall.cpp:53-94)."""
+        if new_l < 0 or new_r < 0 or new_l >= new_r:
+            return
+        cfg = self.cfg
+        l_f, r_f = float(new_l), float(new_r)
+        best_level = cfg.downsample_levels - 1
+        best_diff = cfg.waterfall_size * 2.0
+        sel_l, sel_r = new_l, new_r
+        for i in range(cfg.downsample_levels):
+            send_size = abs((r_f - l_f) - cfg.waterfall_size)
+            if send_size < best_diff:
+                best_diff = send_size
+                best_level = i
+                sel_l = round(l_f)
+                sel_r = round(r_f)
+            l_f /= 2.0
+            r_f /= 2.0
+        with self._lock:
+            ws.level, ws.l, ws.r = best_level, sel_l, sel_r
+
+    @property
+    def count(self) -> int:
+        return len(self.clients)

@@ -1,0 +1,411 @@
+"""Websocket + HTTP serving edge, wire-compatible with the reference
+frontend.
+
+Endpoints (reference: src/websocket.cpp:14-31): ``/audio`` (demodulated
+audio stream), ``/waterfall`` (int8 waterfall rows), ``/events`` (user
+counts + tuning changes), anything else = static file server over
+html_root (src/http.cpp).
+
+Protocol:
+- on connect, a JSON ``basic_info`` handshake (src/websocket.cpp:42-66),
+- inbound JSON commands ``{"cmd":"window","l":..,"m":..,"r":..}``,
+  ``{"cmd":"demodulation","demodulation":"USB"}``, ``{"cmd":"userid"}``,
+  ``{"cmd":"mute"}`` (src/client.cpp:19-118), truncated at 1024 bytes
+  (src/websocket.cpp:125),
+- outbound audio: CBOR {data, frame_num, l, m, pwr, r} with FLAC/Opus
+  payload (src/audio.cpp:17-36),
+- outbound waterfall: zstd-compressed CBOR {data, frame_num, l, r}
+  with coordinates scaled by the pyramid level (src/waterfall.cpp:44-51),
+- slow clients are dropped (not disconnected, just skipped) when their
+  socket backlog exceeds 50 kB (src/websocket.cpp:174,222),
+- /events: initial full state on connect, then 1 Hz deltas
+  (src/events.cpp).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import secrets
+import time
+from pathlib import Path
+
+import numpy as np
+from aiohttp import web, WSMsgType
+
+from ..config import ServerConfig
+from ..ops.quantize import pyramid_level_offsets
+from . import cbor
+from .codecs import FlacEncoder, OpusChunkEncoder, ZstdStream
+from .registry import AudioSlot, ChannelRegistry, WaterfallRegistry, WaterfallSlot
+
+BACKPRESSURE_LIMIT = 50_000  # bytes (src/websocket.cpp:174,222)
+MAX_CMD_LEN = 1024           # (src/websocket.cpp:125)
+
+
+def _generate_unique_id() -> str:
+    return secrets.token_hex(16)
+
+
+class _SendQueue:
+    """Single-writer outbound queue per websocket: dispatch enqueues,
+    one sender task drains -- concurrent ws.send_* calls can interleave
+    frame fragments, and ordering must be preserved per client."""
+
+    def __init__(self, ws: web.WebSocketResponse, maxsize: int = 256):
+        self.ws = ws
+        self.q: asyncio.Queue = asyncio.Queue(maxsize=maxsize)
+        self.task = asyncio.create_task(self._run())
+
+    async def _run(self):
+        try:
+            while True:
+                data = await self.q.get()
+                if data is None:
+                    break
+                if isinstance(data, str):
+                    await self.ws.send_str(data)
+                else:
+                    await self.ws.send_bytes(data)
+        except (ConnectionError, asyncio.CancelledError, RuntimeError):
+            pass
+
+    def send_nowait(self, data) -> bool:
+        try:
+            self.q.put_nowait(data)
+            return True
+        except asyncio.QueueFull:
+            return False
+
+    def close(self):
+        self.task.cancel()
+
+
+class AudioConn:
+    def __init__(self, server: "SpectrumServer", ws: web.WebSocketResponse,
+                 slot: AudioSlot):
+        self.server = server
+        self.ws = ws
+        self.out = _SendQueue(ws)
+        self.slot = slot
+        cfg = server.cfg
+        if cfg.audio_compression == "opus":
+            self.encoder = OpusChunkEncoder(cfg.audio_sps)
+            self.is_opus = True
+        else:
+            self.encoder = FlacEncoder(cfg.audio_sps)
+            self.is_opus = False
+
+    def handle_command(self, msg: str):
+        try:
+            cmd = json.loads(msg[:MAX_CMD_LEN])
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return
+        name = cmd.get("cmd")
+        if name == "window":
+            m = cmd.get("m")
+            if m is None:
+                return
+            try:
+                l, r = int(cmd["l"]), int(cmd["r"])
+                m = float(m)
+            except (KeyError, TypeError, ValueError):
+                return
+            reg = self.server.channels
+            reg.retune(self.slot, l, m, r)
+            self.server.broadcast_signal_change(
+                self.slot.unique_id, self.slot.l, self.slot.mid, self.slot.r
+            )
+        elif name == "demodulation":
+            mode = cmd.get("demodulation")
+            if isinstance(mode, str):
+                self.server.channels.set_mode(self.slot, mode)
+                # mode switch resets the AGC in the reference
+                # (src/signal.cpp:327); our AGC state is device-side and
+                # converges in ~release-time; acceptable transient.
+        elif name == "userid":
+            uid = cmd.get("userid")
+            if isinstance(uid, str):
+                self.slot.user_id = uid[:32]
+        elif name == "mute":
+            self.slot.mute = bool(cmd.get("mute", False))
+
+
+class WaterfallConn:
+    def __init__(self, server: "SpectrumServer", ws: web.WebSocketResponse,
+                 cid: int, slot: WaterfallSlot):
+        self.server = server
+        self.ws = ws
+        self.out = _SendQueue(ws)
+        self.cid = cid
+        self.slot = slot
+        self.encoder = ZstdStream()
+        self.user_id = ""
+
+    def handle_command(self, msg: str):
+        try:
+            cmd = json.loads(msg[:MAX_CMD_LEN])
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return
+        name = cmd.get("cmd")
+        if name == "window":
+            try:
+                l, r = int(cmd["l"]), int(cmd["r"])
+            except (KeyError, TypeError, ValueError):
+                return
+            self.server.waterfalls.retune(self.slot, l, r)
+        elif name == "userid":
+            uid = cmd.get("userid")
+            if isinstance(uid, str):
+                self.user_id = uid[:32]
+
+
+class SpectrumServer:
+    def __init__(self, cfg: ServerConfig):
+        self.cfg = cfg
+        self.channels = ChannelRegistry(cfg)
+        self.waterfalls = WaterfallRegistry(cfg)
+        self.audio_conns: dict[int, AudioConn] = {}       # slot -> conn
+        self.wf_conns: dict[int, WaterfallConn] = {}      # cid -> conn
+        self.event_conns: set[web.WebSocketResponse] = set()
+        self.signal_changes: dict[str, tuple[int, float, int]] = {}
+        self.level_offsets = pyramid_level_offsets(
+            cfg.fft_result_size, cfg.downsample_levels
+        )
+        self.loop: asyncio.AbstractEventLoop | None = None
+        self.driver = None  # set by main
+        self.app = self._build_app()
+
+    # ------------------------------------------------------------- app
+    def _build_app(self) -> web.Application:
+        app = web.Application()
+        app.router.add_get("/audio", self._ws_audio)
+        app.router.add_get("/waterfall", self._ws_waterfall)
+        app.router.add_get("/events", self._ws_events)
+        app.router.add_get("/metrics", self._http_metrics)
+        app.router.add_get("/{tail:.*}", self._http_static)
+        app.on_startup.append(self._on_startup)
+        return app
+
+    async def _on_startup(self, app):
+        self.loop = asyncio.get_running_loop()
+        asyncio.create_task(self._event_timer())
+
+    # ------------------------------------------------- basic_info JSON
+    def basic_info(self) -> str:
+        cfg = self.cfg
+        return json.dumps({
+            "sps": cfg.sps,
+            "audio_max_sps": cfg.audio_sps,
+            "audio_max_fft": cfg.audio_max_fft_size,
+            "fft_size": cfg.fft_size,
+            "fft_result_size": cfg.fft_result_size,
+            "waterfall_size": cfg.waterfall_size,
+            "basefreq": cfg.basefreq,
+            "total_bandwidth": cfg.total_bandwidth,
+            "defaults": {
+                "frequency": cfg.default_frequency,
+                "modulation": cfg.default_mode_str,
+                "l": cfg.default_l,
+                "m": cfg.default_m,
+                "r": cfg.default_r,
+            },
+            "waterfall_compression": cfg.waterfall_compression,
+            "audio_compression": cfg.audio_compression,
+        })
+
+    # -------------------------------------------------------- handlers
+    async def _ws_audio(self, request: web.Request):
+        ws = web.WebSocketResponse(max_msg_size=1 << 20)
+        await ws.prepare(request)
+        await ws.send_str(self.basic_info())
+        slot = self.channels.acquire(_generate_unique_id())
+        if slot is None:
+            await ws.close()
+            return ws
+        conn = AudioConn(self, ws, slot)
+        slot.mode = self.cfg.default_mode
+        self.channels.set_mode(slot, self.cfg.default_mode)
+        self.channels.retune(slot, self.cfg.default_l, self.cfg.default_m,
+                             self.cfg.default_r)
+        self.broadcast_signal_change(slot.unique_id, slot.l, slot.mid, slot.r)
+        self.audio_conns[slot.slot] = conn
+        try:
+            async for msg in ws:
+                if msg.type == WSMsgType.TEXT:
+                    conn.handle_command(msg.data)
+                elif msg.type in (WSMsgType.ERROR, WSMsgType.CLOSE):
+                    break
+        finally:
+            conn.out.close()
+            self.audio_conns.pop(slot.slot, None)
+            self.channels.release(slot)
+            self.broadcast_signal_change(slot.unique_id, -1, -1.0, -1)
+        return ws
+
+    async def _ws_waterfall(self, request: web.Request):
+        ws = web.WebSocketResponse(max_msg_size=1 << 20)
+        await ws.prepare(request)
+        await ws.send_str(self.basic_info())
+        cid, slot = self.waterfalls.acquire()
+        conn = WaterfallConn(self, ws, cid, slot)
+        self.wf_conns[cid] = conn
+        try:
+            async for msg in ws:
+                if msg.type == WSMsgType.TEXT:
+                    conn.handle_command(msg.data)
+                elif msg.type in (WSMsgType.ERROR, WSMsgType.CLOSE):
+                    break
+        finally:
+            conn.out.close()
+            self.wf_conns.pop(cid, None)
+            self.waterfalls.release(cid)
+        return ws
+
+    async def _ws_events(self, request: web.Request):
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        await ws.send_str(self.initial_state_info())
+        self.event_conns.add(ws)
+        try:
+            async for _ in ws:
+                pass  # ignore messages (src/events.cpp:78-80)
+        finally:
+            self.event_conns.discard(ws)
+        return ws
+
+    async def _http_metrics(self, request: web.Request):
+        m = self.driver.metrics.snapshot(self.cfg) if self.driver else {}
+        m["audio_clients"] = self.channels.count
+        m["waterfall_clients"] = self.waterfalls.count
+        return web.json_response(m)
+
+    async def _http_static(self, request: web.Request):
+        root = Path(self.cfg.html_root).resolve()
+        tail = request.match_info.get("tail", "") or "index.html"
+        path = (root / tail).resolve()
+        # directory-traversal guard (src/http.cpp:33-39)
+        if not str(path).startswith(str(root)):
+            raise web.HTTPNotFound()
+        if path.is_dir():
+            path = path / "index.html"
+        if not path.is_file():
+            raise web.HTTPNotFound()
+        resp = web.FileResponse(path)
+        resp.headers["Cache-Control"] = "max-age=30"  # src/http.cpp:95
+        return resp
+
+    # ---------------------------------------------------------- events
+    def broadcast_signal_change(self, uid: str, l: int, mid: float, r: int):
+        if not self.cfg.otherusers:
+            return
+        self.signal_changes[uid] = (l, mid, r)
+
+    def _event_counts(self) -> dict:
+        return {
+            "waterfall_clients": self.waterfalls.count,
+            "signal_clients": self.channels.count,
+        }
+
+    def initial_state_info(self) -> str:
+        info = self._event_counts()
+        changes = {}
+        if self.cfg.otherusers:
+            for slot in self.channels.slots.values():
+                changes[slot.unique_id] = [slot.l, slot.mid, slot.r]
+        info["signal_changes"] = changes
+        return json.dumps(info)
+
+    async def _event_timer(self):
+        while True:
+            await asyncio.sleep(1.0)
+            if not self.signal_changes:
+                continue
+            info = self._event_counts()
+            info["signal_changes"] = {
+                k: list(v) for k, v in self.signal_changes.items()
+            }
+            self.signal_changes = {}
+            msg = json.dumps(info)
+            for ws in list(self.event_conns):
+                self._send_nowait(ws, msg, binary=False)
+
+    # -------------------------------------------------------- dispatch
+    def _backlogged(self, ws: web.WebSocketResponse) -> bool:
+        """Slow-client gate (src/websocket.cpp:174,222): skip, don't queue."""
+        try:
+            transport = ws._writer.transport  # noqa: SLF001
+            return transport.get_write_buffer_size() > BACKPRESSURE_LIMIT
+        except Exception:
+            return False
+
+    def _send_nowait(self, ws, data, binary=True):
+        """Fire-and-forget send for broadcast (non-per-client-ordered) paths."""
+        if ws.closed:
+            return
+        coro = ws.send_bytes(data) if binary else ws.send_str(data)
+        task = asyncio.ensure_future(coro)
+        task.add_done_callback(lambda t: t.exception())
+
+    def dispatch(self, frame0: int, audio: np.ndarray, pwr: np.ndarray,
+                 pyramid: np.ndarray | None):
+        """Called (via call_soon_threadsafe) with one device batch:
+        audio [B, C, A/2] int16, pwr [B, C], pyramid [B, P] int8 or None."""
+        cfg = self.cfg
+        b = audio.shape[0]
+        # ---- audio ----
+        for slot_id, conn in list(self.audio_conns.items()):
+            s = conn.slot
+            if not self.channels.active[slot_id]:
+                continue
+            if self._backlogged(conn.ws):
+                continue
+            for h in range(b):
+                pcm = audio[h, slot_id]
+                if conn.is_opus:
+                    payloads = conn.encoder.process(pcm)
+                else:
+                    d = conn.encoder.process(pcm)
+                    payloads = [d] if d else []
+                for payload in payloads:
+                    # metadata per src/signal.cpp:102-109,287: l is
+                    # slice-relative (always 0), m is the absolute mid,
+                    # r is the slice width
+                    pkt = cbor.audio_packet(
+                        frame0 + h, 0, s.mid, s.r - s.l,
+                        float(pwr[h, slot_id]), payload,
+                    )
+                    conn.out.send_nowait(pkt)
+        # ---- waterfall ----
+        if pyramid is None:
+            return
+        for cid, conn in list(self.wf_conns.items()):
+            ws_slot = conn.slot
+            if self._backlogged(conn.ws):
+                continue
+            off = self.level_offsets[ws_slot.level]
+            for h in range(b):
+                if (frame0 + h) % cfg.skip_num != 0:
+                    continue
+                row = pyramid[h, off + ws_slot.l: off + ws_slot.r]
+                pkt = cbor.waterfall_packet(
+                    frame0 + h,
+                    ws_slot.l << ws_slot.level,
+                    ws_slot.r << ws_slot.level,
+                    row.tobytes(),
+                )
+                conn.out.send_nowait(conn.encoder.compress(pkt))
+
+    def dispatch_threadsafe(self, frame0, audio, pwr, pyramid):
+        if self.loop is None:
+            return
+        self.loop.call_soon_threadsafe(
+            self.dispatch, frame0, audio, pwr, pyramid
+        )
+
+    # ---------------------------------------------------------- state
+    def audio_active(self) -> bool:
+        return self.channels.count > 0
+
+    def waterfall_active(self) -> bool:
+        return self.waterfalls.count > 0

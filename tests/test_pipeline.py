@@ -1,0 +1,128 @@
+"""End-to-end hop pipeline vs a full oracle simulation of the reference
+fft_task + per-client send_audio + DC/AGC/int16 chain."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from phantomsdr_tpu.config import config_from_dict
+from phantomsdr_tpu.pipeline import HopPipeline, channels_from_numpy
+from phantomsdr_tpu.ops import convert
+from tests import oracle
+
+
+def small_cfg(is_real=False, audio_sps=2000):
+    return config_from_dict({
+        "input": {
+            "sps": 192000,
+            "frequency": 7000000,
+            "fft_size": 4096,
+            "signal": "real" if is_real else "iq",
+            "audio_sps": audio_sps,   # small -> small AGC window for test speed
+            "waterfall_size": 512,
+            "driver": {"format": "s16"},
+        },
+        "tpu": {"hop_batch": 4, "max_channels": 4},
+    })
+
+
+@pytest.mark.parametrize("is_real", [False, True])
+def test_pipeline_matches_oracle(is_real):
+    r = np.random.default_rng(42)
+    cfg = small_cfg(is_real)
+    a = cfg.audio_fft_size
+    half = a // 2
+    rsize = cfg.fft_result_size
+    pipe = HopPipeline(cfg)
+    assert pipe.wire_per_hop == cfg.hop_size * (1 if is_real else 2)
+
+    modes = ["USB", "LSB", "AM", "FM"]
+    mode_codes = {"USB": 0, "LSB": 1, "AM": 2, "FM": 3}
+    chans_py = [
+        dict(l=500, r=500 + min(a, 180), mid=520.0, mode="USB"),
+        dict(l=800, r=800 + min(a, 120), mid=800.0 + min(a, 120), mode="LSB"),
+        dict(l=1200, r=1200 + min(a, 80), mid=1200.0 + 40, mode="AM"),
+        dict(l=1400, r=1400 + min(a, 80), mid=1400.0 + 40, mode="FM"),
+    ]
+    table = channels_from_numpy(
+        l=[d["l"] for d in chans_py],
+        r=[d["r"] for d in chans_py],
+        m_idx=[int(np.floor(d["mid"])) for d in chans_py],
+        mode=[mode_codes[d["mode"]] for d in chans_py],
+        active=[True] * 4,
+    )
+
+    num_steps = 3
+    b = cfg.hop_batch
+    total_hops = num_steps * b
+    wire = cfg.hop_size * total_hops * (1 if is_real else 2)
+    raw_all = r.integers(-3000, 3000, size=wire, dtype=np.int16)
+    # add a strong tone so demods have signal
+    tone = (8000 * np.sin(2 * np.pi * 0.13 * np.arange(wire))).astype(np.int16)
+    raw_all = (raw_all + tone).astype(np.int16)
+
+    # ---------- TPU pipeline ----------
+    state = pipe.init_state()
+    audio_chunks, pyr_chunks = [], []
+    halo = np.zeros(pipe.wire_per_hop, np.int16)
+    for s in range(num_steps):
+        raw = raw_all[s * b * pipe.wire_per_hop : (s + 1) * b * pipe.wire_per_hop]
+        raw_h = np.concatenate([halo, raw])
+        halo = raw[-pipe.wire_per_hop:]
+        state, out = pipe.step(state, jnp.asarray(raw_h), table)
+        audio_chunks.append(np.asarray(out.audio))
+        pyr_chunks.append(np.asarray(out.pyramid))
+    got_audio = np.concatenate(audio_chunks, axis=0)  # [hops, C, half]
+    got_pyr = np.concatenate(pyr_chunks, axis=0)      # [hops, P]
+
+    # ---------- oracle ----------
+    x = oracle.convert_samples(raw_all.view(np.uint8), "s16")
+    if not is_real:
+        x = x[0::2] + 1j * x[1::2]
+    window = oracle.hann(cfg.fft_size)
+    hop = cfg.hop_size
+    prev = np.zeros(hop, x.dtype)
+    xfull = np.concatenate([prev, x])
+
+    orcs = [oracle.OracleChannel(a, is_real, rsize) for _ in chans_py]
+    dcs = [oracle.OracleDCBlocker((cfg.audio_sps // 750) * 2) for _ in chans_py]
+    agcs = [oracle.OracleAGC(sr=cfg.audio_sps) for _ in chans_py]
+
+    for frame in range(total_hops):
+        fr = xfull[frame * hop : frame * hop + cfg.fft_size] * window
+        spec = oracle.forward_spectrum(fr, is_real)
+        ext = oracle.extend_spectrum(spec, is_real, rsize, a)
+        pyr = oracle.waterfall_pyramid(spec, is_real, cfg.size_log2,
+                                       cfg.downsample_levels)
+        flat = np.concatenate(pyr)
+        gp = got_pyr[frame].astype(int)
+        assert gp.shape == flat.shape
+        assert np.abs(gp - flat.astype(int)).max() <= 1
+        assert (gp != flat.astype(int)).mean() < 0.01
+
+        for i, d in enumerate(chans_py):
+            start = (d["l"] + cfg.base_idx) % rsize
+            audio, _pwr = orcs[i].send_audio(
+                ext[start:], frame, d["l"], d["r"], d["mid"], d["mode"]
+            )
+            audio = dcs[i].process(audio.astype(np.float64))
+            audio = agcs[i].process(audio)
+            want16 = oracle.float_to_int16(audio.astype(np.float32))
+            got16 = got_audio[frame, i].astype(int)
+            # int16 outputs should agree to within a few LSB
+            err = np.abs(got16 - want16.astype(int))
+            assert err.max() <= 4, (
+                f"frame={frame} chan={i} mode={d['mode']} maxerr={err.max()}"
+            )
+
+
+def test_pipeline_no_waterfall_variant():
+    cfg = small_cfg()
+    pipe = HopPipeline(cfg)
+    state = pipe.init_state()
+    table = pipe.empty_channels()
+    raw = jnp.zeros(pipe.wire_per_hop * (cfg.hop_batch + 1), jnp.int16)
+    state, out = pipe.step(state, raw, table, want_waterfall=False)
+    assert out.pyramid.shape == (cfg.hop_batch, 0)
+    assert out.audio.shape == (cfg.hop_batch, cfg.max_channels,
+                               cfg.audio_fft_size // 2)

@@ -31,6 +31,7 @@ def build(cfg, stream, loop_file=False, throttle=0.0):
     driver = DSPDriver(
         cfg, source, server.channels,
         consumer=server.dispatch_threadsafe,
+        waterfall_registry=server.waterfalls,
         waterfall_active=server.waterfall_active,
         audio_active=server.audio_active,
     )

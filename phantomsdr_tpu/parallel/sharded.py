@@ -78,12 +78,12 @@ class ShardedHopPipeline:
 
         st_spec = HopState(
             frame=P(),
-            audio=jax.tree.map(lambda _: P("d"), self._audio_state_proto()),
+            audio=jax.tree.map(lambda _: P("d"), self._audio_state_proto_spec()),
         )
         chan_spec = ChannelTable(*(P("d"),) * 5)
         out_spec = HopOutputs(
             audio=P(None, "d", None), avg_power=P(None, "d"),
-            pyramid=P("d", None),
+            wf=P("d", None, None), pyramid=P("d", None), packed=P("d"),
         )
         for want_wf in (True, False):
             fn = shard_map(
@@ -103,15 +103,24 @@ class ShardedHopPipeline:
         return init_audio_state(self.cfg, self.cfg.max_channels,
                                 self.agc_params, self.dc_delay)
 
+    def _audio_state_proto_spec(self):
+        """Structure without materializing arrays (safe on all backends)."""
+        return jax.eval_shape(self._audio_state_proto)
+
     def init_state(self) -> HopState:
-        st = HopState(frame=jnp.zeros((), jnp.int32),
-                      audio=self._audio_state_proto())
+        # jit-constructed with explicit output shardings (avoids eager
+        # complex64 creation, see HopPipeline.init_state)
         sh = NamedSharding(self.mesh, P())
         shd = NamedSharding(self.mesh, P("d"))
-        return HopState(
-            frame=jax.device_put(st.frame, sh),
-            audio=jax.tree.map(lambda x: jax.device_put(x, shd), st.audio),
+        shardings = HopState(
+            frame=sh,
+            audio=jax.tree.map(lambda _: shd, self._audio_state_proto_spec()),
         )
+
+        def mk():
+            return HopState(frame=jnp.zeros((), jnp.int32),
+                            audio=self._audio_state_proto())
+        return jax.jit(mk, out_shardings=shardings)()
 
     # ------------------------------------------------------------------
     def _device_step(self, state: HopState, raw_shard: jnp.ndarray,
@@ -139,8 +148,12 @@ class ShardedHopPipeline:
         )
         new_state = HopState(frame=state.frame + cfg.hop_batch,
                              audio=audio_st)
+        # client-view gathering is single-device-pipeline-only for now;
+        # the multichip path returns the full (time-sharded) pyramid
+        wf = jnp.zeros((0, 1, 2 * cfg.waterfall_size), jnp.int8)
         return new_state, HopOutputs(
-            audio=audio16, avg_power=pwr, pyramid=pyr,
+            audio=audio16, avg_power=pwr, wf=wf, pyramid=pyr,
+            packed=jnp.zeros((0,), jnp.int8),
         )
 
     # ------------------------------------------------------------------

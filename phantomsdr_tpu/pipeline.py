@@ -66,10 +66,50 @@ class HopState(NamedTuple):
     audio: AudioState
 
 
+class WaterfallViews(NamedTuple):
+    """Per-waterfall-client view table (device side of the host registry).
+
+    Client w sees pyramid_flat[start[w] : start[w] + length[w]] where
+    start already folds in the pyramid level offset.  Gathering the
+    client *views* on device instead of shipping the whole int8 pyramid
+    cuts the per-hop device->host transfer from O(2R) (~2 MB at 1M bins)
+    to O(W * waterfall_size) (~100 KB at 100 clients) -- the same trick
+    the batched channelizer plays for audio.
+    """
+
+    start: jnp.ndarray   # [W] int32 flat start (level offset + l)
+    length: jnp.ndarray  # [W] int32 view length (r - l)
+
+
 class HopOutputs(NamedTuple):
     audio: jnp.ndarray       # [B, C, A/2] int16
     avg_power: jnp.ndarray   # [B, C] f32
-    pyramid: jnp.ndarray     # [B, P] int8 flat waterfall pyramid (or [B, 0])
+    wf: jnp.ndarray          # [D, W, view_cap] int8 client waterfall views
+    #                          (D = due hops in the batch; [0,...] when off)
+    pyramid: jnp.ndarray     # [B, P] full int8 pyramid ('full' mode only)
+    packed: jnp.ndarray      # [X] int8: audio|avg_power|wf bitcast-packed
+    #                          into ONE buffer -- the serving loop fetches
+    #                          only this (one device->host transfer/step;
+    #                          the remote-tunnel RTT makes per-leaf
+    #                          fetches the dominant cost otherwise)
+
+
+def pack_outputs(audio16: jnp.ndarray, pwr: jnp.ndarray,
+                 wf: jnp.ndarray) -> jnp.ndarray:
+    a8 = jax.lax.bitcast_convert_type(audio16, jnp.int8).reshape(-1)
+    p8 = jax.lax.bitcast_convert_type(pwr, jnp.int8).reshape(-1)
+    return jnp.concatenate([a8, p8, wf.reshape(-1)])
+
+
+def unpack_outputs(packed: "np.ndarray", b: int, c: int, half: int,
+                   d: int, w: int, cap: int):
+    """Host-side inverse of pack_outputs (zero-copy numpy views)."""
+    na = b * c * half * 2
+    np_ = b * c * 4
+    audio = packed[:na].view(np.int16).reshape(b, c, half)
+    pwr = packed[na:na + np_].view(np.float32).reshape(b, c)
+    wf = packed[na + np_:].view(np.int8).reshape(d, w, cap)
+    return audio, pwr, wf
 
 
 def init_audio_state(cfg: ServerConfig, num_channels: int,
@@ -99,6 +139,35 @@ def waterfall_from_spectra(cfg: ServerConfig, spec: jnp.ndarray) -> jnp.ndarray:
     return pyramid_flat(
         waterfall_pyramid(pw, cfg.downsample_levels, cfg.size_log2)
     )
+
+
+def gather_waterfall_views(pyr_flat: jnp.ndarray, views: WaterfallViews,
+                           view_cap: int) -> jnp.ndarray:
+    """[D, P] flat pyramids + view table -> [D, W, view_cap] int8.
+
+    Positions beyond a view's length are zero-filled; the host slices
+    row[:length] before compression.
+    """
+    j = jnp.arange(view_cap, dtype=jnp.int32)                 # [cap]
+    idx = views.start[:, None] + j[None, :]                   # [W, cap]
+    valid = j[None, :] < views.length[:, None]
+    idx = jnp.clip(idx, 0, pyr_flat.shape[-1] - 1)
+    rows = pyr_flat[..., idx]                                 # [D, W, cap]
+    return jnp.where(valid, rows, jnp.int8(0))
+
+
+def waterfall_due_positions(cfg: ServerConfig) -> list[int]:
+    """Static in-batch hop positions on the skip_num cadence
+    (src/fft.cpp:33-34,100-105), valid when frame0 % skip == 0.
+
+    skip_num <= B with skip | B: every step has the same due pattern.
+    skip_num > B (or non-dividing): fall back to all positions; the
+    host filters by (frame0 + h) % skip == 0.
+    """
+    b, skip = cfg.hop_batch, cfg.skip_num
+    if skip <= b and b % skip == 0:
+        return list(range(0, b, skip))
+    return list(range(b))
 
 
 def audio_from_spectra(
@@ -147,20 +216,25 @@ class HopPipeline:
         self.hop_batch = cfg.hop_batch
         # wire scalars per hop: H reals or 2H for IQ
         self.wire_per_hop = cfg.hop_size * (1 if cfg.is_real else 2)
-        self._step_wf = jax.jit(
-            partial(self._step, want_waterfall=True), donate_argnums=(0,),
-        )
-        self._step_nowf = jax.jit(
-            partial(self._step, want_waterfall=False), donate_argnums=(0,),
-        )
+        self.view_cap = 2 * cfg.waterfall_size
+        self.due_positions = waterfall_due_positions(cfg)
+        self._steps = {
+            mode: jax.jit(partial(self._step, waterfall=mode),
+                          donate_argnums=(0,))
+            for mode in ("views", "full", "off")
+        }
 
     # ------------------------------------------------------------------
     def init_state(self) -> HopState:
-        return HopState(
-            frame=jnp.zeros((), jnp.int32),
-            audio=init_audio_state(self.cfg, self.num_channels,
-                                   self.agc_params, self.dc_delay),
-        )
+        # built inside jit: eager complex64 array creation is broken on
+        # some remote backends (axon), and this keeps state on-device
+        def mk():
+            return HopState(
+                frame=jnp.zeros((), jnp.int32),
+                audio=init_audio_state(self.cfg, self.num_channels,
+                                       self.agc_params, self.dc_delay),
+            )
+        return jax.jit(mk)()
 
     def empty_channels(self) -> ChannelTable:
         c = self.num_channels
@@ -170,16 +244,26 @@ class HopPipeline:
 
     # ------------------------------------------------------------------
     def _step(self, state: HopState, raw: jnp.ndarray, chans: ChannelTable,
-              want_waterfall: bool) -> tuple[HopState, HopOutputs]:
+              views: WaterfallViews, waterfall: str
+              ) -> tuple[HopState, HopOutputs]:
         cfg = self.cfg
         b = self.hop_batch
         r, a = cfg.fft_result_size, cfg.audio_max_fft_size
 
         spec = spectra_from_raw(cfg, self.window, raw, b)
-        if want_waterfall:
-            pyr = waterfall_from_spectra(cfg, spec)
-        else:
+        w = views.start.shape[0]
+        if waterfall == "off":
             pyr = jnp.zeros((b, 0), jnp.int8)
+            wf = jnp.zeros((0, w, self.view_cap), jnp.int8)
+        else:
+            pyr_full = waterfall_from_spectra(cfg, spec)
+            if waterfall == "full":
+                pyr = pyr_full
+                wf = jnp.zeros((0, w, self.view_cap), jnp.int8)
+            else:  # views
+                pyr = jnp.zeros((b, 0), jnp.int8)
+                due = pyr_full[jnp.asarray(self.due_positions)]
+                wf = gather_waterfall_views(due, views, self.view_cap)
 
         spec_ext = extend_spectrum(spec, cfg.is_real, r, a)
         audio_st, audio16, pwr = audio_from_spectra(
@@ -187,14 +271,31 @@ class HopPipeline:
             state.audio, spec_ext, chans, state.frame,
         )
         new_state = HopState(frame=state.frame + b, audio=audio_st)
-        return new_state, HopOutputs(audio=audio16, avg_power=pwr, pyramid=pyr)
+        if waterfall == "views":
+            packed = pack_outputs(audio16, pwr, wf)
+        else:
+            packed = pack_outputs(audio16, pwr,
+                                  jnp.zeros((0,), jnp.int8))
+        return new_state, HopOutputs(audio=audio16, avg_power=pwr,
+                                     wf=wf, pyramid=pyr, packed=packed)
 
     # ------------------------------------------------------------------
+    def empty_views(self, num: int = 0) -> WaterfallViews:
+        n = num or 1
+        return WaterfallViews(start=jnp.zeros((n,), jnp.int32),
+                              length=jnp.zeros((n,), jnp.int32))
+
     def step(self, state: HopState, raw: jnp.ndarray, chans: ChannelTable,
-             want_waterfall: bool = True) -> tuple[HopState, HopOutputs]:
-        """raw: [(B+1) * hop_size] wire samples (halo prepended by host)."""
-        fn = self._step_wf if want_waterfall else self._step_nowf
-        return fn(state, raw, chans)
+             views: WaterfallViews | None = None, waterfall: str = "views",
+             ) -> tuple[HopState, HopOutputs]:
+        """raw: [(B+1) * hop_size] wire samples (halo prepended by host).
+
+        waterfall: 'views' (serve client views, the production mode),
+        'full' (whole pyramid, testing/debug), 'off'.
+        """
+        if views is None:
+            views = self.empty_views()
+        return self._steps[waterfall](state, raw, chans, views)
 
 
 def channels_from_numpy(l, r, m_idx, mode, active) -> ChannelTable:

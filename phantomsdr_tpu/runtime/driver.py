@@ -24,7 +24,9 @@ import numpy as np
 
 from ..config import ServerConfig
 from ..ops.convert import wire_dtype, host_preconvert
-from ..pipeline import HopPipeline, channels_from_numpy
+from ..pipeline import (
+    HopPipeline, WaterfallViews, channels_from_numpy, unpack_outputs,
+)
 
 
 @dataclass
@@ -109,11 +111,13 @@ class DSPDriver:
 
     def __init__(self, cfg: ServerConfig, source: SampleSource,
                  channel_registry, consumer: Callable,
+                 waterfall_registry=None,
                  waterfall_active: Callable[[], bool] = lambda: True,
                  audio_active: Callable[[], bool] = lambda: True):
         self.cfg = cfg
         self.source = source
         self.registry = channel_registry
+        self.wf_registry = waterfall_registry
         self.consumer = consumer
         self.waterfall_active = waterfall_active
         self.audio_active = audio_active
@@ -124,6 +128,8 @@ class DSPDriver:
         self._threads: list[threading.Thread] = []
         self._table_version = -1
         self._table = None
+        self._views_version = -1
+        self._views = None
 
     # ------------------------------------------------------------------
     def start(self):
@@ -151,10 +157,20 @@ class DSPDriver:
             self._queue.put(block)
 
     def _refresh_table(self):
+        import jax.numpy as jnp
+
         v, arrays = self.registry.snapshot()
         if v != self._table_version or self._table is None:
             self._table = channels_from_numpy(*arrays)
             self._table_version = v
+        if self.wf_registry is not None:
+            wv, start, length = self.wf_registry.snapshot()
+            if wv != self._views_version or self._views is None:
+                self._views = WaterfallViews(
+                    start=jnp.asarray(start), length=jnp.asarray(length))
+                self._views_version = wv
+        elif self._views is None:
+            self._views = self.pipe.empty_views()
 
     def _device_loop(self):
         import jax
@@ -163,10 +179,37 @@ class DSPDriver:
         cfg = self.cfg
         state = self.pipe.init_state()
         scalars_per_sample = 1 if cfg.is_real else 2
+        pending = None  # (frame0, packed_device_array, want_wf, t_start)
+
+        def flush_pending():
+            nonlocal pending
+            if pending is None:
+                return
+            frame0, packed_dev, want_wf, t0 = pending
+            pending = None
+            packed = np.asarray(packed_dev)
+            w = (self.wf_registry.max_slots if self.wf_registry
+                 else 1)
+            d = len(self.pipe.due_positions) if want_wf else 0
+            audio, pwr, wf = unpack_outputs(
+                packed, cfg.hop_batch, self.pipe.num_channels,
+                cfg.audio_fft_size // 2, d, w, self.pipe.view_cap,
+            )
+            self.metrics.step_seconds.append(time.monotonic() - t0)
+            try:
+                self.consumer(frame0, audio, pwr,
+                              wf if want_wf else None,
+                              self.pipe.due_positions)
+            except Exception:
+                import traceback
+
+                traceback.print_exc()
+
         while not self._stop.is_set():
             try:
                 block = self._queue.get(timeout=0.25)
             except queue.Empty:
+                flush_pending()
                 continue
             if block is None:
                 break
@@ -176,26 +219,24 @@ class DSPDriver:
             # skip all compute when nobody is listening (src/fft.cpp:72-79);
             # state is intentionally left stale, like the reference.
             if not self.audio_active() and not self.waterfall_active():
+                flush_pending()
                 self.metrics.idle_frames += cfg.hop_batch
                 self.metrics.frames += cfg.hop_batch
                 continue
             self._refresh_table()
             want_wf = self.waterfall_active() and self._waterfall_due()
+            mode = "views" if want_wf else "off"
             t0 = time.monotonic()
             raw = jnp.asarray(host_preconvert(block, cfg.input_format))
-            state, out = self.pipe.step(state, raw, self._table, want_wf)
-            audio = np.asarray(out.audio)
-            pwr = np.asarray(out.avg_power)
-            pyr = np.asarray(out.pyramid) if want_wf else None
-            self.metrics.step_seconds.append(time.monotonic() - t0)
+            state, out = self.pipe.step(state, raw, self._table,
+                                        self._views, mode)
             frame0 = self.metrics.frames
             self.metrics.frames += cfg.hop_batch
-            try:
-                self.consumer(frame0, audio, pwr, pyr)
-            except Exception:
-                import traceback
-
-                traceback.print_exc()
+            # one step in flight: fetch the previous step's outputs only
+            # after this one is dispatched (overlaps transfer & compute)
+            flush_pending()
+            pending = (frame0, out.packed, want_wf, t0)
+        flush_pending()
 
     def _waterfall_due(self) -> bool:
         """Any hop in the upcoming batch on the skip_num cadence

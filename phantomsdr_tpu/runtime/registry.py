@@ -117,29 +117,54 @@ class ChannelRegistry:
 
 
 class WaterfallRegistry:
-    """Waterfall client table; level selection per src/waterfall.cpp:53-94."""
+    """Dense waterfall slot table (device view gathers) + level selection
+    per src/waterfall.cpp:53-94.
 
-    def __init__(self, cfg: ServerConfig):
+    Like the audio ChannelRegistry, waterfall clients occupy static
+    slots; the device gathers each slot's (level-offset + l, r - l)
+    view out of the flat pyramid so only the viewed rows cross PCIe.
+    """
+
+    def __init__(self, cfg: ServerConfig, level_offsets: list[int],
+                 max_slots: int | None = None):
         self.cfg = cfg
+        self.level_offsets = level_offsets
+        n = max_slots or cfg.max_channels
+        self.max_slots = n
         self._lock = threading.Lock()
+        self._free = list(range(n - 1, -1, -1))
         self.clients: dict[int, WaterfallSlot] = {}
-        self._next = 0
+        self.start = np.zeros(n, np.int32)
+        self.length = np.zeros(n, np.int32)
+        self.version = 0
+        self.view_cap = 2 * cfg.waterfall_size
 
-    def acquire(self) -> tuple[int, WaterfallSlot]:
+    def acquire(self) -> tuple[int, WaterfallSlot] | tuple[None, None]:
         with self._lock:
-            cid = self._next
-            self._next += 1
+            if not self._free:
+                return None, None
+            cid = self._free.pop()
             # default: entire spectrum at the coarsest level
             ws = WaterfallSlot(level=self.cfg.downsample_levels - 1,
                                l=0, r=self.cfg.waterfall_size)
             self.clients[cid] = ws
+            self._set_view(cid, ws)
             return cid, ws
 
     def release(self, cid: int) -> None:
         with self._lock:
-            self.clients.pop(cid, None)
+            if cid in self.clients:
+                del self.clients[cid]
+                self.length[cid] = 0
+                self._free.append(cid)
+                self.version += 1
 
-    def retune(self, ws: WaterfallSlot, new_l: int, new_r: int) -> None:
+    def _set_view(self, cid: int, ws: WaterfallSlot) -> None:
+        self.start[cid] = self.level_offsets[ws.level] + ws.l
+        self.length[cid] = min(ws.r - ws.l, self.view_cap)
+        self.version += 1
+
+    def retune(self, cid: int, ws: WaterfallSlot, new_l: int, new_r: int) -> None:
         """Pick the pyramid level whose slice width lands closest to
         waterfall_size points (src/waterfall.cpp:53-94)."""
         if new_l < 0 or new_r < 0 or new_l >= new_r:
@@ -158,8 +183,18 @@ class WaterfallRegistry:
                 sel_r = round(r_f)
             l_f /= 2.0
             r_f /= 2.0
+        # clamp into the selected level's row (the reference reads out of
+        # bounds for absurd r; we don't)
+        row_w = cfg.fft_result_size >> best_level
+        sel_l = max(0, min(sel_l, row_w))
+        sel_r = max(sel_l, min(sel_r, row_w))
         with self._lock:
             ws.level, ws.l, ws.r = best_level, sel_l, sel_r
+            self._set_view(cid, ws)
+
+    def snapshot(self) -> tuple[int, np.ndarray, np.ndarray]:
+        with self._lock:
+            return self.version, self.start.copy(), self.length.copy()
 
     @property
     def count(self) -> int:

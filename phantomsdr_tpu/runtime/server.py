@@ -153,7 +153,7 @@ class WaterfallConn:
                 l, r = int(cmd["l"]), int(cmd["r"])
             except (KeyError, TypeError, ValueError):
                 return
-            self.server.waterfalls.retune(self.slot, l, r)
+            self.server.waterfalls.retune(self.cid, self.slot, l, r)
         elif name == "userid":
             uid = cmd.get("userid")
             if isinstance(uid, str):
@@ -164,7 +164,9 @@ class SpectrumServer:
     def __init__(self, cfg: ServerConfig):
         self.cfg = cfg
         self.channels = ChannelRegistry(cfg)
-        self.waterfalls = WaterfallRegistry(cfg)
+        self.waterfalls = WaterfallRegistry(
+            cfg, pyramid_level_offsets(cfg.fft_result_size,
+                                       cfg.downsample_levels))
         self.audio_conns: dict[int, AudioConn] = {}       # slot -> conn
         self.wf_conns: dict[int, WaterfallConn] = {}      # cid -> conn
         self.event_conns: set[web.WebSocketResponse] = set()
@@ -248,6 +250,9 @@ class SpectrumServer:
         await ws.prepare(request)
         await ws.send_str(self.basic_info())
         cid, slot = self.waterfalls.acquire()
+        if cid is None:
+            await ws.close()
+            return ws
         conn = WaterfallConn(self, ws, cid, slot)
         self.wf_conns[cid] = conn
         try:
@@ -348,9 +353,10 @@ class SpectrumServer:
         task.add_done_callback(lambda t: t.exception())
 
     def dispatch(self, frame0: int, audio: np.ndarray, pwr: np.ndarray,
-                 pyramid: np.ndarray | None):
+                 wf: np.ndarray | None, due_positions: list[int]):
         """Called (via call_soon_threadsafe) with one device batch:
-        audio [B, C, A/2] int16, pwr [B, C], pyramid [B, P] int8 or None."""
+        audio [B, C, A/2] int16, pwr [B, C], wf [D, W, view_cap] int8
+        client waterfall views for the batch's due hop positions."""
         cfg = self.cfg
         b = audio.shape[0]
         # ---- audio ----
@@ -377,17 +383,17 @@ class SpectrumServer:
                     )
                     conn.out.send_nowait(pkt)
         # ---- waterfall ----
-        if pyramid is None:
+        if wf is None or wf.shape[0] == 0:
             return
         for cid, conn in list(self.wf_conns.items()):
             ws_slot = conn.slot
             if self._backlogged(conn.ws):
                 continue
-            off = self.level_offsets[ws_slot.level]
-            for h in range(b):
+            n = ws_slot.r - ws_slot.l
+            for d, h in enumerate(due_positions):
                 if (frame0 + h) % cfg.skip_num != 0:
-                    continue
-                row = pyramid[h, off + ws_slot.l: off + ws_slot.r]
+                    continue  # host-side cadence filter (skip > batch case)
+                row = wf[d, cid, :n]
                 pkt = cbor.waterfall_packet(
                     frame0 + h,
                     ws_slot.l << ws_slot.level,
@@ -396,11 +402,11 @@ class SpectrumServer:
                 )
                 conn.out.send_nowait(conn.encoder.compress(pkt))
 
-    def dispatch_threadsafe(self, frame0, audio, pwr, pyramid):
+    def dispatch_threadsafe(self, frame0, audio, pwr, wf, due_positions):
         if self.loop is None:
             return
         self.loop.call_soon_threadsafe(
-            self.dispatch, frame0, audio, pwr, pyramid
+            self.dispatch, frame0, audio, pwr, wf, due_positions
         )
 
     # ---------------------------------------------------------- state

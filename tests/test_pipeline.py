@@ -69,7 +69,8 @@ def test_pipeline_matches_oracle(is_real):
         raw = raw_all[s * b * pipe.wire_per_hop : (s + 1) * b * pipe.wire_per_hop]
         raw_h = np.concatenate([halo, raw])
         halo = raw[-pipe.wire_per_hop:]
-        state, out = pipe.step(state, jnp.asarray(raw_h), table)
+        state, out = pipe.step(state, jnp.asarray(raw_h), table,
+                               waterfall="full")
         audio_chunks.append(np.asarray(out.audio))
         pyr_chunks.append(np.asarray(out.pyramid))
     got_audio = np.concatenate(audio_chunks, axis=0)  # [hops, C, half]
@@ -122,7 +123,42 @@ def test_pipeline_no_waterfall_variant():
     state = pipe.init_state()
     table = pipe.empty_channels()
     raw = jnp.zeros(pipe.wire_per_hop * (cfg.hop_batch + 1), jnp.int16)
-    state, out = pipe.step(state, raw, table, want_waterfall=False)
+    state, out = pipe.step(state, raw, table, waterfall="off")
     assert out.pyramid.shape == (cfg.hop_batch, 0)
+    assert out.wf.shape[0] == 0
     assert out.audio.shape == (cfg.hop_batch, cfg.max_channels,
                                cfg.audio_fft_size // 2)
+
+
+def test_pipeline_waterfall_views_match_full():
+    from phantomsdr_tpu.pipeline import WaterfallViews
+    from phantomsdr_tpu.ops.quantize import pyramid_level_offsets
+
+    cfg = small_cfg()
+    pipe = HopPipeline(cfg)
+    table = pipe.empty_channels()
+    offs = pyramid_level_offsets(cfg.fft_result_size, cfg.downsample_levels)
+    # three views at different levels/positions
+    views = WaterfallViews(
+        start=jnp.asarray([offs[0] + 100, offs[1] + 5,
+                           offs[cfg.downsample_levels - 1]], jnp.int32),
+        length=jnp.asarray([512, 300, cfg.waterfall_size], jnp.int32),
+    )
+    r = np.random.default_rng(0)
+    raw = jnp.asarray(r.integers(-20000, 20000,
+                                 size=pipe.wire_per_hop * (cfg.hop_batch + 1),
+                                 dtype=np.int16))
+    st_a = pipe.init_state()
+    _, out_full = pipe.step(st_a, raw, table, waterfall="full")
+    st_b = pipe.init_state()
+    _, out_views = pipe.step(st_b, raw, table, views, waterfall="views")
+
+    full = np.asarray(out_full.pyramid)
+    got = np.asarray(out_views.wf)
+    assert got.shape[0] == len(pipe.due_positions)
+    for d, h in enumerate(pipe.due_positions):
+        for w in range(3):
+            s = int(views.start[w])
+            n = int(views.length[w])
+            np.testing.assert_array_equal(got[d, w, :n], full[h, s:s + n])
+            assert (got[d, w, n:] == 0).all()

@@ -1,0 +1,295 @@
+"""Serving-edge protocol tests: handshake, commands, audio/waterfall
+packet formats, events, backpressure registry behavior -- all against
+the real aiohttp app with a synthetic dispatch (no device needed)."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from phantomsdr_tpu.config import config_from_dict
+from phantomsdr_tpu.runtime.server import SpectrumServer
+from phantomsdr_tpu.runtime import cbor as cbor_enc
+from tests.test_codecs import decode_flac
+
+
+def make_cfg(**over):
+    inp = {
+        "sps": 192000,
+        "frequency": 7166000,
+        "fft_size": 32768,
+        "signal": "iq",
+        "audio_sps": 12000,
+        "waterfall_size": 1024,
+        "driver": {"format": "s16"},
+    }
+    inp.update(over.pop("input", {}))
+    return config_from_dict({
+        "input": inp,
+        "tpu": {"hop_batch": 4, "max_channels": 8},
+        **over,
+    })
+
+
+def decode_cbor(data: bytes):
+    pos = 0
+
+    def item():
+        nonlocal pos
+        ib = data[pos]; pos += 1
+        major, info = ib >> 5, ib & 31
+        if info < 24:
+            val = info
+        elif info == 24:
+            val = data[pos]; pos += 1
+        elif info == 25:
+            val = int.from_bytes(data[pos:pos + 2], "big"); pos += 2
+        elif info == 26:
+            val = int.from_bytes(data[pos:pos + 4], "big"); pos += 4
+        elif info == 27:
+            val = int.from_bytes(data[pos:pos + 8], "big"); pos += 8
+        else:
+            raise ValueError(info)
+        if major == 0:
+            return val
+        if major == 1:
+            return -1 - val
+        if major == 2:
+            v = data[pos:pos + val]; pos += val
+            return v
+        if major == 3:
+            v = data[pos:pos + val].decode(); pos += val
+            return v
+        if major == 4:
+            return [item() for _ in range(val)]
+        if major == 5:
+            return {item(): item() for _ in range(val)}
+        if major == 7 and info == 27:
+            import struct
+            return struct.unpack(">d", val.to_bytes(8, "big"))[0]
+        raise ValueError((major, info))
+
+    return item()
+
+
+def async_test(f):
+    # pytest-asyncio is not available in this image; plain asyncio.run
+    import functools
+
+    @functools.wraps(f)
+    def wrapper(*a, **k):
+        asyncio.run(f(*a, **k))
+    return wrapper
+
+
+@pytest.fixture
+def cfg():
+    return make_cfg()
+
+
+async def run_app(server):
+    ts = TestServer(server.app)
+    client = TestClient(ts)
+    await client.start_server()
+    return client
+
+
+def synth_outputs(cfg, server, frame0=0):
+    """Synthesize what the device would output: audio + waterfall views
+    gathered from a synthetic pyramid via the registry view table."""
+    from phantomsdr_tpu.pipeline import waterfall_due_positions
+
+    b = cfg.hop_batch
+    c = cfg.max_channels
+    half = cfg.audio_fft_size // 2
+    rng = np.random.default_rng(frame0)
+    audio = (rng.standard_normal((b, c, half)) * 3000).astype(np.int16)
+    pwr = np.abs(rng.standard_normal((b, c))).astype(np.float32)
+    p = sum(cfg.fft_result_size >> i for i in range(cfg.downsample_levels))
+    pyr = rng.integers(-128, 127, size=(b, p), dtype=np.int8)
+    due = waterfall_due_positions(cfg)
+    _, start, length = server.waterfalls.snapshot()
+    w = start.shape[0]
+    cap = server.waterfalls.view_cap
+    wf = np.zeros((len(due), w, cap), np.int8)
+    for d, h in enumerate(due):
+        for i in range(w):
+            n = int(length[i])
+            wf[d, i, :n] = pyr[h, start[i]:start[i] + n]
+    return audio, pwr, wf, due, pyr
+
+
+@async_test
+async def test_audio_handshake_and_stream(cfg):
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        ws = await client.ws_connect("/audio")
+        info = json.loads((await ws.receive()).data)
+        assert info["sps"] == cfg.sps
+        assert info["fft_result_size"] == cfg.fft_result_size
+        assert info["audio_max_fft"] == cfg.audio_max_fft_size
+        assert info["defaults"]["modulation"] == cfg.default_mode_str
+        assert info["audio_compression"] == "flac"
+        # default slice registered
+        assert server.channels.count == 1
+        slot = next(iter(server.channels.slots.values()))
+        assert (slot.l, slot.r) == (cfg.default_l, cfg.default_r)
+
+        # retune
+        await ws.send_str(json.dumps(
+            {"cmd": "window", "l": 100, "m": 150.5, "r": 300}))
+        await asyncio.sleep(0.05)
+        assert slot.l == 100 and slot.r == 300 and slot.mid == 150.5
+        # invalid retunes are ignored (src/signal.cpp:300-314)
+        await ws.send_str(json.dumps(
+            {"cmd": "window", "l": -1, "m": 1.0, "r": 300}))
+        await ws.send_str(json.dumps(
+            {"cmd": "window", "l": 0, "m": 1.0,
+             "r": cfg.audio_fft_size + 100}))
+        await ws.send_str("garbage {{{")
+        await asyncio.sleep(0.05)
+        assert slot.l == 100 and slot.r == 300
+
+        await ws.send_str(json.dumps(
+            {"cmd": "demodulation", "demodulation": "FM"}))
+        await asyncio.sleep(0.05)
+        assert slot.mode == "FM"
+
+        # dispatch a few batches; slot should receive CBOR+FLAC
+        flac = b""
+        metas = []
+        for s in range(30):
+            audio, pwr, wf, due, _pyr = synth_outputs(cfg, server, s)
+            server.dispatch(s * cfg.hop_batch, audio, pwr, wf, due)
+            while True:
+                try:
+                    msg = await ws.receive(timeout=0.05)
+                except asyncio.TimeoutError:
+                    break
+                if msg.type.name == "BINARY":
+                    p = decode_cbor(msg.data)
+                    metas.append(p)
+                    flac += bytes(p["data"])
+        assert metas, "no audio packets received"
+        m0 = metas[0]
+        assert m0["l"] == 0 and m0["r"] == 200 and m0["m"] == 150.5
+        sr, samples = decode_flac(flac)
+        assert sr == cfg.audio_sps
+        assert len(samples) > 0
+        await ws.close()
+        await asyncio.sleep(0.05)
+        assert server.channels.count == 0
+    finally:
+        await client.close()
+
+
+@async_test
+async def test_waterfall_stream_and_level_selection(cfg):
+    import zstandard
+
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        ws = await client.ws_connect("/waterfall")
+        json.loads((await ws.receive()).data)
+        slot = next(iter(server.waterfalls.clients.values()))
+        # default: full span at coarsest level
+        assert slot.level == cfg.downsample_levels - 1
+        assert (slot.l, slot.r) == (0, cfg.waterfall_size)
+
+        # full-span window -> picks the level closest to waterfall_size
+        await ws.send_str(json.dumps(
+            {"cmd": "window", "l": 0, "r": cfg.fft_result_size}))
+        await asyncio.sleep(0.05)
+        assert slot.r - slot.l == cfg.waterfall_size
+
+        audio, pwr, wf, due, pyr = synth_outputs(cfg, server)
+        server.dispatch(0, audio, pwr, wf, due)
+        d = zstandard.ZstdDecompressor().decompressobj()
+        got = []
+        while True:
+            try:
+                msg = await ws.receive(timeout=0.1)
+            except asyncio.TimeoutError:
+                break
+            if msg.type.name == "BINARY":
+                got.append(decode_cbor(d.decompress(msg.data)))
+        assert got
+        p0 = got[0]
+        assert p0["l"] == slot.l << slot.level
+        assert p0["r"] == slot.r << slot.level
+        row = np.frombuffer(bytes(p0["data"]), np.int8)
+        # row content matches the pyramid slice for that level
+        off = server.level_offsets[slot.level]
+        frame = p0["frame_num"]
+        np.testing.assert_array_equal(
+            row, pyr[frame, off + slot.l: off + slot.r])
+        await ws.close()
+    finally:
+        await client.close()
+
+
+@async_test
+async def test_events_and_metrics(cfg):
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        ws_a = await client.ws_connect("/audio")
+        await ws_a.receive()
+        ws_e = await client.ws_connect("/events")
+        st = json.loads((await ws_e.receive()).data)
+        assert st["signal_clients"] == 1
+        assert len(st["signal_changes"]) == 1
+        uid, lmr = next(iter(st["signal_changes"].items()))
+        assert lmr == [cfg.default_l, cfg.default_m, cfg.default_r]
+
+        # a retune shows up in the next 1 Hz tick
+        await ws_a.send_str(json.dumps(
+            {"cmd": "window", "l": 10, "m": 20.0, "r": 30}))
+        msg = await ws_e.receive(timeout=2.5)
+        upd = json.loads(msg.data)
+        assert upd["signal_changes"][uid] == [10, 20.0, 30]
+
+        resp = await client.get("/metrics")
+        m = await resp.json()
+        assert m["audio_clients"] == 1
+        await ws_a.close()
+        await ws_e.close()
+    finally:
+        await client.close()
+
+
+@async_test
+async def test_unknown_path_static_404(cfg):
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        resp = await client.get("/nonexistent-file.js")
+        assert resp.status == 404
+    finally:
+        await client.close()
+
+
+@async_test
+async def test_slot_exhaustion(cfg):
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        conns = []
+        for _ in range(cfg.max_channels):
+            ws = await client.ws_connect("/audio")
+            await ws.receive()
+            conns.append(ws)
+        assert server.channels.count == cfg.max_channels
+        # one more: handshake then immediate close (no free slot)
+        ws = await client.ws_connect("/audio")
+        await ws.receive()  # basic_info still sent
+        msg = await ws.receive(timeout=2)
+        assert msg.type.name in ("CLOSE", "CLOSED", "CLOSING")
+        for c in conns:
+            await c.close()
+    finally:
+        await client.close()

@@ -58,7 +58,7 @@ def test_sharded_matches_single_device():
     outs1 = []
     for s in range(2):
         blk = raw[s * b * wph : (s + 1) * b * wph + wph]
-        st1, o = pipe.step(st1, jnp.asarray(blk), table)
+        st1, o = pipe.step(st1, jnp.asarray(blk), table, waterfall="full")
         outs1.append(o)
 
     # sharded

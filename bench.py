@@ -37,6 +37,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: repeat runs skip the multi-minute
+    # remote compile of the 2^20 pipeline
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     from phantomsdr_tpu.config import config_from_dict
     from phantomsdr_tpu.ops.quantize import pyramid_level_offsets
     from phantomsdr_tpu.pipeline import (
@@ -93,9 +98,11 @@ def main():
     _jax.block_until_ready(pool)
 
     state = pipe.init_state()
+    print("# pool uploaded", file=sys.stderr, flush=True)
     # warmup / compile (first output fetch also warms transfer layouts)
     state, out = pipe.step(state, pool[0], table, views, "views")
     _ = np.asarray(out.packed)
+    print("# warmup done", file=sys.stderr, flush=True)
 
     # timed: fetch ONE packed buffer (audio + power + waterfall client
     # views) per step -- exactly what the serving loop transfers -- with

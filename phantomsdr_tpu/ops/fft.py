@@ -39,11 +39,10 @@ def frame_hops(samples: jnp.ndarray, num_hops: int, fft_size: int) -> jnp.ndarra
     as static slices.
     """
     hop = fft_size // 2
-    frames = [
-        jax.lax.slice_in_dim(samples, b * hop, b * hop + fft_size, axis=0)
-        for b in range(num_hops)
-    ]
-    return jnp.stack(frames, axis=0)
+    # frame b = [half b, half b+1]: two strided views + one concat,
+    # independent of B (a per-hop slice loop bloats compile time)
+    v = samples.reshape(num_hops + 1, hop)
+    return jnp.concatenate([v[:-1], v[1:]], axis=1)
 
 
 def _split_sizes(n: int) -> tuple[int, int]:

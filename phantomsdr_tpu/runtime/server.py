@@ -221,7 +221,11 @@ class SpectrumServer:
         ws = web.WebSocketResponse(max_msg_size=1 << 20)
         await ws.prepare(request)
         await ws.send_str(self.basic_info())
-        slot = self.channels.acquire(_generate_unique_id())
+        # [limits] audio: the reference parses but never enforces these
+        # (src/spectrumserver.cpp:92-94); we honor them explicitly.
+        slot = None
+        if self.channels.count < self.cfg.limit_audio:
+            slot = self.channels.acquire(_generate_unique_id())
         if slot is None:
             await ws.close()
             return ws
@@ -249,7 +253,9 @@ class SpectrumServer:
         ws = web.WebSocketResponse(max_msg_size=1 << 20)
         await ws.prepare(request)
         await ws.send_str(self.basic_info())
-        cid, slot = self.waterfalls.acquire()
+        cid, slot = (None, None)
+        if self.waterfalls.count < self.cfg.limit_waterfall:
+            cid, slot = self.waterfalls.acquire()
         if cid is None:
             await ws.close()
             return ws
@@ -270,6 +276,9 @@ class SpectrumServer:
     async def _ws_events(self, request: web.Request):
         ws = web.WebSocketResponse()
         await ws.prepare(request)
+        if len(self.event_conns) >= self.cfg.limit_events:
+            await ws.close()
+            return ws
         await ws.send_str(self.initial_state_info())
         self.event_conns.add(ws)
         try:

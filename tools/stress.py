@@ -1,0 +1,108 @@
+"""Serving stress: N audio + M waterfall websocket clients against a
+running server; reports packet rates and server metrics.
+
+Usage:
+  python tools/stress.py --url ws://127.0.0.1:19002 --audio 50 --wf 50 --secs 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import time
+
+import aiohttp
+
+
+async def audio_client(session, url, idx, stats, stop):
+    try:
+        async with session.ws_connect(url + "/audio", max_msg_size=1 << 22) as ws:
+            info = json.loads((await ws.receive()).data)
+            rsize = info["fft_result_size"]
+            a = info["audio_max_fft"]
+            l = (idx * 131) % max(rsize - a - 1, 1)
+            width = min(a, 300)
+            await ws.send_str(json.dumps({
+                "cmd": "window", "l": l, "m": l + width / 2, "r": l + width}))
+            await ws.send_str(json.dumps({
+                "cmd": "demodulation",
+                "demodulation": ["USB", "LSB", "AM", "FM"][idx % 4]}))
+            while not stop.is_set():
+                msg = await ws.receive(timeout=5)
+                if msg.type == aiohttp.WSMsgType.BINARY:
+                    stats["audio_pkts"] += 1
+                    stats["audio_bytes"] += len(msg.data)
+                elif msg.type in (aiohttp.WSMsgType.CLOSE,
+                                  aiohttp.WSMsgType.CLOSED,
+                                  aiohttp.WSMsgType.ERROR):
+                    stats["audio_closed"] += 1
+                    return
+    except Exception:
+        stats["audio_errors"] += 1
+
+
+async def wf_client(session, url, idx, stats, stop):
+    try:
+        async with session.ws_connect(url + "/waterfall", max_msg_size=1 << 22) as ws:
+            info = json.loads((await ws.receive()).data)
+            rsize = info["fft_result_size"]
+            span = rsize >> (idx % 3)
+            l = (idx * 977) % max(rsize - span, 1)
+            await ws.send_str(json.dumps({"cmd": "window", "l": l, "r": l + span}))
+            while not stop.is_set():
+                msg = await ws.receive(timeout=5)
+                if msg.type == aiohttp.WSMsgType.BINARY:
+                    stats["wf_pkts"] += 1
+                    stats["wf_bytes"] += len(msg.data)
+                elif msg.type in (aiohttp.WSMsgType.CLOSE,
+                                  aiohttp.WSMsgType.CLOSED,
+                                  aiohttp.WSMsgType.ERROR):
+                    stats["wf_closed"] += 1
+                    return
+    except Exception:
+        stats["wf_errors"] += 1
+
+
+async def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--url", default="ws://127.0.0.1:19002")
+    ap.add_argument("--audio", type=int, default=50)
+    ap.add_argument("--wf", type=int, default=50)
+    ap.add_argument("--secs", type=float, default=20)
+    args = ap.parse_args()
+
+    stats = dict(audio_pkts=0, audio_bytes=0, wf_pkts=0, wf_bytes=0,
+                 audio_errors=0, wf_errors=0, audio_closed=0, wf_closed=0)
+    stop = asyncio.Event()
+    async with aiohttp.ClientSession() as session:
+        tasks = [asyncio.create_task(audio_client(session, args.url, i, stats, stop))
+                 for i in range(args.audio)]
+        tasks += [asyncio.create_task(wf_client(session, args.url, i, stats, stop))
+                  for i in range(args.wf)]
+        t0 = time.monotonic()
+        await asyncio.sleep(args.secs)
+        stop.set()
+        dt = time.monotonic() - t0
+        for t in tasks:
+            t.cancel()
+        http_url = args.url.replace("ws://", "http://")
+        try:
+            async with session.get(http_url + "/metrics") as resp:
+                metrics = await resp.json()
+        except Exception:
+            metrics = {}
+    print(json.dumps({
+        "secs": round(dt, 1),
+        "audio_pkts_per_s": round(stats["audio_pkts"] / dt, 1),
+        "audio_MBps": round(stats["audio_bytes"] / dt / 1e6, 2),
+        "wf_pkts_per_s": round(stats["wf_pkts"] / dt, 1),
+        "wf_MBps": round(stats["wf_bytes"] / dt / 1e6, 2),
+        "errors": stats["audio_errors"] + stats["wf_errors"],
+        "closed": stats["audio_closed"] + stats["wf_closed"],
+        "server_metrics": metrics,
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    asyncio.run(main())

@@ -139,8 +139,15 @@ class WaterfallConn:
         self.out = _SendQueue(ws)
         self.cid = cid
         self.slot = slot
-        self.encoder = ZstdStream()
         self.user_id = ""
+        if server.cfg.waterfall_compression == "av1":
+            from .av1 import AV1Encoder
+
+            self.av1 = AV1Encoder(server.cfg.waterfall_size)
+            self.encoder = None
+        else:
+            self.av1 = None
+            self.encoder = ZstdStream()
 
     def handle_command(self, msg: str):
         try:
@@ -305,6 +312,18 @@ class SpectrumServer:
             path = path / "index.html"
         if not path.is_file():
             raise web.HTTPNotFound()
+        # gzip bodies when the client accepts it (src/http.cpp:86-94)
+        if "gzip" in request.headers.get("Accept-Encoding", ""):
+            import gzip as _gzip
+            import mimetypes
+
+            body = _gzip.compress(path.read_bytes())
+            ctype = mimetypes.guess_type(str(path))[0] or "text/plain"
+            return web.Response(
+                body=body, content_type=ctype,
+                headers={"Content-Encoding": "gzip",
+                         "Cache-Control": "max-age=30"},
+            )
         resp = web.FileResponse(path)
         resp.headers["Cache-Control"] = "max-age=30"  # src/http.cpp:95
         return resp
@@ -403,6 +422,17 @@ class SpectrumServer:
                 if (frame0 + h) % cfg.skip_num != 0:
                     continue  # host-side cadence filter (skip > batch case)
                 row = wf[d, cid, :n]
+                if conn.av1 is not None:
+                    # AV1: frame bytes go out raw, headers ride the T.35
+                    # metadata OBU (src/waterfallcompression.cpp:84-125)
+                    frame_bytes = conn.av1.send(
+                        row.tobytes(), frame0 + h,
+                        ws_slot.l << ws_slot.level,
+                        ws_slot.r << ws_slot.level,
+                    )
+                    if frame_bytes:
+                        conn.out.send_nowait(frame_bytes)
+                    continue
                 pkt = cbor.waterfall_packet(
                     frame0 + h,
                     ws_slot.l << ws_slot.level,

@@ -293,3 +293,106 @@ async def test_slot_exhaustion(cfg):
             await c.close()
     finally:
         await client.close()
+
+
+@async_test
+async def test_opus_audio_path():
+    cfg = make_cfg(input={"audio_compression": "opus"})
+    assert cfg.audio_compression == "opus"
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        ws = await client.ws_connect("/audio")
+        info = json.loads((await ws.receive()).data)
+        assert info["audio_compression"] == "opus"
+        pkts = []
+        for s in range(40):
+            audio, pwr, wf, due, _ = synth_outputs(cfg, server, s)
+            server.dispatch(s * cfg.hop_batch, audio, pwr, wf, due)
+            while True:
+                try:
+                    msg = await ws.receive(timeout=0.02)
+                except asyncio.TimeoutError:
+                    break
+                if msg.type.name == "BINARY":
+                    pkts.append(decode_cbor(msg.data))
+        # 40 batches * 4 hops * (audio_fft/2) samples at 12k -> opus 20ms
+        # frames of 240 samples each -> many packets
+        assert len(pkts) > 20
+        assert all(len(p["data"]) > 1 for p in pkts)
+        await ws.close()
+    finally:
+        await client.close()
+
+
+@async_test
+async def test_gzip_static(cfg, tmp_path):
+    cfg.html_root = str(tmp_path)
+    (tmp_path / "index.html").write_text("<html>" + "x" * 5000 + "</html>")
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        resp = await client.get("/", headers={"Accept-Encoding": "gzip"})
+        assert resp.status == 200
+        body = await resp.text()
+        assert body.startswith("<html>")
+        assert resp.headers.get("Cache-Control") == "max-age=30"
+    finally:
+        await client.close()
+
+
+@async_test
+async def test_limits_enforced():
+    cfg = make_cfg(limits={"audio": 2, "waterfall": 1, "events": 1})
+    assert cfg.limit_audio == 2
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        a1 = await client.ws_connect("/audio"); await a1.receive()
+        a2 = await client.ws_connect("/audio"); await a2.receive()
+        a3 = await client.ws_connect("/audio")
+        await a3.receive()  # basic_info
+        msg = await a3.receive(timeout=2)
+        assert msg.type.name in ("CLOSE", "CLOSED", "CLOSING")
+        e1 = await client.ws_connect("/events"); await e1.receive()
+        e2 = await client.ws_connect("/events")
+        msg = await e2.receive(timeout=2)
+        assert msg.type.name in ("CLOSE", "CLOSED", "CLOSING")
+        for ws in (a1, a2, e1):
+            await ws.close()
+    finally:
+        await client.close()
+
+
+@async_test
+async def test_av1_waterfall_path():
+    from phantomsdr_tpu.runtime import av1 as av1mod
+    if not av1mod.av1_available():
+        import pytest
+        pytest.skip(f"libaom unavailable: {av1mod._Aom.failure()}")
+    from tests.test_av1 import parse_obus, OBU_METADATA
+
+    cfg = make_cfg(input={"waterfall_compression": "av1"})
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        ws = await client.ws_connect("/waterfall", max_msg_size=1 << 22)
+        info = json.loads((await ws.receive()).data)
+        assert info["waterfall_compression"] == "av1"
+        frames = []
+        for s in range(40):
+            audio, pwr, wf, due, _ = synth_outputs(cfg, server, s)
+            server.dispatch(s * cfg.hop_batch, audio, pwr, wf, due)
+            while True:
+                try:
+                    msg = await ws.receive(timeout=0.02)
+                except asyncio.TimeoutError:
+                    break
+                if msg.type.name == "BINARY":
+                    frames.append(msg.data)
+        assert frames, "no AV1 frames received"
+        obus = parse_obus(frames[0])
+        assert OBU_METADATA in [t for t, _ in obus]
+        await ws.close()
+    finally:
+        await client.close()

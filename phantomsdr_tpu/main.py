@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import asyncio
 import faulthandler
+import os
 import signal
 import sys
 
@@ -55,10 +56,15 @@ def main(argv=None):
                          "JAX_PLATFORMS env var is not enough")
     args = ap.parse_args(argv)
 
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # persistent compile cache: server restarts skip the multi-minute
+    # pipeline compile
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("PHANTOMSDR_JAX_CACHE", "/tmp/jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
     cfg = load_config(args.config)
     if args.input_file:
@@ -77,7 +83,13 @@ def main(argv=None):
         await runner.setup()
         site = web.TCPSite(runner, cfg.host, cfg.port, backlog=8192,
                            reuse_address=True)
-        await site.start()
+        try:
+            await site.start()
+        except OSError:
+            # bind failed: stop the driver threads before exiting or the
+            # interpreter teardown races the device thread
+            driver.stop()
+            raise
         print(f"phantomsdr-tpu serving on {cfg.host}:{cfg.port} "
               f"(fft_size={cfg.fft_size}, sps={cfg.sps}, "
               f"{'real' if cfg.is_real else 'iq'})")

@@ -38,6 +38,8 @@ class Metrics:
         default_factory=lambda: collections.deque(maxlen=120))
     idle_frames: int = 0
     eof: bool = False
+    device_errors: int = 0
+    last_device_error: str = ""
 
     def snapshot(self, cfg: ServerConfig) -> dict:
         el = max(time.monotonic() - self.start_time, 1e-9)
@@ -57,6 +59,8 @@ class Metrics:
             ),
             "idle_frames": self.idle_frames,
             "eof": self.eof,
+            "device_errors": self.device_errors,
+            "last_device_error": self.last_device_error,
         }
 
 
@@ -181,13 +185,44 @@ class DSPDriver:
         scalars_per_sample = 1 if cfg.is_real else 2
         pending = None  # (frame0, packed_device_array, want_wf, t_start)
 
+        # Pre-compile both step variants (and warm the output transfer
+        # layouts) before serving: compilation of the big-FFT pipeline
+        # can take minutes, and the reference-style "skip FFT when no
+        # clients" behavior would otherwise defer that stall to the
+        # moment the first listener connects.
+        try:
+            t0 = time.monotonic()
+            self._refresh_table()
+            warm_state = self.pipe.init_state()
+            zeros = np.zeros(self.source.block_wire + self.source.wire_per_hop,
+                             self.source.dtype)
+            raw = jnp.asarray(host_preconvert(zeros, cfg.input_format))
+            for m in ("views", "off"):
+                warm_state, out = self.pipe.step(warm_state, raw,
+                                                 self._table, self._views, m)
+                np.asarray(out.packed)
+            del warm_state
+            print(f"device pipeline compiled in {time.monotonic()-t0:.1f}s",
+                  flush=True)
+        except Exception as e:
+            self.metrics.device_errors += 1
+            self.metrics.last_device_error = repr(e)[:300]
+            import traceback
+
+            traceback.print_exc()
+
         def flush_pending():
             nonlocal pending
             if pending is None:
                 return
             frame0, packed_dev, want_wf, t0 = pending
             pending = None
-            packed = np.asarray(packed_dev)
+            try:
+                packed = np.asarray(packed_dev)
+            except Exception as e:
+                self.metrics.device_errors += 1
+                self.metrics.last_device_error = repr(e)[:300]
+                return
             w = (self.wf_registry.max_slots if self.wf_registry
                  else 1)
             d = len(self.pipe.due_positions) if want_wf else 0
@@ -227,9 +262,23 @@ class DSPDriver:
             want_wf = self.waterfall_active() and self._waterfall_due()
             mode = "views" if want_wf else "off"
             t0 = time.monotonic()
-            raw = jnp.asarray(host_preconvert(block, cfg.input_format))
-            state, out = self.pipe.step(state, raw, self._table,
-                                        self._views, mode)
+            try:
+                raw = jnp.asarray(host_preconvert(block, cfg.input_format))
+                state, out = self.pipe.step(state, raw, self._table,
+                                            self._views, mode)
+            except Exception as e:
+                # surface device errors instead of silently killing the
+                # DSP thread (SURVEY.md section 5: failure detection);
+                # state was donated -- rebuild it and keep serving
+                self.metrics.device_errors += 1
+                self.metrics.last_device_error = repr(e)[:300]
+                import traceback
+
+                traceback.print_exc()
+                pending = None
+                state = self.pipe.init_state()
+                self.metrics.frames += cfg.hop_batch
+                continue
             frame0 = self.metrics.frames
             self.metrics.frames += cfg.hop_batch
             # one step in flight: fetch the previous step's outputs only

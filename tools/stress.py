@@ -29,7 +29,10 @@ async def audio_client(session, url, idx, stats, stop):
                 "cmd": "demodulation",
                 "demodulation": ["USB", "LSB", "AM", "FM"][idx % 4]}))
             while not stop.is_set():
-                msg = await ws.receive(timeout=5)
+                try:
+                    msg = await ws.receive(timeout=5)
+                except asyncio.TimeoutError:
+                    continue  # server may still be compiling
                 if msg.type == aiohttp.WSMsgType.BINARY:
                     stats["audio_pkts"] += 1
                     stats["audio_bytes"] += len(msg.data)
@@ -51,7 +54,10 @@ async def wf_client(session, url, idx, stats, stop):
             l = (idx * 977) % max(rsize - span, 1)
             await ws.send_str(json.dumps({"cmd": "window", "l": l, "r": l + span}))
             while not stop.is_set():
-                msg = await ws.receive(timeout=5)
+                try:
+                    msg = await ws.receive(timeout=5)
+                except asyncio.TimeoutError:
+                    continue
                 if msg.type == aiohttp.WSMsgType.BINARY:
                     stats["wf_pkts"] += 1
                     stats["wf_bytes"] += len(msg.data)

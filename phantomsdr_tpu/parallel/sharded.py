@@ -1,33 +1,38 @@
-"""Mesh-sharded hop pipeline: time-sharded FFT + channel-sharded demod.
+"""Mesh-sharded hop pipeline: time-sharded FFT + channel-sharded demod,
+with the 50%-overlap halo exchanged over ICI.
 
 The reference has no distributed backend at all (SURVEY.md section 5);
 its parallelism is host threads.  The TPU-native scaling design is:
 
 - one mesh axis ``d`` over all chips,
 - **time sharding** for the heavy front half: each chip receives
-  ``hop_batch / n`` hops of raw samples (with the 50%-overlap halo
-  pre-attached by the host, so there is no cross-chip sequential
-  dependency) and runs the full window+FFT+waterfall-quantize for its
-  hops.  The per-chip million-point FFT stays whole -- the speed of
-  light per chip is the single-hop FFT, and hops are embarrassingly
-  parallel,
+  ``hop_batch / n`` contiguous hops of raw wire samples and runs the
+  full window+FFT+waterfall-quantize for them.  The per-chip
+  million-point FFT stays whole -- the speed of light per chip is the
+  single-hop FFT, and hops are embarrassingly parallel,
+- the 50%-overlap **halo** (one hop of wire samples) moves between
+  neighbor chips with a single ring ``ppermute`` per step: chip i
+  receives chip i-1's last hop (its first frame's left half); chip 0's
+  halo is the previous step's global tail, which the same ring permute
+  delivered to it one step earlier (kept as carry state).  This is the
+  overlap-save boundary exchange the reference's analogue of context
+  parallelism calls for (SURVEY.md section 5, fft.cpp:49),
 - an ``all_gather`` of the (normalized, wrap-extended) spectra over ICI
-  so every chip holds all hops' spectra -- at 1M bins x c64 this is
-  ~8 MB/hop, far below ICI bandwidth at the ~67 hop/s rate of 35 MSPS,
+  so every chip holds all hops' spectra -- ~8 MB/hop at 1M bins, far
+  below ICI bandwidth at the ~67 hop/s rate of 35 MSPS,
 - **channel sharding** for the back half: each chip demodulates
   ``max_channels / n`` listeners across ALL hops of the batch, keeping
-  the sequential overlap-add/DC/AGC carries chip-local.  This is the
-  dense-population replacement for the reference's per-client thread
-  pool jobs (src/websocket.cpp:156-185).
+  the sequential overlap-add/DC/AGC carries chip-local, and gathers its
+  waterfall-client views from its local pyramid rows.
 
-Waterfall pyramids come back time-sharded ([B/n, P] per chip ->
-[B, P]); audio comes back channel-sharded ([B, C/n, A/2] per chip ->
-[B, C, A/2]).  No other collectives are needed.
+Outputs mirror the single-device pipeline: audio comes back
+channel-sharded, waterfall views time-sharded, plus the bitcast-packed
+single-fetch buffer.
 
 Multi-host: the same shard_map spans a multi-host mesh; each host feeds
-the raw shards for its addressable devices (jax.make_array_from_
-single_device_arrays), and DCN only ever carries the raw sample
-distribution, never spectra.
+the raw shards for its addressable devices
+(jax.make_array_from_single_device_arrays), and DCN only ever carries
+raw sample distribution, never spectra.
 """
 
 from __future__ import annotations
@@ -35,6 +40,7 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
@@ -44,10 +50,20 @@ from ..config import ServerConfig
 from ..ops.channelizer import ChannelTable, extend_spectrum
 from ..ops.agc import dc_blocker_delay, make_agc_params
 from ..ops.windows import hann_window
+from ..ops.fft import frame_hops
+from ..ops import convert
 from ..pipeline import (
-    HopState, HopOutputs, init_audio_state,
-    spectra_from_raw, waterfall_from_spectra, audio_from_spectra,
+    HopState, HopOutputs, WaterfallViews, init_audio_state,
+    waterfall_from_spectra, gather_waterfall_views, audio_from_spectra,
+    pack_outputs,
 )
+from ..ops.fft import forward_spectrum
+
+
+class ShardedHopState(NamedTuple):
+    inner: HopState          # frame counter + audio carries (chan-sharded)
+    halo: jnp.ndarray        # [n, wire_per_hop] each shard's last-hop wire
+    #                          samples (ring-permuted at step start)
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -72,31 +88,36 @@ class ShardedHopPipeline:
         self.dc_delay = dc_blocker_delay(cfg.audio_sps)
         self.wire_per_hop = cfg.hop_size * (1 if cfg.is_real else 2)
         self.hops_per_shard = cfg.hop_batch // self.n
-        # raw input shape: [n, (B/n + 1) * wire_per_hop] -- each row is a
-        # time shard's hops with its own halo prepended by the host.
-        self.raw_shard_len = (self.hops_per_shard + 1) * self.wire_per_hop
+        self.view_cap = 2 * cfg.waterfall_size
+        # raw input: [n, (B/n) * wire_per_hop] -- NO halo; the overlap
+        # halo moves over ICI (ring ppermute), not from the host.
+        self.raw_shard_len = self.hops_per_shard * self.wire_per_hop
 
-        st_spec = HopState(
-            frame=P(),
-            audio=jax.tree.map(lambda _: P("d"), self._audio_state_proto_spec()),
+        st_spec = ShardedHopState(
+            inner=HopState(
+                frame=P(),
+                audio=jax.tree.map(lambda _: P("d"),
+                                   self._audio_state_proto_spec()),
+            ),
+            halo=P("d", None),
         )
         chan_spec = ChannelTable(*(P("d"),) * 5)
+        # views are replicated: every time shard gathers ALL clients'
+        # views from its local pyramid rows
+        views_spec = WaterfallViews(start=P(), length=P())
         out_spec = HopOutputs(
             audio=P(None, "d", None), avg_power=P(None, "d"),
             wf=P("d", None, None), pyramid=P("d", None), packed=P("d"),
         )
-        for want_wf in (True, False):
+        self._steps = {}
+        for mode in ("views", "full", "off"):
             fn = shard_map(
-                partial(self._device_step, want_waterfall=want_wf),
+                partial(self._device_step, waterfall=mode),
                 mesh=mesh,
-                in_specs=(st_spec, P("d", None), chan_spec),
+                in_specs=(st_spec, P("d", None), chan_spec, views_spec),
                 out_specs=(st_spec, out_spec),
             )
-            fn = jax.jit(fn, donate_argnums=(0,))
-            if want_wf:
-                self._step_wf = fn
-            else:
-                self._step_nowf = fn
+            self._steps[mode] = jax.jit(fn, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
     def _audio_state_proto(self):
@@ -107,70 +128,109 @@ class ShardedHopPipeline:
         """Structure without materializing arrays (safe on all backends)."""
         return jax.eval_shape(self._audio_state_proto)
 
-    def init_state(self) -> HopState:
-        # jit-constructed with explicit output shardings (avoids eager
-        # complex64 creation, see HopPipeline.init_state)
+    def init_state(self) -> ShardedHopState:
         sh = NamedSharding(self.mesh, P())
         shd = NamedSharding(self.mesh, P("d"))
-        shardings = HopState(
-            frame=sh,
-            audio=jax.tree.map(lambda _: shd, self._audio_state_proto_spec()),
+        shardings = ShardedHopState(
+            inner=HopState(
+                frame=sh,
+                audio=jax.tree.map(lambda _: shd,
+                                   self._audio_state_proto_spec()),
+            ),
+            halo=NamedSharding(self.mesh, P("d", None)),
         )
+        wire_dt = convert.wire_dtype(self.cfg.input_format)
 
         def mk():
-            return HopState(frame=jnp.zeros((), jnp.int32),
-                            audio=self._audio_state_proto())
+            return ShardedHopState(
+                inner=HopState(frame=jnp.zeros((), jnp.int32),
+                               audio=self._audio_state_proto()),
+                halo=jnp.zeros((self.n, self.wire_per_hop), wire_dt),
+            )
         return jax.jit(mk, out_shardings=shardings)()
 
     # ------------------------------------------------------------------
-    def _device_step(self, state: HopState, raw_shard: jnp.ndarray,
-                     chans: ChannelTable, want_waterfall: bool):
+    def _device_step(self, state: ShardedHopState, raw_shard: jnp.ndarray,
+                     chans: ChannelTable, views: WaterfallViews,
+                     waterfall: str):
         """Per-device body (inside shard_map)."""
         cfg = self.cfg
         bl = self.hops_per_shard
         r, a = cfg.fft_result_size, cfg.audio_max_fft_size
+        n = self.n
 
-        # front half: my hops only
-        spec = spectra_from_raw(cfg, self.window, raw_shard[0], bl)
-        if want_waterfall:
-            pyr = waterfall_from_spectra(cfg, spec)
+        my_raw = raw_shard[0]                          # [B/n * wph] wire ints
+        my_tail = my_raw[-self.wire_per_hop:]
+
+        # ---- overlap halo over ICI: ring permute of last-hop samples.
+        # received[i] = tail of shard i-1 (this step) for i>0; for i==0
+        # it is the global tail of THIS step (from shard n-1), which is
+        # exactly next step's halo -> becomes the carry.  This step's
+        # shard-0 halo is the carry from the previous step.
+        if n > 1:
+            perm = [(i, (i + 1) % n) for i in range(n)]
+            received = jax.lax.ppermute(my_tail, "d", perm)
         else:
+            received = my_tail
+        idx = jax.lax.axis_index("d")
+        prev_halo = state.halo[0]                      # my stored halo slot
+        halo = jnp.where(idx == 0, prev_halo, received)
+        new_halo = jnp.where(idx == 0, received, prev_halo)
+
+        # ---- front half: my hops
+        x = convert.to_float(jnp.concatenate([halo, my_raw]),
+                             cfg.input_format)
+        if not cfg.is_real:
+            x = convert.iq_to_complex(x)
+        frames = frame_hops(x, bl, cfg.fft_size)
+        spec = forward_spectrum(frames, self.window, cfg.is_real,
+                                cfg.fft_strategy)
+
+        w = views.start.shape[0]
+        if waterfall == "off":
             pyr = jnp.zeros((bl, 0), jnp.int8)
+            wf = jnp.zeros((0, w, self.view_cap), jnp.int8)
+        else:
+            pyr_full = waterfall_from_spectra(cfg, spec)
+            if waterfall == "full":
+                pyr = pyr_full
+                wf = jnp.zeros((0, w, self.view_cap), jnp.int8)
+            else:
+                pyr = jnp.zeros((bl, 0), jnp.int8)
+                # every local hop's views (cadence filtering is host-side
+                # in the sharded path: due positions differ per shard)
+                wf = gather_waterfall_views(pyr_full, views, self.view_cap)
+
         spec_ext = extend_spectrum(spec, cfg.is_real, r, a)  # [B/n, R+A]
 
-        # gather all hops' spectra (ICI all-gather along the hop axis)
+        # ---- gather all hops' spectra (ICI) and demod my channel shard
         all_spec = jax.lax.all_gather(spec_ext, "d", axis=0, tiled=True)
-
-        # back half: all hops for my channel shard
         audio_st, audio16, pwr = audio_from_spectra(
             cfg, self.agc_params, self.dc_delay,
-            state.audio, all_spec, chans, state.frame,
+            state.inner.audio, all_spec, chans, state.inner.frame,
         )
-        new_state = HopState(frame=state.frame + cfg.hop_batch,
+        new_inner = HopState(frame=state.inner.frame + cfg.hop_batch,
                              audio=audio_st)
-        # client-view gathering is single-device-pipeline-only for now;
-        # the multichip path returns the full (time-sharded) pyramid
-        wf = jnp.zeros((0, 1, 2 * cfg.waterfall_size), jnp.int8)
-        return new_state, HopOutputs(
-            audio=audio16, avg_power=pwr, wf=wf, pyramid=pyr,
-            packed=jnp.zeros((0,), jnp.int8),
+        packed = pack_outputs(audio16, pwr, wf)
+        return (
+            ShardedHopState(inner=new_inner, halo=new_halo[None, :]),
+            HopOutputs(audio=audio16, avg_power=pwr, wf=wf, pyramid=pyr,
+                       packed=packed),
         )
 
     # ------------------------------------------------------------------
-    def shard_raw(self, raw_with_halo) -> jnp.ndarray:
-        """Host helper: [B*wph + wph] contiguous wire samples (halo at the
-        front) -> [n, (B/n + 1) * wph] per-shard rows with halos."""
-        import numpy as np
+    def empty_views(self, num: int = 0) -> WaterfallViews:
+        c = num or self.n
+        return WaterfallViews(start=jnp.zeros((c,), jnp.int32),
+                              length=jnp.zeros((c,), jnp.int32))
 
-        wph = self.wire_per_hop
-        rows = [
-            raw_with_halo[i * self.hops_per_shard * wph:
-                          (i * self.hops_per_shard + self.hops_per_shard + 1) * wph]
-            for i in range(self.n)
-        ]
-        return np.stack(rows, axis=0)
+    def shard_raw(self, raw_block) -> np.ndarray:
+        """Host helper: [B * wph] contiguous wire samples (NO halo) ->
+        [n, (B/n) * wph] rows."""
+        return np.asarray(raw_block).reshape(self.n, self.raw_shard_len)
 
-    def step(self, state: HopState, raw_shards: jnp.ndarray,
-             chans: ChannelTable, want_waterfall: bool = True):
-        fn = self._step_wf if want_waterfall else self._step_nowf
-        return fn(state, raw_shards, chans)
+    def step(self, state: ShardedHopState, raw_shards, chans: ChannelTable,
+             views: WaterfallViews | None = None, waterfall: str = "full"):
+        if views is None:
+            views = self.empty_views()
+        return self._steps[waterfall](state, raw_shards, chans, views)

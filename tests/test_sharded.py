@@ -1,12 +1,17 @@
 """Sharded pipeline on an 8-virtual-device CPU mesh: must match the
-single-device pipeline exactly."""
+single-device pipeline, including the ICI halo exchange and the
+per-client waterfall view path."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from phantomsdr_tpu.config import config_from_dict
-from phantomsdr_tpu.pipeline import HopPipeline, channels_from_numpy
+from phantomsdr_tpu.ops.quantize import pyramid_level_offsets
+from phantomsdr_tpu.pipeline import (
+    HopPipeline, WaterfallViews, channels_from_numpy,
+)
 from phantomsdr_tpu.parallel import ShardedHopPipeline, make_mesh
 
 
@@ -25,7 +30,8 @@ def make_cfg(n_dev):
     })
 
 
-def test_sharded_matches_single_device():
+@pytest.fixture(scope="module")
+def setup():
     n_dev = min(8, len(jax.devices()))
     assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
     cfg = make_cfg(n_dev)
@@ -35,45 +41,46 @@ def test_sharded_matches_single_device():
 
     c = cfg.max_channels
     r = np.random.default_rng(3)
-    table = channels_from_numpy(
-        l=r.integers(0, cfg.fft_result_size - 200, c),
-        r=0,  # fixed below
-        m_idx=0,
-        mode=r.integers(0, 4, c),
-        active=np.ones(c, bool),
-    )
-    l = np.asarray(table.l)
+    l = r.integers(0, cfg.fft_result_size - 200, c)
     width = r.integers(16, min(cfg.audio_fft_size, 120), c)
     table = channels_from_numpy(
         l=l, r=l + width, m_idx=l + width // 2,
-        mode=np.asarray(table.mode), active=np.ones(c, bool),
+        mode=r.integers(0, 4, c), active=np.ones(c, bool),
     )
-
     b = cfg.hop_batch
     wph = pipe.wire_per_hop
-    raw = r.integers(-20000, 20000, size=(b + 1) * wph * 2, dtype=np.int16)
+    raw = r.integers(-20000, 20000, size=(2 * b + 1) * wph, dtype=np.int16)
+    return cfg, sp, pipe, table, raw
 
-    # single device
+
+def test_sharded_matches_single_device(setup):
+    cfg, sp, pipe, table, raw = setup
+    b, wph = cfg.hop_batch, pipe.wire_per_hop
+
+    # Both runs consume the same stream of 2B hops.  The sharded state
+    # starts with a zero halo (carry), so the single-device run gets a
+    # zero halo prepended to its first block too.
     st1 = pipe.init_state()
     outs1 = []
+    halo = np.zeros(wph, np.int16)
     for s in range(2):
-        blk = raw[s * b * wph : (s + 1) * b * wph + wph]
-        st1, o = pipe.step(st1, jnp.asarray(blk), table, waterfall="full")
+        blk = raw[wph + s * b * wph: wph + (s + 1) * b * wph]
+        st1, o = pipe.step(st1, jnp.asarray(np.concatenate([halo, blk])),
+                           table, waterfall="full")
+        halo = blk[-wph:]
         outs1.append(o)
 
-    # sharded
+    # sharded: NO host halo -- the overlap hop moves via ring ppermute,
+    # with shard 0's halo carried across steps in device state
     st8 = sp.init_state()
     outs8 = []
     for s in range(2):
-        blk = raw[s * b * wph : (s + 1) * b * wph + wph]
+        blk = raw[wph + s * b * wph: wph + (s + 1) * b * wph]
         shards = sp.shard_raw(blk)
-        assert shards.shape == (n_dev, sp.raw_shard_len)
-        st8, o = sp.step(st8, jnp.asarray(shards), table)
+        st8, o = sp.step(st8, jnp.asarray(shards), table, waterfall="full")
         outs8.append(o)
 
     for o1, o8 in zip(outs1, outs8):
-        # FFT rounding differs slightly between the two compilations;
-        # allow 1-LSB flips at int8 truncation boundaries on <0.1% of bins
         p1 = np.asarray(o1.pyramid).astype(int)
         p8 = np.asarray(o8.pyramid).astype(int)
         assert np.abs(p1 - p8).max() <= 1
@@ -85,3 +92,29 @@ def test_sharded_matches_single_device():
         a1 = np.asarray(o1.audio).astype(int)
         a8 = np.asarray(o8.audio).astype(int)
         assert np.abs(a1 - a8).max() <= 1  # fp reduction-order wiggle
+
+
+def test_sharded_waterfall_views(setup):
+    cfg, sp, pipe, table, raw = setup
+    b, wph = cfg.hop_batch, pipe.wire_per_hop
+    offs = pyramid_level_offsets(cfg.fft_result_size, cfg.downsample_levels)
+    views = WaterfallViews(
+        start=jnp.asarray([offs[0] + 64, offs[1] + 32], jnp.int32),
+        length=jnp.asarray([256, 128], jnp.int32),
+    )
+    blk = raw[wph: wph + b * wph]
+    shards = jnp.asarray(sp.shard_raw(blk))
+
+    st = sp.init_state()
+    _, o_full = sp.step(st, shards, table, views, waterfall="full")
+    st = sp.init_state()
+    _, o_views = sp.step(st, shards, table, views, waterfall="views")
+
+    full = np.asarray(o_full.pyramid)
+    wf = np.asarray(o_views.wf)
+    assert wf.shape == (b, 2, sp.view_cap)
+    for h in range(b):
+        for w in range(2):
+            s0 = int(views.start[w])
+            n = int(views.length[w])
+            np.testing.assert_array_equal(wf[h, w, :n], full[h, s0:s0 + n])

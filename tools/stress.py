@@ -81,7 +81,8 @@ async def main():
     stats = dict(audio_pkts=0, audio_bytes=0, wf_pkts=0, wf_bytes=0,
                  audio_errors=0, wf_errors=0, audio_closed=0, wf_closed=0)
     stop = asyncio.Event()
-    async with aiohttp.ClientSession() as session:
+    async with aiohttp.ClientSession(
+            connector=aiohttp.TCPConnector(limit=0)) as session:
         tasks = [asyncio.create_task(audio_client(session, args.url, i, stats, stop))
                  for i in range(args.audio)]
         tasks += [asyncio.create_task(wf_client(session, args.url, i, stats, stop))

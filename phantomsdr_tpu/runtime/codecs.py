@@ -122,10 +122,26 @@ def _load_opus():
 class OpusChunkEncoder:
     """Opus per the reference: <=48k mono, 20 ms frames, 80 kbps, queue
     of partial frames (src/audio.cpp:55-84).  Each encoded packet is
-    returned separately (one CBOR packet per opus frame)."""
+    returned separately (one CBOR packet per opus frame).
+
+    Deviation (improvement) from the reference: for audio rates above
+    48 kHz (the WBFM profile's 192 kHz) the reference feeds the full-
+    rate samples to a 48 kHz Opus encoder (src/audio.cpp:59-62: rate
+    clamped, samples not resampled -- a 4x time-stretch); here the
+    stream is polyphase-decimated to <=48 kHz first."""
 
     def __init__(self, sample_rate: int):
         self._lib = _load_opus()
+        self._decim = 1
+        self._dec_tail = None
+        if sample_rate > 48000:
+            self._decim = -(-sample_rate // 48000)  # ceil
+            from ..ops.polyphase import decimator_taps
+
+            self._taps = decimator_taps(self._decim, taps_per_phase=12)
+            self._dec_tail = np.zeros(self._taps.shape[0] - 1, np.float32)
+            self._dec_rem = np.zeros(0, np.float32)
+            sample_rate = sample_rate // self._decim
         self.rate = min(sample_rate, 48000)
         err = ctypes.c_int(0)
         self._enc = self._lib.opus_encoder_create(
@@ -143,10 +159,24 @@ class OpusChunkEncoder:
         self._pending = np.zeros(0, np.int16)
         self._buf = ctypes.create_string_buffer(1024)
 
+    def _decimate(self, samples: np.ndarray) -> np.ndarray:
+        """Streaming anti-aliased decimation by self._decim (host side;
+        per-hop blocks are small)."""
+        x = np.concatenate([self._dec_rem,
+                            samples.astype(np.float32)])
+        n_use = (x.size // self._decim) * self._decim
+        self._dec_rem = x[n_use:]
+        x = x[:n_use]
+        y_in = np.concatenate([self._dec_tail, x])
+        self._dec_tail = y_in[-(self._taps.shape[0] - 1):]
+        y = np.convolve(y_in, self._taps, mode="valid")[::self._decim]
+        return np.clip(np.round(y), -32768, 32767).astype(np.int16)
+
     def process(self, samples: np.ndarray) -> list[bytes]:
-        self._pending = np.concatenate(
-            [self._pending, np.ascontiguousarray(samples, np.int16)]
-        )
+        samples = np.ascontiguousarray(samples, np.int16)
+        if self._decim > 1:
+            samples = self._decimate(samples)
+        self._pending = np.concatenate([self._pending, samples])
         out = []
         fs = self.frame_size
         while self._pending.size > fs:  # note: '>' matches audio.cpp:70

@@ -186,3 +186,24 @@ def test_cbor_waterfall_packet():
     pkt = cbor.waterfall_packet(3, 0, 1024, b"\x00" * 4)
     assert pkt[0] == 0xA4
     assert pkt[1:6] == b"\x64data"
+
+
+def test_opus_high_rate_decimation():
+    """WBFM-profile rates (>48 kHz) are decimated before Opus (the
+    reference time-stretches instead, src/audio.cpp:59-62)."""
+    enc = OpusChunkEncoder(192000)
+    assert enc.rate == 48000
+    assert enc._decim == 4
+    assert enc.frame_size == 960  # 20 ms at 48 kHz
+    t = np.arange(19200)
+    x = (8000 * np.sin(2 * np.pi * 1000 / 192000 * t)).astype(np.int16)
+    pkts = enc.process(x)
+    # 19200 in -> 4800 out -> 4 full 960-sample frames ('>' gate)
+    assert len(pkts) == 4
+    # decimated tone preserved: feed the decimator directly
+    enc2 = OpusChunkEncoder(192000)
+    y = enc2._decimate(x)
+    assert y.size == 4800
+    spec = np.abs(np.fft.rfft(y[200:].astype(float)))
+    peak = np.fft.rfftfreq(y.size - 200, 1 / 48000)[np.argmax(spec[2:]) + 2]
+    assert abs(peak - 1000) < 25

@@ -114,7 +114,8 @@ class ShardedHopPipeline:
             fn = shard_map(
                 partial(self._device_step, waterfall=mode),
                 mesh=mesh,
-                in_specs=(st_spec, P("d", None), chan_spec, views_spec),
+                in_specs=(st_spec, P("d", None), chan_spec, views_spec,
+                          P("d")),
                 out_specs=(st_spec, out_spec),
             )
             self._steps[mode] = jax.jit(fn, donate_argnums=(0,))
@@ -152,7 +153,7 @@ class ShardedHopPipeline:
     # ------------------------------------------------------------------
     def _device_step(self, state: ShardedHopState, raw_shard: jnp.ndarray,
                      chans: ChannelTable, views: WaterfallViews,
-                     waterfall: str):
+                     reset: jnp.ndarray, waterfall: str):
         """Per-device body (inside shard_map)."""
         cfg = self.cfg
         bl = self.hops_per_shard
@@ -207,7 +208,7 @@ class ShardedHopPipeline:
         all_spec = jax.lax.all_gather(spec_ext, "d", axis=0, tiled=True)
         audio_st, audio16, pwr = audio_from_spectra(
             cfg, self.agc_params, self.dc_delay,
-            state.inner.audio, all_spec, chans, state.inner.frame,
+            state.inner.audio, all_spec, chans, state.inner.frame, reset,
         )
         new_inner = HopState(frame=state.inner.frame + cfg.hop_batch,
                              audio=audio_st)
@@ -230,7 +231,10 @@ class ShardedHopPipeline:
         return np.asarray(raw_block).reshape(self.n, self.raw_shard_len)
 
     def step(self, state: ShardedHopState, raw_shards, chans: ChannelTable,
-             views: WaterfallViews | None = None, waterfall: str = "full"):
+             views: WaterfallViews | None = None, waterfall: str = "full",
+             reset=None):
         if views is None:
             views = self.empty_views()
-        return self._steps[waterfall](state, raw_shards, chans, views)
+        if reset is None:
+            reset = jnp.zeros((self.cfg.max_channels,), bool)
+        return self._steps[waterfall](state, raw_shards, chans, views, reset)

@@ -178,10 +178,23 @@ def audio_from_spectra(
     spec_ext: jnp.ndarray,       # [B, R+A]
     chans: ChannelTable,
     frame0: jnp.ndarray,         # scalar int32: global index of hop 0
+    reset: jnp.ndarray | None = None,  # [C] bool: zero these slots' carries
 ) -> tuple[AudioState, jnp.ndarray, jnp.ndarray]:
-    """Scan the batched demod + DC/AGC/int16 chain over B hops."""
+    """Scan the batched demod + DC/AGC/int16 chain over B hops.
+
+    ``reset`` marks channel slots newly (re)assigned to a listener: the
+    reference allocates fresh per-client scratch on connect
+    (src/signal.cpp:8-79); with dense slot reuse the previous
+    listener's overlap/AGC carries must be zeroed exactly once.
+    """
     a = cfg.audio_fft_size
     b = spec_ext.shape[0]
+
+    if reset is not None:
+        def zero_row(x):
+            mask = reset.reshape((-1,) + (1,) * (x.ndim - 1))
+            return jnp.where(mask, jnp.zeros((), x.dtype), x)
+        audio_state = jax.tree.map(zero_row, audio_state)
 
     def hop_body(carry, inputs):
         chan_st, dc_st, agc_st = carry
@@ -244,7 +257,7 @@ class HopPipeline:
 
     # ------------------------------------------------------------------
     def _step(self, state: HopState, raw: jnp.ndarray, chans: ChannelTable,
-              views: WaterfallViews, waterfall: str
+              views: WaterfallViews, reset: jnp.ndarray, waterfall: str
               ) -> tuple[HopState, HopOutputs]:
         cfg = self.cfg
         b = self.hop_batch
@@ -268,7 +281,7 @@ class HopPipeline:
         spec_ext = extend_spectrum(spec, cfg.is_real, r, a)
         audio_st, audio16, pwr = audio_from_spectra(
             cfg, self.agc_params, self.dc_delay,
-            state.audio, spec_ext, chans, state.frame,
+            state.audio, spec_ext, chans, state.frame, reset,
         )
         new_state = HopState(frame=state.frame + b, audio=audio_st)
         if waterfall == "views":
@@ -287,15 +300,19 @@ class HopPipeline:
 
     def step(self, state: HopState, raw: jnp.ndarray, chans: ChannelTable,
              views: WaterfallViews | None = None, waterfall: str = "views",
+             reset: jnp.ndarray | None = None,
              ) -> tuple[HopState, HopOutputs]:
         """raw: [(B+1) * hop_size] wire samples (halo prepended by host).
 
         waterfall: 'views' (serve client views, the production mode),
         'full' (whole pyramid, testing/debug), 'off'.
+        reset: [C] bool, one-shot zeroing of (re)assigned slots' carries.
         """
         if views is None:
             views = self.empty_views()
-        return self._steps[waterfall](state, raw, chans, views)
+        if reset is None:
+            reset = jnp.zeros((self.num_channels,), bool)
+        return self._steps[waterfall](state, raw, chans, views, reset)
 
 
 def channels_from_numpy(l, r, m_idx, mode, active) -> ChannelTable:

@@ -262,10 +262,13 @@ class DSPDriver:
             want_wf = self.waterfall_active() and self._waterfall_due()
             mode = "views" if want_wf else "off"
             t0 = time.monotonic()
+            resets = self.registry.take_resets()
+            if resets is not None:
+                resets = jnp.asarray(resets)
             try:
                 raw = jnp.asarray(host_preconvert(block, cfg.input_format))
                 state, out = self.pipe.step(state, raw, self._table,
-                                            self._views, mode)
+                                            self._views, mode, reset=resets)
             except Exception as e:
                 # surface device errors instead of silently killing the
                 # DSP thread (SURVEY.md section 5: failure detection);

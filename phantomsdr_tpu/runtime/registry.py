@@ -56,6 +56,7 @@ class ChannelRegistry:
         self.mode = np.zeros(c, np.int32)
         self.active = np.zeros(c, bool)
         self.version = 0  # bumped on any change; driver re-uploads the table
+        self._fresh: set[int] = set()  # slots needing a one-shot state reset
 
     # -------------------------------------------------------------- slots
     def acquire(self, unique_id: str) -> AudioSlot | None:
@@ -66,6 +67,7 @@ class ChannelRegistry:
             slot = AudioSlot(slot=s, unique_id=unique_id)
             self.slots[s] = slot
             self.active[s] = False
+            self._fresh.add(s)  # fresh per-client scratch (signal.cpp:8-79)
             self.version += 1
             return slot
 
@@ -110,6 +112,17 @@ class ChannelRegistry:
                 self.l.copy(), self.r.copy(), self.m_idx.copy(),
                 self.mode.copy(), self.active.copy(),
             )
+
+    def take_resets(self) -> np.ndarray | None:
+        """One-shot [C] bool mask of newly assigned slots (None if none)."""
+        with self._lock:
+            if not self._fresh:
+                return None
+            mask = np.zeros(self.l.shape[0], bool)
+            for s in self._fresh:
+                mask[s] = True
+            self._fresh.clear()
+            return mask
 
     @property
     def count(self) -> int:

@@ -118,12 +118,17 @@ class ServerConfig:
             math.ceil(self.audio_sps * self.fft_size / self.sps / 4.0) * 4
         )
 
-        # spectrumserver.cpp:186-190
+        # spectrumserver.cpp:186-190 (guarded: at least one level even
+        # when waterfall_size > fft_result_size, or the waterfall
+        # registries index an empty pyramid)
         self.downsample_levels = 0
         cur = self.fft_result_size
         while cur >= self.waterfall_size:
             self.downsample_levels += 1
             cur //= 2
+        if self.downsample_levels == 0:
+            self.downsample_levels = 1
+            self.waterfall_size = self.fft_result_size
 
         # fft.cpp:33 (waterfall ~10 fps throttle)
         self.skip_num = max(1, int(self.sps / self.fft_size / 10.0) * 2)

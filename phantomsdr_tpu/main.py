@@ -26,6 +26,11 @@ from .runtime.server import SpectrumServer
 
 
 def build(cfg, stream, loop_file=False, throttle=0.0):
+    # build the native codec library up front, not on the serving path
+    if cfg.audio_compression == "flac":
+        from .runtime.codecs import _load_hostlib
+
+        _load_hostlib()
     server = SpectrumServer(cfg)
     source = SampleSource(cfg, stream, loop_file=loop_file,
                           throttle_sps=throttle)
@@ -93,6 +98,11 @@ def main(argv=None):
         print(f"phantomsdr-tpu serving on {cfg.host}:{cfg.port} "
               f"(fft_size={cfg.fft_size}, sps={cfg.sps}, "
               f"{'real' if cfg.is_real else 'iq'})")
+        if cfg.register_enable:
+            from .runtime.register import registration_task
+
+            asyncio.create_task(registration_task(
+                cfg, lambda: len(server.event_conns)))
         stop = asyncio.Event()
         loop = asyncio.get_running_loop()
         for sig in (signal.SIGINT, signal.SIGTERM):

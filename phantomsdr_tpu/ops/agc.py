@@ -152,6 +152,9 @@ def agc_process(state: AGCState, x: jnp.ndarray, params: AGCParams
     new_state = AGCState(
         tail=y[..., -(w - 1):],
         gain=gain,
-        seen=state.seen + l,
+        # clamp at the window: only "have we filled the look-ahead yet"
+        # matters, and an unbounded int32 would wrap negative after
+        # ~2^31 samples (~50 h at 12 kHz) and silence the channel
+        seen=jnp.minimum(state.seen + l, w),
     )
     return new_state, out_t.T

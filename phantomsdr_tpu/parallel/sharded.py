@@ -140,13 +140,15 @@ class ShardedHopPipeline:
             ),
             halo=NamedSharding(self.mesh, P("d", None)),
         )
-        wire_dt = convert.wire_dtype(self.cfg.input_format)
+        # device_dtype, not wire_dtype: f64 input arrives as f32 after
+        # host_preconvert, and the halo must concatenate with it
+        dev_dt = convert.device_dtype(self.cfg.input_format)
 
         def mk():
             return ShardedHopState(
                 inner=HopState(frame=jnp.zeros((), jnp.int32),
                                audio=self._audio_state_proto()),
-                halo=jnp.zeros((self.n, self.wire_per_hop), wire_dt),
+                halo=jnp.zeros((self.n, self.wire_per_hop), dev_dt),
             )
         return jax.jit(mk, out_shardings=shardings)()
 

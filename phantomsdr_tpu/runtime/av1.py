@@ -248,9 +248,12 @@ class AV1Encoder:
         """Add one waterfall line; returns an encoded AV1 frame every
         WATERFALL_COALESCE lines, else None."""
         lib = self.aom.lib
-        n = min(len(row), self.width)
+        import numpy as np
+
+        arr = np.frombuffer(row, np.uint8)
+        n = min(arr.size, self.width)
         # values are int8 dB ^ 0x80 into the luma plane (reference :90)
-        shifted = bytes((b ^ 0x80) for b in row[:n])
+        shifted = (arr[:n] ^ 0x80).tobytes()
         ctypes.memmove(self.plane0 + self.lines * self.stride0, shifted, n)
         self.headers[self.lines] = (frame_num, n, l, r)
         self.lines += 1

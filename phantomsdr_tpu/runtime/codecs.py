@@ -130,18 +130,30 @@ class OpusChunkEncoder:
     clamped, samples not resampled -- a 4x time-stretch); here the
     stream is polyphase-decimated to <=48 kHz first."""
 
+    _OPUS_RATES = (48000, 24000, 16000, 12000, 8000)
+
     def __init__(self, sample_rate: int):
         self._lib = _load_opus()
         self._decim = 1
         self._dec_tail = None
         if sample_rate > 48000:
-            self._decim = -(-sample_rate // 48000)  # ceil
+            # smallest integer factor landing exactly on a legal Opus
+            # rate (rate/factor must be one of _OPUS_RATES; e.g. 60000
+            # -> /5 = 12000, NOT /2 = 30000 which Opus rejects)
+            for factor in range(2, 65):
+                if (sample_rate % factor == 0
+                        and sample_rate // factor in self._OPUS_RATES):
+                    self._decim = factor
+                    break
+        if self._decim > 1:
             from ..ops.polyphase import decimator_taps
 
             self._taps = decimator_taps(self._decim, taps_per_phase=12)
             self._dec_tail = np.zeros(self._taps.shape[0] - 1, np.float32)
             self._dec_rem = np.zeros(0, np.float32)
             sample_rate = sample_rate // self._decim
+        # fall back to the reference's bare clamp (src/audio.cpp:59)
+        # when no integer factor reaches a legal rate
         self.rate = min(sample_rate, 48000)
         err = ctypes.c_int(0)
         self._enc = self._lib.opus_encoder_create(

@@ -87,6 +87,20 @@ class ChannelRegistry:
             return
         if l > r or r - l > cfg.audio_fft_size:
             return
+        self._apply(slot, l, mid, r)
+
+    def set_default_range(self, slot: AudioSlot) -> None:
+        """Apply the config defaults WITHOUT the command validation: the
+        reference routes defaults through set_audio_range directly
+        (websocket.cpp:145), and clamped defaults can sit exactly at
+        r == fft_result_size, which on_window_message would reject."""
+        cfg = self.cfg
+        l = max(0, min(cfg.default_l, cfg.fft_result_size - 1))
+        r = max(l, min(cfg.default_r, cfg.fft_result_size - 1))
+        r = min(r, l + cfg.audio_fft_size)
+        self._apply(slot, l, cfg.default_m, r)
+
+    def _apply(self, slot: AudioSlot, l: int, mid: float, r: int) -> None:
         with self._lock:
             slot.l, slot.r, slot.mid = l, r, mid
             s = slot.slot

@@ -236,11 +236,17 @@ class SpectrumServer:
         if slot is None:
             await ws.close()
             return ws
-        conn = AudioConn(self, ws, slot)
+        try:
+            conn = AudioConn(self, ws, slot)
+        except Exception:
+            # codec construction failed: release the slot or it leaks
+            self.channels.release(slot)
+            await ws.close()
+            raise
         slot.mode = self.cfg.default_mode
         self.channels.set_mode(slot, self.cfg.default_mode)
-        self.channels.retune(slot, self.cfg.default_l, self.cfg.default_m,
-                             self.cfg.default_r)
+        # defaults bypass command validation (websocket.cpp:145)
+        self.channels.set_default_range(slot)
         self.broadcast_signal_change(slot.unique_id, slot.l, slot.mid, slot.r)
         self.audio_conns[slot.slot] = conn
         try:
@@ -266,7 +272,12 @@ class SpectrumServer:
         if cid is None:
             await ws.close()
             return ws
-        conn = WaterfallConn(self, ws, cid, slot)
+        try:
+            conn = WaterfallConn(self, ws, cid, slot)
+        except Exception:
+            self.waterfalls.release(cid)
+            await ws.close()
+            raise
         self.wf_conns[cid] = conn
         try:
             async for msg in ws:
@@ -305,8 +316,9 @@ class SpectrumServer:
         root = Path(self.cfg.html_root).resolve()
         tail = request.match_info.get("tail", "") or "index.html"
         path = (root / tail).resolve()
-        # directory-traversal guard (src/http.cpp:33-39)
-        if not str(path).startswith(str(root)):
+        # directory-traversal guard (src/http.cpp:33-39); a bare prefix
+        # check would let "html_private" escape past root "html"
+        if path != root and not path.is_relative_to(root):
             raise web.HTTPNotFound()
         if path.is_dir():
             path = path / "index.html"

@@ -207,3 +207,13 @@ def test_opus_high_rate_decimation():
     spec = np.abs(np.fft.rfft(y[200:].astype(float)))
     peak = np.fft.rfftfreq(y.size - 200, 1 / 48000)[np.argmax(spec[2:]) + 2]
     assert abs(peak - 1000) < 25
+
+
+def test_opus_rate_60000_picks_legal_rate():
+    # naive ceil(60000/48000)=2 would target 30000 (illegal for Opus);
+    # the factor search must land on a legal rate instead
+    enc = OpusChunkEncoder(60000)
+    assert enc.rate in (48000, 24000, 16000, 12000, 8000)
+    assert 60000 % enc._decim == 0
+    x = np.zeros(6000, np.int16)
+    enc.process(x)  # must not raise

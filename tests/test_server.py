@@ -396,3 +396,51 @@ async def test_av1_waterfall_path():
         await ws.close()
     finally:
         await client.close()
+
+
+@async_test
+async def test_traversal_guard_sibling_prefix(cfg, tmp_path):
+    root = tmp_path / "html"
+    root.mkdir()
+    (root / "index.html").write_text("ok")
+    sib = tmp_path / "html_private"
+    sib.mkdir()
+    (sib / "secret.txt").write_text("secret")
+    cfg.html_root = str(root)
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        resp = await client.get("/index.html")
+        assert resp.status == 200
+        # sibling dir shares the path prefix; must NOT be served
+        resp = await client.get("/..%2Fhtml_private%2Fsecret.txt")
+        assert resp.status in (403, 404)
+        resp = await client.get("/../html_private/secret.txt")
+        assert resp.status in (403, 404)
+    finally:
+        await client.close()
+
+
+@async_test
+async def test_default_range_at_result_size_boundary():
+    # WBFM defaults can clamp r to exactly fft_result_size; the command
+    # validation would reject that, but defaults must still activate
+    # (the reference applies defaults via set_audio_range directly)
+    cfg = make_cfg(input={
+        "sps": 192000,
+        "defaults": {"frequency": 7166000 + 96000, "modulation": "WBFM"},
+        "audio_sps": 48000,
+    })
+    assert cfg.default_r >= cfg.fft_result_size - 1
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        ws = await client.ws_connect("/audio")
+        await ws.receive()
+        await asyncio.sleep(0.05)
+        slot = next(iter(server.channels.slots.values()))
+        assert server.channels.active[slot.slot], "default slice must activate"
+        assert slot.r < cfg.fft_result_size
+        await ws.close()
+    finally:
+        await client.close()

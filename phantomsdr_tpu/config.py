@@ -41,6 +41,9 @@ class ServerConfig:
     brightness_offset: int = 0
     audio_compression: str = "flac"
     waterfall_compression: str = "zstd"
+    # PLL carrier-synchronous AM detection (the reference's liquid-dsp
+    # path, signal.cpp:242-252); false = envelope (its fallback)
+    am_sync: bool = False
     input_format: str = "f32"
     input_driver: str = "stdin"
     # [input.defaults]
@@ -190,6 +193,7 @@ def config_from_dict(t: dict) -> ServerConfig:
     c.brightness_offset = int(inp.get("brightness_offset", 0))
     c.audio_compression = str(inp.get("audio_compression", "flac")).lower()
     c.waterfall_compression = str(inp.get("waterfall_compression", "zstd")).lower()
+    c.am_sync = bool(inp.get("am_sync", False))
 
     drv = inp.get("driver", {})
     c.input_driver = str(drv.get("name", "stdin"))

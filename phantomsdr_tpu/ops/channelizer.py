@@ -80,9 +80,12 @@ class ChannelState(NamedTuple):
     per-client.  Hence no per-channel frame counter here.
     """
 
-    ssb_prev: jnp.ndarray    # [C, A/2] f32   (audio_real_prev, signal.cpp:274)
-    cplx_prev: jnp.ndarray   # [C, A/2] c64   (audio_complex_baseband_prev)
-    fm_prev: jnp.ndarray     # [C] c64        (prev sample for discriminator)
+    ssb_prev: jnp.ndarray      # [C, A/2] f32 (audio_real_prev, signal.cpp:274)
+    cplx_prev: jnp.ndarray     # [C, A/2] c64 (audio_complex_baseband_prev)
+    fm_prev: jnp.ndarray       # [C] c64      (prev sample for discriminator)
+    carrier_prev: jnp.ndarray  # [C, A/2] c64 (carrier overlap, AM sync path)
+    pll_phase: jnp.ndarray     # [C] f32      (NCO phase, AM sync path)
+    pll_freq: jnp.ndarray      # [C] f32      (NCO frequency, AM sync path)
 
 
 def init_channel_state(num_channels: int, audio_fft_size: int) -> ChannelState:
@@ -91,7 +94,48 @@ def init_channel_state(num_channels: int, audio_fft_size: int) -> ChannelState:
         ssb_prev=jnp.zeros((c, h), jnp.float32),
         cplx_prev=jnp.zeros((c, h), jnp.complex64),
         fm_prev=jnp.zeros((c,), jnp.complex64),
+        carrier_prev=jnp.zeros((c, h), jnp.complex64),
+        pll_phase=jnp.zeros((c,), jnp.float32),
+        pll_freq=jnp.zeros((c,), jnp.float32),
     )
+
+
+# PLL loop gains for carrier sync, after liquid's
+# nco_crcf_pll_set_bandwidth(0.001) (src/signal.cpp:61):
+# alpha = bw applied to frequency, beta = sqrt(bw) applied to phase.
+PLL_BW = 0.001
+PLL_ALPHA = PLL_BW
+PLL_BETA = PLL_BW ** 0.5
+
+
+def am_sync_detect(carrier: jnp.ndarray, baseband: jnp.ndarray,
+                   phase0: jnp.ndarray, freq0: jnp.ndarray
+                   ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """PLL carrier-synchronous AM detection (src/signal.cpp:242-252).
+
+    carrier, baseband: [C, L] c64 (carrier = <500 Hz lowpassed copy).
+    Per sample: mix both down by the NCO, phase error = arg(carrier),
+    2nd-order loop update, output = Re(baseband mixed).
+    Returns (audio [C, L], phase [C], freq [C]).
+    """
+
+    def body(carry, inputs):
+        phase, freq = carry
+        v_car, v_base = inputs                     # [C] each
+        rot = jnp.exp(-1j * phase).astype(jnp.complex64)
+        v0 = v_car * rot
+        v1 = v_base * rot
+        err = jnp.angle(v0)
+        freq = freq + PLL_ALPHA * err
+        phase = phase + PLL_BETA * err             # pll phase adjust
+        phase = phase + freq                       # nco step
+        return (phase, freq), jnp.real(v1)
+
+    (phase, freq), out_t = jax.lax.scan(
+        body, (phase0, freq0),
+        (carrier.T, baseband.T),
+    )
+    return out_t.T, phase, freq
 
 
 def extend_spectrum(spec: jnp.ndarray, is_real: bool, fft_result_size: int,
@@ -129,6 +173,8 @@ def demodulate(
     fft_result_size: int,
     base_idx: int,
     is_real: bool,
+    am_sync: bool = False,
+    carrier_cutoff: int = 0,
 ) -> tuple[ChannelState, jnp.ndarray, jnp.ndarray]:
     """One hop of batched demodulation for all channels.
 
@@ -195,10 +241,24 @@ def demodulate(
     cplx_out = cplx_wave[:, :half] + state.cplx_prev
     new_cplx_prev = cplx_wave[:, half:]
 
-    # ---- AM envelope (dsp.cpp:116-126) ----
-    am_audio = jnp.sqrt(
-        jnp.real(cplx_out) ** 2 + jnp.imag(cplx_out) ** 2
-    )
+    if am_sync:
+        # ---- carrier path: <500 Hz lowpass of the same bins, own IFFT
+        # + overlap-add, feeding the PLL (signal.cpp:205-252) ----
+        keep = (t[None, :] < carrier_cutoff) | (t[None, :] >= a - carrier_cutoff)
+        car_wave = jnp.fft.ifft(jnp.where(keep, cplx_bins, 0)) * a
+        car_wave = car_wave * sgn_f.astype(jnp.complex64)
+        car_out = car_wave[:, :half] + state.carrier_prev
+        new_carrier_prev = car_wave[:, half:]
+        am_audio, pll_phase, pll_freq = am_sync_detect(
+            car_out, cplx_out, state.pll_phase, state.pll_freq)
+    else:
+        # ---- AM envelope, the reference's non-liquid fallback
+        # (dsp.cpp:116-126) ----
+        am_audio = jnp.sqrt(
+            jnp.real(cplx_out) ** 2 + jnp.imag(cplx_out) ** 2
+        )
+        new_carrier_prev = state.carrier_prev
+        pll_phase, pll_freq = state.pll_phase, state.pll_freq
 
     # ---- FM polar discriminator (dsp.cpp:27-35) ----
     prev = jnp.concatenate([state.fm_prev[:, None], cplx_out[:, :-1]], axis=1)
@@ -217,6 +277,9 @@ def demodulate(
         ssb_prev=new_ssb_prev,
         cplx_prev=new_cplx_prev,
         fm_prev=cplx_out[:, -1],
+        carrier_prev=new_carrier_prev,
+        pll_phase=pll_phase,
+        pll_freq=pll_freq,
     )
     return new_state, audio, avg_power
 

@@ -203,6 +203,8 @@ def audio_from_spectra(
             se, chans, chan_st, fnum,
             audio_fft_size=a, fft_result_size=cfg.fft_result_size,
             base_idx=cfg.base_idx, is_real=cfg.is_real,
+            am_sync=cfg.am_sync,
+            carrier_cutoff=500 * a // cfg.audio_sps,  # signal.cpp:217
         )
         dc_st, audio = dc_blocker(dc_st, audio, dc_delay)
         agc_st, audio = agc_process(agc_st, audio, agc_params)

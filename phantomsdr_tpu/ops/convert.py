@@ -81,10 +81,21 @@ def to_float(x: jnp.ndarray, fmt: str) -> jnp.ndarray:
     d, scale = SAMPLE_FORMATS[fmt]
     if scale is None:
         return x.astype(jnp.float32)
-    x32 = x.astype(jnp.float32)
     if d.kind == "u":
-        x32 = x32 - scale  # recentre: (x ^ signbit) as signed == x - 2^(b-1)
-    return x32 * (1.0 / scale)
+        if d.itemsize >= 4:
+            # u32: recentre in the INTEGER domain (XOR sign bit, bitcast
+            # to signed) exactly like the reference, then cast.  Casting
+            # to f32 first would round 32-bit values to the 24-bit
+            # mantissa BEFORE the subtract: 0x80000001 would become 0.0
+            # instead of 2^-31.
+            signbit = jnp.array(1 << (8 * d.itemsize - 1), x.dtype)
+            x = jax.lax.bitcast_convert_type(
+                jnp.bitwise_xor(x, signbit),
+                jnp.dtype(f"int{8 * d.itemsize}"))
+            return x.astype(jnp.float32) * (1.0 / scale)
+        # u8/u16 fit the f32 mantissa exactly; subtract after cast
+        return (x.astype(jnp.float32) - scale) * (1.0 / scale)
+    return x.astype(jnp.float32) * (1.0 / scale)
 
 
 def iq_to_complex(x: jnp.ndarray) -> jnp.ndarray:

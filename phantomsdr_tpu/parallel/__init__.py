@@ -1,1 +1,3 @@
-from .sharded import ShardedHopPipeline, make_mesh  # noqa: F401
+from .sharded import (  # noqa: F401
+    ShardedHopPipeline, make_mesh, unpack_outputs_sharded,
+)

@@ -25,9 +25,11 @@ its parallelism is host threads.  The TPU-native scaling design is:
   the sequential overlap-add/DC/AGC carries chip-local, and gathers its
   waterfall-client views from its local pyramid rows.
 
-Outputs mirror the single-device pipeline: audio comes back
+Outputs mirror the single-device pipeline's leaves: audio comes back
 channel-sharded, waterfall views time-sharded, plus the bitcast-packed
-single-fetch buffer.
+single-fetch buffer.  NOTE the packed buffer is a per-shard
+concatenation -- parse it with `unpack_outputs_sharded`, NOT
+pipeline.unpack_outputs.
 
 Multi-host: the same shard_map spans a multi-host mesh; each host feeds
 the raw shards for its addressable devices
@@ -238,5 +240,36 @@ class ShardedHopPipeline:
         if views is None:
             views = self.empty_views()
         if reset is None:
-            reset = jnp.zeros((self.cfg.max_channels,), bool)
+            reset = jnp.zeros((self.cfg.max_channels,), jnp.int32)
         return self._steps[waterfall](state, raw_shards, chans, views, reset)
+
+
+def unpack_outputs_sharded(packed: np.ndarray, n: int, b: int, c: int,
+                           half: int, w: int, cap: int, views: bool):
+    """Host-side inverse of the sharded `packed` buffer.
+
+    The sharded packed output is NOT pipeline.unpack_outputs-compatible:
+    it is a per-shard concatenation (out spec P('d')), shard i holding
+    audio [B, C/n, half] | pwr [B, C/n] | wf [B/n, W, cap] for ITS
+    channel shard / time shard.  Returns global (audio [B, C, half],
+    pwr [B, C], wf [B, W, cap] or None)."""
+    cl = c // n
+    bl = b // n
+    na = b * cl * half * 2
+    npw = b * cl * 4
+    nwf = bl * w * cap if views else 0
+    seg = na + npw + nwf
+    assert packed.size == n * seg, (packed.size, n, seg)
+    audio = np.empty((b, c, half), np.int16)
+    pwr = np.empty((b, c), np.float32)
+    wf = np.empty((b, w, cap), np.int8) if views else None
+    for i in range(n):
+        s = packed[i * seg:(i + 1) * seg]
+        audio[:, i * cl:(i + 1) * cl] = (
+            s[:na].view(np.int16).reshape(b, cl, half))
+        pwr[:, i * cl:(i + 1) * cl] = (
+            s[na:na + npw].view(np.float32).reshape(b, cl))
+        if views:
+            wf[i * bl:(i + 1) * bl] = (
+                s[na + npw:].view(np.int8).reshape(bl, w, cap))
+    return audio, pwr, wf

@@ -85,7 +85,7 @@ class HopOutputs(NamedTuple):
     audio: jnp.ndarray       # [B, C, A/2] int16
     avg_power: jnp.ndarray   # [B, C] f32
     wf: jnp.ndarray          # [D, W, view_cap] int8 client waterfall views
-    #                          (D = due hops in the batch; [0,...] when off)
+    #                          (D = due_cap gather rows; [0,...] when off)
     pyramid: jnp.ndarray     # [B, P] full int8 pyramid ('full' mode only)
     packed: jnp.ndarray      # [X] int8: audio|avg_power|wf bitcast-packed
     #                          into ONE buffer -- the serving loop fetches
@@ -156,18 +156,27 @@ def gather_waterfall_views(pyr_flat: jnp.ndarray, views: WaterfallViews,
     return jnp.where(valid, rows, jnp.int8(0))
 
 
-def waterfall_due_positions(cfg: ServerConfig) -> list[int]:
-    """Static in-batch hop positions on the skip_num cadence
-    (src/fft.cpp:33-34,100-105), valid when frame0 % skip == 0.
+def waterfall_due_cap(cfg: ServerConfig) -> int:
+    """Static row count of the device waterfall-view gather: the max
+    number of hops in one batch that can land on the skip_num cadence
+    (src/fft.cpp:33-34,100-105).  ceil(B / skip), at least 1."""
+    return max(1, -(-cfg.hop_batch // cfg.skip_num))
 
-    skip_num <= B with skip | B: every step has the same due pattern.
-    skip_num > B (or non-dividing): fall back to all positions; the
-    host filters by (frame0 + h) % skip == 0.
+
+def waterfall_due_positions(cfg: ServerConfig, frame0: int = 0) -> list[int]:
+    """In-batch hop positions h with (frame0 + h) % skip_num == 0.
+
+    May be empty (skip_num > hop_batch between due frames); the driver
+    then runs the step with waterfall='off'.
     """
-    b, skip = cfg.hop_batch, cfg.skip_num
-    if skip <= b and b % skip == 0:
-        return list(range(0, b, skip))
-    return list(range(b))
+    skip = cfg.skip_num
+    return [h for h in range(cfg.hop_batch) if (frame0 + h) % skip == 0]
+
+
+def pad_due_positions(due: list[int], cap: int) -> list[int]:
+    """Pad a (non-empty) due list to the static gather size by repeating
+    the last position; consumers slice [:len(due)] rows."""
+    return due + [due[-1]] * (cap - len(due))
 
 
 def audio_from_spectra(
@@ -178,23 +187,32 @@ def audio_from_spectra(
     spec_ext: jnp.ndarray,       # [B, R+A]
     chans: ChannelTable,
     frame0: jnp.ndarray,         # scalar int32: global index of hop 0
-    reset: jnp.ndarray | None = None,  # [C] bool: zero these slots' carries
+    reset: jnp.ndarray | None = None,  # [C] int32 RESET_* mask
 ) -> tuple[AudioState, jnp.ndarray, jnp.ndarray]:
     """Scan the batched demod + DC/AGC/int16 chain over B hops.
 
-    ``reset`` marks channel slots newly (re)assigned to a listener: the
+    ``reset`` (int32 per runtime.registry.RESET_*): 1 = zero ALL of the
+    slot's carries -- a slot newly (re)assigned to a listener; the
     reference allocates fresh per-client scratch on connect
-    (src/signal.cpp:8-79); with dense slot reuse the previous
-    listener's overlap/AGC carries must be zeroed exactly once.
+    (src/signal.cpp:8-79), and with dense slot reuse the previous
+    listener's carries must be zeroed exactly once.  2 = zero only the
+    AGC state -- the reference's agc.reset() on every demodulation
+    command (src/signal.cpp:315-328, utils/audioprocessing.cpp:70-74).
     """
     a = cfg.audio_fft_size
     b = spec_ext.shape[0]
 
     if reset is not None:
-        def zero_row(x):
-            mask = reset.reshape((-1,) + (1,) * (x.ndim - 1))
-            return jnp.where(mask, jnp.zeros((), x.dtype), x)
-        audio_state = jax.tree.map(zero_row, audio_state)
+        def zero_rows(x, mask):
+            m = mask.reshape((-1,) + (1,) * (x.ndim - 1))
+            return jnp.where(m, jnp.zeros((), x.dtype), x)
+        full = reset == 1
+        agc_too = reset >= 1
+        audio_state = AudioState(
+            chan=jax.tree.map(lambda x: zero_rows(x, full), audio_state.chan),
+            dc=jax.tree.map(lambda x: zero_rows(x, full), audio_state.dc),
+            agc=jax.tree.map(lambda x: zero_rows(x, agc_too), audio_state.agc),
+        )
 
     def hop_body(carry, inputs):
         chan_st, dc_st, agc_st = carry
@@ -232,7 +250,7 @@ class HopPipeline:
         # wire scalars per hop: H reals or 2H for IQ
         self.wire_per_hop = cfg.hop_size * (1 if cfg.is_real else 2)
         self.view_cap = 2 * cfg.waterfall_size
-        self.due_positions = waterfall_due_positions(cfg)
+        self.due_cap = waterfall_due_cap(cfg)
         self._steps = {
             mode: jax.jit(partial(self._step, waterfall=mode),
                           donate_argnums=(0,))
@@ -259,7 +277,8 @@ class HopPipeline:
 
     # ------------------------------------------------------------------
     def _step(self, state: HopState, raw: jnp.ndarray, chans: ChannelTable,
-              views: WaterfallViews, reset: jnp.ndarray, waterfall: str
+              views: WaterfallViews, reset: jnp.ndarray,
+              due_idx: jnp.ndarray, waterfall: str
               ) -> tuple[HopState, HopOutputs]:
         cfg = self.cfg
         b = self.hop_batch
@@ -275,9 +294,12 @@ class HopPipeline:
             if waterfall == "full":
                 pyr = pyr_full
                 wf = jnp.zeros((0, w, self.view_cap), jnp.int8)
-            else:  # views
+            else:  # views: gather ONLY the cadence-due hops' rows -- the
+                # host passes the per-step due positions (padded to the
+                # static due_cap), so non-dividing skip_num configs don't
+                # ship every hop's views over the link
                 pyr = jnp.zeros((b, 0), jnp.int8)
-                due = pyr_full[jnp.asarray(self.due_positions)]
+                due = pyr_full[due_idx]
                 wf = gather_waterfall_views(due, views, self.view_cap)
 
         spec_ext = extend_spectrum(spec, cfg.is_real, r, a)
@@ -300,21 +322,32 @@ class HopPipeline:
         return WaterfallViews(start=jnp.zeros((n,), jnp.int32),
                               length=jnp.zeros((n,), jnp.int32))
 
+    def default_due_idx(self, frame0: int = 0) -> jnp.ndarray:
+        """[due_cap] int32 gather positions for a given step's frame0."""
+        due = waterfall_due_positions(self.cfg, frame0) or [0]
+        return jnp.asarray(pad_due_positions(due, self.due_cap), jnp.int32)
+
     def step(self, state: HopState, raw: jnp.ndarray, chans: ChannelTable,
              views: WaterfallViews | None = None, waterfall: str = "views",
              reset: jnp.ndarray | None = None,
+             due_idx: jnp.ndarray | None = None,
              ) -> tuple[HopState, HopOutputs]:
         """raw: [(B+1) * hop_size] wire samples (halo prepended by host).
 
         waterfall: 'views' (serve client views, the production mode),
         'full' (whole pyramid, testing/debug), 'off'.
-        reset: [C] bool, one-shot zeroing of (re)assigned slots' carries.
+        reset: [C] int32 RESET_* mask, one-shot carry zeroing.
+        due_idx: [due_cap] int32 in-batch hop positions whose waterfall
+        views to gather ('views' mode; defaults to the frame0=0 cadence).
         """
         if views is None:
             views = self.empty_views()
         if reset is None:
-            reset = jnp.zeros((self.num_channels,), bool)
-        return self._steps[waterfall](state, raw, chans, views, reset)
+            reset = jnp.zeros((self.num_channels,), jnp.int32)
+        if due_idx is None:
+            due_idx = self.default_due_idx()
+        return self._steps[waterfall](state, raw, chans, views, reset,
+                                      due_idx)
 
 
 def channels_from_numpy(l, r, m_idx, mode, active) -> ChannelTable:

@@ -26,6 +26,7 @@ from ..config import ServerConfig
 from ..ops.convert import wire_dtype, host_preconvert
 from ..pipeline import (
     HopPipeline, WaterfallViews, channels_from_numpy, unpack_outputs,
+    waterfall_due_positions, pad_due_positions,
 )
 
 
@@ -134,6 +135,7 @@ class DSPDriver:
         self._table = None
         self._views_version = -1
         self._views = None
+        self._wf_meta = None  # (l, r, level) arrays snapshotted with views
 
     # ------------------------------------------------------------------
     def start(self):
@@ -161,20 +163,26 @@ class DSPDriver:
             self._queue.put(block)
 
     def _refresh_table(self):
+        """Refresh device tables; returns the one-shot reset mask (int32
+        RESET_* codes) taken atomically WITH the channel table snapshot,
+        so a fresh slot's reset and its table row reach the device in the
+        same step."""
         import jax.numpy as jnp
 
-        v, arrays = self.registry.snapshot()
+        v, arrays, resets = self.registry.snapshot()
         if v != self._table_version or self._table is None:
             self._table = channels_from_numpy(*arrays)
             self._table_version = v
         if self.wf_registry is not None:
-            wv, start, length = self.wf_registry.snapshot()
+            wv, start, length, meta = self.wf_registry.snapshot()
             if wv != self._views_version or self._views is None:
                 self._views = WaterfallViews(
                     start=jnp.asarray(start), length=jnp.asarray(length))
                 self._views_version = wv
+                self._wf_meta = meta
         elif self._views is None:
             self._views = self.pipe.empty_views()
+        return resets
 
     def _device_loop(self):
         import jax
@@ -183,7 +191,8 @@ class DSPDriver:
         cfg = self.cfg
         state = self.pipe.init_state()
         scalars_per_sample = 1 if cfg.is_real else 2
-        pending = None  # (frame0, packed_device_array, want_wf, t_start)
+        # (frame0, packed_device_array, due_list_or_None, wf_meta, t_start)
+        pending = None
 
         # Pre-compile both step variants (and warm the output transfer
         # layouts) before serving: compilation of the big-FFT pipeline
@@ -215,7 +224,7 @@ class DSPDriver:
             nonlocal pending
             if pending is None:
                 return
-            frame0, packed_dev, want_wf, t0 = pending
+            frame0, packed_dev, due, wf_meta, t0 = pending
             pending = None
             try:
                 packed = np.asarray(packed_dev)
@@ -225,7 +234,7 @@ class DSPDriver:
                 return
             w = (self.wf_registry.max_slots if self.wf_registry
                  else 1)
-            d = len(self.pipe.due_positions) if want_wf else 0
+            d = self.pipe.due_cap if due is not None else 0
             audio, pwr, wf = unpack_outputs(
                 packed, cfg.hop_batch, self.pipe.num_channels,
                 cfg.audio_fft_size // 2, d, w, self.pipe.view_cap,
@@ -233,8 +242,9 @@ class DSPDriver:
             self.metrics.step_seconds.append(time.monotonic() - t0)
             try:
                 self.consumer(frame0, audio, pwr,
-                              wf if want_wf else None,
-                              self.pipe.due_positions)
+                              wf if due is not None else None,
+                              due if due is not None else [],
+                              wf_meta)
             except Exception:
                 import traceback
 
@@ -258,17 +268,23 @@ class DSPDriver:
                 self.metrics.idle_frames += cfg.hop_batch
                 self.metrics.frames += cfg.hop_batch
                 continue
-            self._refresh_table()
-            want_wf = self.waterfall_active() and self._waterfall_due()
-            mode = "views" if want_wf else "off"
+            resets = self._refresh_table()
+            frame0 = self.metrics.frames
+            due = (waterfall_due_positions(cfg, frame0)
+                   if self.waterfall_active() else [])
+            mode = "views" if due else "off"
             t0 = time.monotonic()
-            resets = self.registry.take_resets()
             if resets is not None:
                 resets = jnp.asarray(resets)
+            due_idx = (jnp.asarray(
+                pad_due_positions(due, self.pipe.due_cap), jnp.int32)
+                if due else None)
+            wf_meta = self._wf_meta
             try:
                 raw = jnp.asarray(host_preconvert(block, cfg.input_format))
                 state, out = self.pipe.step(state, raw, self._table,
-                                            self._views, mode, reset=resets)
+                                            self._views, mode, reset=resets,
+                                            due_idx=due_idx)
             except Exception as e:
                 # surface device errors instead of silently killing the
                 # DSP thread (SURVEY.md section 5: failure detection);
@@ -282,17 +298,9 @@ class DSPDriver:
                 state = self.pipe.init_state()
                 self.metrics.frames += cfg.hop_batch
                 continue
-            frame0 = self.metrics.frames
             self.metrics.frames += cfg.hop_batch
             # one step in flight: fetch the previous step's outputs only
             # after this one is dispatched (overlaps transfer & compute)
             flush_pending()
-            pending = (frame0, out.packed, want_wf, t0)
+            pending = (frame0, out.packed, due if due else None, wf_meta, t0)
         flush_pending()
-
-    def _waterfall_due(self) -> bool:
-        """Any hop in the upcoming batch on the skip_num cadence
-        (src/fft.cpp:33-34,100-105)?"""
-        cfg = self.cfg
-        f0 = self.metrics.frames
-        return any((f0 + i) % cfg.skip_num == 0 for i in range(cfg.hop_batch))

@@ -20,6 +20,11 @@ from ..config import ServerConfig
 
 MODE_CODES = {"USB": 0, "LSB": 1, "AM": 2, "FM": 3}
 
+# Device reset-mask codes (pipeline.audio_from_spectra):
+RESET_NONE = 0   # keep carries
+RESET_FULL = 1   # zero all carries (fresh slot: overlap, DC, AGC)
+RESET_AGC = 2    # zero only the AGC (demodulation change, signal.cpp:327)
+
 
 @dataclass
 class AudioSlot:
@@ -56,7 +61,8 @@ class ChannelRegistry:
         self.mode = np.zeros(c, np.int32)
         self.active = np.zeros(c, bool)
         self.version = 0  # bumped on any change; driver re-uploads the table
-        self._fresh: set[int] = set()  # slots needing a one-shot state reset
+        self._fresh: set[int] = set()      # slots needing a full state reset
+        self._agc_fresh: set[int] = set()  # slots needing an AGC-only reset
 
     # -------------------------------------------------------------- slots
     def acquire(self, unique_id: str) -> AudioSlot | None:
@@ -76,6 +82,8 @@ class ChannelRegistry:
             if slot.slot in self.slots:
                 del self.slots[slot.slot]
                 self.active[slot.slot] = False
+                self._fresh.discard(slot.slot)
+                self._agc_fresh.discard(slot.slot)
                 self._free.append(slot.slot)
                 self.version += 1
 
@@ -111,32 +119,47 @@ class ChannelRegistry:
             self.version += 1
 
     def set_mode(self, slot: AudioSlot, mode: str) -> bool:
-        if mode not in MODE_CODES:
-            return False
+        """Demodulation change.  The reference resets the client's AGC on
+        EVERY demodulation message, even an unrecognized mode string
+        (src/signal.cpp:315-328: the branch chain may all miss, agc.reset()
+        runs unconditionally)."""
         with self._lock:
+            self._agc_fresh.add(slot.slot)
+            self.version += 1
+            if mode not in MODE_CODES:
+                return False
             slot.mode = mode
             self.mode[slot.slot] = MODE_CODES[mode]
-            self.version += 1
             return True
 
     # ------------------------------------------------------------- device
-    def snapshot(self) -> tuple[int, tuple[np.ndarray, ...]]:
+    def snapshot(self) -> tuple[int, tuple[np.ndarray, ...], np.ndarray | None]:
+        """Atomic (version, table arrays, one-shot reset mask).
+
+        The reset mask is int32 per RESET_* codes.  Full resets are only
+        consumed for slots that are *active in this same snapshot*: a
+        freshly acquired slot whose default range hasn't been applied yet
+        stays pending, so the reset and the slot's table row always reach
+        the device in the same step (otherwise the slot runs a step of
+        silence post-reset and the AGC gain ramps to ~2e9 before real
+        audio arrives -- a full-scale blast on connect)."""
         with self._lock:
+            mask = None
+            if self._fresh or self._agc_fresh:
+                mask = np.zeros(self.l.shape[0], np.int32)
+                for s in self._agc_fresh:
+                    mask[s] = RESET_AGC
+                self._agc_fresh.clear()
+                consumed = {s for s in self._fresh if self.active[s]}
+                for s in consumed:
+                    mask[s] = RESET_FULL
+                self._fresh -= consumed
+                if not mask.any():
+                    mask = None
             return self.version, (
                 self.l.copy(), self.r.copy(), self.m_idx.copy(),
                 self.mode.copy(), self.active.copy(),
-            )
-
-    def take_resets(self) -> np.ndarray | None:
-        """One-shot [C] bool mask of newly assigned slots (None if none)."""
-        with self._lock:
-            if not self._fresh:
-                return None
-            mask = np.zeros(self.l.shape[0], bool)
-            for s in self._fresh:
-                mask[s] = True
-            self._fresh.clear()
-            return mask
+            ), mask
 
     @property
     def count(self) -> int:
@@ -163,6 +186,13 @@ class WaterfallRegistry:
         self.clients: dict[int, WaterfallSlot] = {}
         self.start = np.zeros(n, np.int32)
         self.length = np.zeros(n, np.int32)
+        # per-slot display coordinates, snapshotted WITH the view table so
+        # packets emitted for a pipelined-in-flight step carry the l/r the
+        # rows were actually gathered at (a retune between submit and
+        # dispatch must not relabel old bytes)
+        self.l = np.zeros(n, np.int32)
+        self.r = np.zeros(n, np.int32)
+        self.level = np.zeros(n, np.int32)
         self.version = 0
         self.view_cap = 2 * cfg.waterfall_size
 
@@ -189,6 +219,7 @@ class WaterfallRegistry:
     def _set_view(self, cid: int, ws: WaterfallSlot) -> None:
         self.start[cid] = self.level_offsets[ws.level] + ws.l
         self.length[cid] = min(ws.r - ws.l, self.view_cap)
+        self.l[cid], self.r[cid], self.level[cid] = ws.l, ws.r, ws.level
         self.version += 1
 
     def retune(self, cid: int, ws: WaterfallSlot, new_l: int, new_r: int) -> None:
@@ -219,9 +250,13 @@ class WaterfallRegistry:
             ws.level, ws.l, ws.r = best_level, sel_l, sel_r
             self._set_view(cid, ws)
 
-    def snapshot(self) -> tuple[int, np.ndarray, np.ndarray]:
+    def snapshot(self) -> tuple[int, np.ndarray, np.ndarray,
+                                tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """(version, start, length, (l, r, level)) -- the coordinate
+        triple rides with each submitted step (see class docstring)."""
         with self._lock:
-            return self.version, self.start.copy(), self.length.copy()
+            return (self.version, self.start.copy(), self.length.copy(),
+                    (self.l.copy(), self.r.copy(), self.level.copy()))
 
     @property
     def count(self) -> int:

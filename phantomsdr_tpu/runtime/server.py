@@ -50,11 +50,18 @@ def _generate_unique_id() -> str:
 class _SendQueue:
     """Single-writer outbound queue per websocket: dispatch enqueues,
     one sender task drains -- concurrent ws.send_* calls can interleave
-    frame fragments, and ordering must be preserved per client."""
+    frame fragments, and ordering must be preserved per client.
+
+    Tracks outstanding (queued + in-flight) bytes: that is the slow-client
+    backpressure signal (src/websocket.cpp:174,222's 50 kB socket-backlog
+    gate).  When the peer stops reading, aiohttp's writer blocks the
+    sender task on TCP drain, the queue backs up, and `backlogged`
+    trips -- no aiohttp-private transport introspection needed."""
 
     def __init__(self, ws: web.WebSocketResponse, maxsize: int = 256):
         self.ws = ws
         self.q: asyncio.Queue = asyncio.Queue(maxsize=maxsize)
+        self.outstanding_bytes = 0
         self.task = asyncio.create_task(self._run())
 
     async def _run(self):
@@ -63,19 +70,27 @@ class _SendQueue:
                 data = await self.q.get()
                 if data is None:
                     break
-                if isinstance(data, str):
-                    await self.ws.send_str(data)
-                else:
-                    await self.ws.send_bytes(data)
+                try:
+                    if isinstance(data, str):
+                        await self.ws.send_str(data)
+                    else:
+                        await self.ws.send_bytes(data)
+                finally:
+                    self.outstanding_bytes -= len(data)
         except (ConnectionError, asyncio.CancelledError, RuntimeError):
             pass
 
     def send_nowait(self, data) -> bool:
         try:
             self.q.put_nowait(data)
-            return True
         except asyncio.QueueFull:
             return False
+        self.outstanding_bytes += len(data)
+        return True
+
+    @property
+    def backlogged(self) -> bool:
+        return self.outstanding_bytes > BACKPRESSURE_LIMIT
 
     def close(self):
         self.task.cancel()
@@ -119,10 +134,9 @@ class AudioConn:
         elif name == "demodulation":
             mode = cmd.get("demodulation")
             if isinstance(mode, str):
+                # also queues a one-shot device-side AGC reset, exactly
+                # like the reference's agc.reset() (src/signal.cpp:327)
                 self.server.channels.set_mode(self.slot, mode)
-                # mode switch resets the AGC in the reference
-                # (src/signal.cpp:327); our AGC state is device-side and
-                # converges in ~release-time; acceptable transient.
         elif name == "userid":
             uid = cmd.get("userid")
             if isinstance(uid, str):
@@ -176,7 +190,10 @@ class SpectrumServer:
                                        cfg.downsample_levels))
         self.audio_conns: dict[int, AudioConn] = {}       # slot -> conn
         self.wf_conns: dict[int, WaterfallConn] = {}      # cid -> conn
-        self.event_conns: set[web.WebSocketResponse] = set()
+        # /events sockets each get their own _SendQueue: two concurrent
+        # send_str coroutines on one WebSocketResponse can interleave
+        # frames, so broadcasts are enqueued, never fire-and-forget
+        self.event_conns: dict[web.WebSocketResponse, _SendQueue] = {}
         self.signal_changes: dict[str, tuple[int, float, int]] = {}
         self.level_offsets = pyramid_level_offsets(
             cfg.fft_result_size, cfg.downsample_levels
@@ -298,12 +315,14 @@ class SpectrumServer:
             await ws.close()
             return ws
         await ws.send_str(self.initial_state_info())
-        self.event_conns.add(ws)
+        q = _SendQueue(ws)
+        self.event_conns[ws] = q
         try:
             async for _ in ws:
                 pass  # ignore messages (src/events.cpp:78-80)
         finally:
-            self.event_conns.discard(ws)
+            q.close()
+            self.event_conns.pop(ws, None)
         return ws
 
     async def _http_metrics(self, request: web.Request):
@@ -372,31 +391,20 @@ class SpectrumServer:
             }
             self.signal_changes = {}
             msg = json.dumps(info)
-            for ws in list(self.event_conns):
-                self._send_nowait(ws, msg, binary=False)
+            for q in list(self.event_conns.values()):
+                q.send_nowait(msg)
 
     # -------------------------------------------------------- dispatch
-    def _backlogged(self, ws: web.WebSocketResponse) -> bool:
-        """Slow-client gate (src/websocket.cpp:174,222): skip, don't queue."""
-        try:
-            transport = ws._writer.transport  # noqa: SLF001
-            return transport.get_write_buffer_size() > BACKPRESSURE_LIMIT
-        except Exception:
-            return False
-
-    def _send_nowait(self, ws, data, binary=True):
-        """Fire-and-forget send for broadcast (non-per-client-ordered) paths."""
-        if ws.closed:
-            return
-        coro = ws.send_bytes(data) if binary else ws.send_str(data)
-        task = asyncio.ensure_future(coro)
-        task.add_done_callback(lambda t: t.exception())
-
     def dispatch(self, frame0: int, audio: np.ndarray, pwr: np.ndarray,
-                 wf: np.ndarray | None, due_positions: list[int]):
+                 wf: np.ndarray | None, due_positions: list[int],
+                 wf_meta=None):
         """Called (via call_soon_threadsafe) with one device batch:
         audio [B, C, A/2] int16, pwr [B, C], wf [D, W, view_cap] int8
-        client waterfall views for the batch's due hop positions."""
+        client waterfall views for the batch's due hop positions.
+        wf_meta: (l, r, level) per-cid arrays snapshotted when the step
+        was SUBMITTED -- packets must be labeled with the coordinates the
+        rows were gathered at, not the registry's current (possibly
+        retuned-in-flight) values."""
         cfg = self.cfg
         b = audio.shape[0]
         # ---- audio ----
@@ -404,7 +412,7 @@ class SpectrumServer:
             s = conn.slot
             if not self.channels.active[slot_id]:
                 continue
-            if self._backlogged(conn.ws):
+            if conn.out.backlogged:
                 continue
             for h in range(b):
                 pcm = audio[h, slot_id]
@@ -426,38 +434,39 @@ class SpectrumServer:
         if wf is None or wf.shape[0] == 0:
             return
         for cid, conn in list(self.wf_conns.items()):
-            ws_slot = conn.slot
-            if self._backlogged(conn.ws):
+            if conn.out.backlogged:
                 continue
-            n = ws_slot.r - ws_slot.l
+            if wf_meta is not None:
+                sl, sr, slev = (int(wf_meta[0][cid]), int(wf_meta[1][cid]),
+                                int(wf_meta[2][cid]))
+            else:  # direct-dispatch callers (tests) with no pipelining race
+                ws_slot = conn.slot
+                sl, sr, slev = ws_slot.l, ws_slot.r, ws_slot.level
+            n = min(sr - sl, wf.shape[2])
             for d, h in enumerate(due_positions):
                 if (frame0 + h) % cfg.skip_num != 0:
-                    continue  # host-side cadence filter (skip > batch case)
+                    continue  # guard against stale due lists
                 row = wf[d, cid, :n]
                 if conn.av1 is not None:
                     # AV1: frame bytes go out raw, headers ride the T.35
                     # metadata OBU (src/waterfallcompression.cpp:84-125)
                     frame_bytes = conn.av1.send(
-                        row.tobytes(), frame0 + h,
-                        ws_slot.l << ws_slot.level,
-                        ws_slot.r << ws_slot.level,
+                        row.tobytes(), frame0 + h, sl << slev, sr << slev,
                     )
                     if frame_bytes:
                         conn.out.send_nowait(frame_bytes)
                     continue
                 pkt = cbor.waterfall_packet(
-                    frame0 + h,
-                    ws_slot.l << ws_slot.level,
-                    ws_slot.r << ws_slot.level,
-                    row.tobytes(),
+                    frame0 + h, sl << slev, sr << slev, row.tobytes(),
                 )
                 conn.out.send_nowait(conn.encoder.compress(pkt))
 
-    def dispatch_threadsafe(self, frame0, audio, pwr, wf, due_positions):
+    def dispatch_threadsafe(self, frame0, audio, pwr, wf, due_positions,
+                            wf_meta=None):
         if self.loop is None:
             return
         self.loop.call_soon_threadsafe(
-            self.dispatch, frame0, audio, pwr, wf, due_positions
+            self.dispatch, frame0, audio, pwr, wf, due_positions, wf_meta
         )
 
     # ---------------------------------------------------------- state

@@ -61,7 +61,7 @@ def test_driver_end_to_end_with_consumer():
     got = []
     done = threading.Event()
 
-    def consumer(frame0, audio, pwr, wfviews, due):
+    def consumer(frame0, audio, pwr, wfviews, due, wf_meta):
         got.append((frame0, audio.shape, None if wfviews is None
                     else wfviews.shape, list(due)))
         if len(got) >= nblocks:
@@ -81,9 +81,14 @@ def test_driver_end_to_end_with_consumer():
     b, c, half = got[0][1]
     assert (b, c, half) == (cfg.hop_batch, cfg.max_channels,
                             cfg.audio_fft_size // 2)
-    # waterfall views present (skip_num=1 at this config -> every hop due)
+    # skip_num (18) > hop_batch (2) at this config: only the frame0=0
+    # batch has a due hop; later batches carry no waterfall at all
+    # (the due-restricted gather ships zero wf bytes for them)
+    assert cfg.skip_num > cfg.hop_batch
     assert got[0][2] is not None
     assert got[0][2][1] == 4  # max wf slots
+    assert got[0][3] == [0]   # exact due positions
+    assert got[1][2] is None and got[1][3] == []
     assert drv.metrics.eof
     assert drv.metrics.device_errors == 0
 

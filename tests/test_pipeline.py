@@ -153,10 +153,13 @@ def test_pipeline_waterfall_views_match_full():
     st_b = pipe.init_state()
     _, out_views = pipe.step(st_b, raw, table, views, waterfall="views")
 
+    from phantomsdr_tpu.pipeline import waterfall_due_positions
+
     full = np.asarray(out_full.pyramid)
     got = np.asarray(out_views.wf)
-    assert got.shape[0] == len(pipe.due_positions)
-    for d, h in enumerate(pipe.due_positions):
+    assert got.shape[0] == pipe.due_cap
+    due = waterfall_due_positions(cfg)
+    for d, h in enumerate(due):
         for w in range(3):
             s = int(views.start[w])
             n = int(views.length[w])
@@ -178,8 +181,8 @@ def test_reset_mask_zeroes_slot_state():
     # run one step to accumulate carries, then reset slot 1 only and
     # compare against a fresh-state run: slot 1 must match fresh exactly
     st, _ = pipe.step(pipe.init_state(), raw, table, waterfall="off")
-    reset = np.zeros(cfg.max_channels, bool)
-    reset[1] = True
+    reset = np.zeros(cfg.max_channels, np.int32)
+    reset[1] = 1  # RESET_FULL
     st_r, out_r = pipe.step(st, raw, table, waterfall="off",
                             reset=jnp.asarray(reset))
     fresh = pipe.init_state()

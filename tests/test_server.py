@@ -109,8 +109,8 @@ def synth_outputs(cfg, server, frame0=0):
     pwr = np.abs(rng.standard_normal((b, c))).astype(np.float32)
     p = sum(cfg.fft_result_size >> i for i in range(cfg.downsample_levels))
     pyr = rng.integers(-128, 127, size=(b, p), dtype=np.int8)
-    due = waterfall_due_positions(cfg)
-    _, start, length = server.waterfalls.snapshot()
+    due = waterfall_due_positions(cfg, frame0)
+    _, start, length, _meta = server.waterfalls.snapshot()
     w = start.shape[0]
     cap = server.waterfalls.view_cap
     wf = np.zeros((len(due), w, cap), np.int8)
@@ -258,6 +258,77 @@ async def test_events_and_metrics(cfg):
         assert m["audio_clients"] == 1
         await ws_a.close()
         await ws_e.close()
+    finally:
+        await client.close()
+
+
+@async_test
+async def test_sendqueue_backpressure_accounting():
+    """The 50 kB slow-client gate (src/websocket.cpp:174,222) now rides
+    the per-connection _SendQueue's outstanding-byte counter instead of
+    aiohttp-private transport internals."""
+    from phantomsdr_tpu.runtime.server import _SendQueue, BACKPRESSURE_LIMIT
+
+    class StubWS:
+        closed = False
+
+        def __init__(self):
+            self.sent = []
+            self.gate = asyncio.Event()
+
+        async def send_bytes(self, b):
+            await self.gate.wait()
+            self.sent.append(b)
+
+        async def send_str(self, s):
+            await self.gate.wait()
+            self.sent.append(s)
+
+    ws = StubWS()
+    q = _SendQueue(ws)
+    assert not q.backlogged
+    chunk = b"x" * 10_000
+    for _ in range(6):  # 60 kB queued while the peer stalls
+        assert q.send_nowait(chunk)
+    await asyncio.sleep(0.01)
+    assert q.outstanding_bytes > BACKPRESSURE_LIMIT
+    assert q.backlogged
+    ws.gate.set()  # peer drains
+    for _ in range(100):
+        await asyncio.sleep(0.01)
+        if not q.backlogged:
+            break
+    assert not q.backlogged and q.outstanding_bytes == 0
+    assert len(ws.sent) == 6
+    q.close()
+
+
+@async_test
+async def test_dispatch_uses_submitted_waterfall_coordinates(cfg):
+    """A retune between step submit and dispatch must not relabel the
+    already-gathered rows with the new l/r (ADVICE round 1)."""
+    import zstandard
+
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        ws = await client.ws_connect("/waterfall")
+        json.loads((await ws.receive()).data)
+        slot = next(iter(server.waterfalls.clients.values()))
+        audio, pwr, wf, due, pyr = synth_outputs(cfg, server)
+        _, _, _, meta = server.waterfalls.snapshot()
+        submitted = (slot.l, slot.r, slot.level)
+        # retune AFTER the step was (conceptually) submitted
+        server.waterfalls.retune(0, slot, 100, 612)
+        assert (slot.l, slot.r, slot.level) != submitted
+        server.dispatch(0, audio, pwr, wf, due, wf_meta=meta)
+        d = zstandard.ZstdDecompressor().decompressobj()
+        msg = await ws.receive(timeout=1.0)
+        p = decode_cbor(d.decompress(msg.data))
+        # packet labeled with the coordinates at submit time
+        assert p["l"] == submitted[0] << submitted[2]
+        assert p["r"] == submitted[1] << submitted[2]
+        await ws.close()
     finally:
         await client.close()
 

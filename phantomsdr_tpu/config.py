@@ -21,6 +21,7 @@ import tomllib
 from dataclasses import dataclass, field
 
 MODE_NAMES = ("USB", "LSB", "AM", "FM")
+OPUS_RATES = (48000, 24000, 16000, 12000, 8000)
 
 
 @dataclass
@@ -76,6 +77,7 @@ class ServerConfig:
     default_l: int = field(default=0)
     default_m: float = field(default=0.0)
     default_r: int = field(default=0)
+    opus_decim: int = field(default=1)
 
     def finalize(self) -> "ServerConfig":
         if self.sps <= 0:
@@ -136,6 +138,20 @@ class ServerConfig:
         # fft.cpp:33 (waterfall ~10 fps throttle)
         self.skip_num = max(1, int(self.sps / self.fft_size / 10.0) * 2)
 
+        # Opus can only run at <=48 kHz (src/audio.cpp:59 clamps the rate
+        # WITHOUT resampling -- a 4x time-stretch at the 192 kHz WBFM
+        # profile).  Deviation (improvement): pick the smallest integer
+        # decimation landing exactly on a legal Opus rate; the stream is
+        # anti-alias filtered + decimated (on device when the hop-batch
+        # geometry divides, ops/polyphase.py) before encoding.
+        self.opus_decim = 1
+        if self.audio_compression == "opus" and self.audio_sps > 48000:
+            for factor in range(2, 65):
+                if (self.audio_sps % factor == 0
+                        and self.audio_sps // factor in OPUS_RATES):
+                    self.opus_decim = factor
+                    break
+
         if not self.register_password:
             self.register_password = secrets.token_hex(16)
         return self
@@ -163,6 +179,20 @@ class ServerConfig:
     @property
     def hop_size(self) -> int:
         return self.fft_size // 2
+
+    @property
+    def device_decim(self) -> bool:
+        """Opus decimation runs ON DEVICE when the per-step sample count
+        divides by the factor (static shapes); otherwise the host
+        fallback in runtime/codecs.py filters per client."""
+        return (self.opus_decim > 1
+                and (self.hop_batch * (self.audio_fft_size // 2))
+                % self.opus_decim == 0)
+
+    @property
+    def opus_rate(self) -> int:
+        """Actual Opus encoder rate after decimation (<=48 kHz)."""
+        return min(self.audio_sps // self.opus_decim, 48000)
 
 
 def load_config(path: str) -> ServerConfig:

@@ -57,7 +57,7 @@ from ..ops import convert
 from ..pipeline import (
     HopState, HopOutputs, WaterfallViews, init_audio_state,
     waterfall_from_spectra, gather_waterfall_views, audio_from_spectra,
-    pack_outputs,
+    pack_outputs, opus_decim_taps,
 )
 from ..ops.fft import forward_spectrum
 
@@ -103,12 +103,17 @@ class ShardedHopPipeline:
             ),
             halo=P("d", None),
         )
+        self.decim_taps = opus_decim_taps(cfg)
         chan_spec = ChannelTable(*(P("d"),) * 5)
         # views are replicated: every time shard gathers ALL clients'
         # views from its local pyramid rows
         views_spec = WaterfallViews(start=P(), length=P())
+        # device Opus decimation flattens audio to channel-sharded
+        # per-channel streams [C, B*half/f]
+        audio_spec = (P("d", None) if self.decim_taps is not None
+                      else P(None, "d", None))
         out_spec = HopOutputs(
-            audio=P(None, "d", None), avg_power=P(None, "d"),
+            audio=audio_spec, avg_power=P(None, "d"),
             wf=P("d", None, None), pyramid=P("d", None), packed=P("d"),
         )
         self._steps = {}
@@ -213,6 +218,7 @@ class ShardedHopPipeline:
         audio_st, audio16, pwr = audio_from_spectra(
             cfg, self.agc_params, self.dc_delay,
             state.inner.audio, all_spec, chans, state.inner.frame, reset,
+            decim_taps=self.decim_taps,
         )
         new_inner = HopState(frame=state.inner.frame + cfg.hop_batch,
                              audio=audio_st)
@@ -245,28 +251,39 @@ class ShardedHopPipeline:
 
 
 def unpack_outputs_sharded(packed: np.ndarray, n: int, b: int, c: int,
-                           half: int, w: int, cap: int, views: bool):
+                           half: int, w: int, cap: int, views: bool,
+                           decim: int = 1):
     """Host-side inverse of the sharded `packed` buffer.
 
     The sharded packed output is NOT pipeline.unpack_outputs-compatible:
     it is a per-shard concatenation (out spec P('d')), shard i holding
     audio [B, C/n, half] | pwr [B, C/n] | wf [B/n, W, cap] for ITS
     channel shard / time shard.  Returns global (audio [B, C, half],
-    pwr [B, C], wf [B, W, cap] or None)."""
+    pwr [B, C], wf [B, W, cap] or None).  With device Opus decimation
+    (decim > 1) audio is [C, B*half/decim] continuous streams."""
     cl = c // n
     bl = b // n
-    na = b * cl * half * 2
+    if decim > 1:
+        la = b * half // decim
+        na = cl * la * 2
+        audio = np.empty((c, la), np.int16)
+    else:
+        na = b * cl * half * 2
+        audio = np.empty((b, c, half), np.int16)
     npw = b * cl * 4
     nwf = bl * w * cap if views else 0
     seg = na + npw + nwf
     assert packed.size == n * seg, (packed.size, n, seg)
-    audio = np.empty((b, c, half), np.int16)
     pwr = np.empty((b, c), np.float32)
     wf = np.empty((b, w, cap), np.int8) if views else None
     for i in range(n):
         s = packed[i * seg:(i + 1) * seg]
-        audio[:, i * cl:(i + 1) * cl] = (
-            s[:na].view(np.int16).reshape(b, cl, half))
+        if decim > 1:
+            audio[i * cl:(i + 1) * cl] = (
+                s[:na].view(np.int16).reshape(cl, la))
+        else:
+            audio[:, i * cl:(i + 1) * cl] = (
+                s[:na].view(np.int16).reshape(b, cl, half))
         pwr[:, i * cl:(i + 1) * cl] = (
             s[na:na + npw].view(np.float32).reshape(b, cl))
         if views:

@@ -51,6 +51,9 @@ from .ops.agc import (
     AGCParams, AGCState, DCBlockerState, dc_blocker, dc_blocker_delay,
     init_dc_state, agc_process, make_agc_params, init_agc_state,
 )
+from .ops.polyphase import (
+    DecimatorState, init_decimator_state, decimator_taps, polyphase_decimate,
+)
 
 
 class AudioState(NamedTuple):
@@ -59,6 +62,7 @@ class AudioState(NamedTuple):
     chan: ChannelState
     dc: "DCBlockerState"
     agc: "AGCState"
+    dec: "DecimatorState"   # polyphase filter tail ([C, 0] when no decim)
 
 
 class HopState(NamedTuple):
@@ -82,7 +86,9 @@ class WaterfallViews(NamedTuple):
 
 
 class HopOutputs(NamedTuple):
-    audio: jnp.ndarray       # [B, C, A/2] int16
+    audio: jnp.ndarray       # [B, C, A/2] int16 -- or, with device Opus
+    #                          decimation, [C, B*A/2/decim] continuous
+    #                          per-channel streams (see audio_from_spectra)
     avg_power: jnp.ndarray   # [B, C] f32
     wf: jnp.ndarray          # [D, W, view_cap] int8 client waterfall views
     #                          (D = due_cap gather rows; [0,...] when off)
@@ -102,22 +108,41 @@ def pack_outputs(audio16: jnp.ndarray, pwr: jnp.ndarray,
 
 
 def unpack_outputs(packed: "np.ndarray", b: int, c: int, half: int,
-                   d: int, w: int, cap: int):
-    """Host-side inverse of pack_outputs (zero-copy numpy views)."""
-    na = b * c * half * 2
+                   d: int, w: int, cap: int, decim: int = 1):
+    """Host-side inverse of pack_outputs (zero-copy numpy views).
+
+    decim > 1 (device Opus decimation): audio is the per-channel
+    continuous decimated stream [C, B*half/decim] instead of the
+    per-hop framing [B, C, half]."""
+    if decim > 1:
+        ashape: tuple = (c, b * half // decim)
+    else:
+        ashape = (b, c, half)
+    na = int(np.prod(ashape)) * 2
     np_ = b * c * 4
-    audio = packed[:na].view(np.int16).reshape(b, c, half)
+    audio = packed[:na].view(np.int16).reshape(ashape)
     pwr = packed[na:na + np_].view(np.float32).reshape(b, c)
     wf = packed[na + np_:].view(np.int8).reshape(d, w, cap)
     return audio, pwr, wf
 
 
+def opus_decim_taps(cfg: ServerConfig) -> np.ndarray | None:
+    """Anti-alias prototype for the device Opus decimator (None when
+    decimation is off or falls back to host)."""
+    if not cfg.device_decim:
+        return None
+    return decimator_taps(cfg.opus_decim, taps_per_phase=12)
+
+
 def init_audio_state(cfg: ServerConfig, num_channels: int,
                      agc_params: AGCParams, dc_delay: int) -> AudioState:
+    taps = opus_decim_taps(cfg)
+    num_taps = taps.shape[0] if taps is not None else 1
     return AudioState(
         chan=init_channel_state(num_channels, cfg.audio_fft_size),
         dc=init_dc_state(num_channels, dc_delay),
         agc=init_agc_state(num_channels, agc_params.window),
+        dec=init_decimator_state(num_channels, num_taps),
     )
 
 
@@ -188,6 +213,7 @@ def audio_from_spectra(
     chans: ChannelTable,
     frame0: jnp.ndarray,         # scalar int32: global index of hop 0
     reset: jnp.ndarray | None = None,  # [C] int32 RESET_* mask
+    decim_taps: np.ndarray | None = None,  # device Opus decimation
 ) -> tuple[AudioState, jnp.ndarray, jnp.ndarray]:
     """Scan the batched demod + DC/AGC/int16 chain over B hops.
 
@@ -212,6 +238,7 @@ def audio_from_spectra(
             chan=jax.tree.map(lambda x: zero_rows(x, full), audio_state.chan),
             dc=jax.tree.map(lambda x: zero_rows(x, full), audio_state.dc),
             agc=jax.tree.map(lambda x: zero_rows(x, agc_too), audio_state.agc),
+            dec=jax.tree.map(lambda x: zero_rows(x, full), audio_state.dec),
         )
 
     def hop_body(carry, inputs):
@@ -226,14 +253,30 @@ def audio_from_spectra(
         )
         dc_st, audio = dc_blocker(dc_st, audio, dc_delay)
         agc_st, audio = agc_process(agc_st, audio, agc_params)
-        return (chan_st, dc_st, agc_st), (float_to_int16(audio), pwr)
+        return (chan_st, dc_st, agc_st), (audio, pwr)
 
     frames_idx = frame0 + jnp.arange(b, dtype=jnp.int32)
-    (chan_st, dc_st, agc_st), (audio16, pwr) = jax.lax.scan(
+    (chan_st, dc_st, agc_st), (audio_f, pwr) = jax.lax.scan(
         hop_body, (audio_state.chan, audio_state.dc, audio_state.agc),
         (spec_ext, frames_idx),
     )
-    return AudioState(chan=chan_st, dc=dc_st, agc=agc_st), audio16, pwr
+
+    dec_st = audio_state.dec
+    if decim_taps is not None:
+        # device Opus decimation (replaces the reference's rate-clamp
+        # wart, src/audio.cpp:59): the batch's audio becomes ONE
+        # continuous per-channel stream, anti-alias filtered and
+        # decimated with the filter tail carried across steps.  The
+        # per-hop framing is gone on purpose -- Opus frames span hops
+        # anyway (src/audio.cpp:63-84's partial-frame queue).
+        f = cfg.opus_decim
+        stream = audio_f.transpose(1, 0, 2).reshape(chans.l.shape[0], -1)
+        dec_st, dec_out = polyphase_decimate(dec_st, stream, decim_taps, f)
+        audio16 = float_to_int16(dec_out)                 # [C, B*half/f]
+    else:
+        audio16 = float_to_int16(audio_f)                 # [B, C, half]
+    return (AudioState(chan=chan_st, dc=dc_st, agc=agc_st, dec=dec_st),
+            audio16, pwr)
 
 
 class HopPipeline:
@@ -251,6 +294,7 @@ class HopPipeline:
         self.wire_per_hop = cfg.hop_size * (1 if cfg.is_real else 2)
         self.view_cap = 2 * cfg.waterfall_size
         self.due_cap = waterfall_due_cap(cfg)
+        self.decim_taps = opus_decim_taps(cfg)  # host numpy; embeds in jit
         self._steps = {
             mode: jax.jit(partial(self._step, waterfall=mode),
                           donate_argnums=(0,))
@@ -306,6 +350,7 @@ class HopPipeline:
         audio_st, audio16, pwr = audio_from_spectra(
             cfg, self.agc_params, self.dc_delay,
             state.audio, spec_ext, chans, state.frame, reset,
+            decim_taps=self.decim_taps,
         )
         new_state = HopState(frame=state.frame + b, audio=audio_st)
         if waterfall == "views":

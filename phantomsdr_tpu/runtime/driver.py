@@ -238,6 +238,7 @@ class DSPDriver:
             audio, pwr, wf = unpack_outputs(
                 packed, cfg.hop_batch, self.pipe.num_channels,
                 cfg.audio_fft_size // 2, d, w, self.pipe.view_cap,
+                decim=cfg.opus_decim if cfg.device_decim else 1,
             )
             self.metrics.step_seconds.append(time.monotonic() - t0)
             try:

@@ -105,7 +105,10 @@ class AudioConn:
         self.slot = slot
         cfg = server.cfg
         if cfg.audio_compression == "opus":
-            self.encoder = OpusChunkEncoder(cfg.audio_sps)
+            # with device decimation the stream already arrives at the
+            # legal Opus rate; otherwise the encoder host-decimates
+            rate = cfg.opus_rate if cfg.device_decim else cfg.audio_sps
+            self.encoder = OpusChunkEncoder(rate)
             self.is_opus = True
         else:
             self.encoder = FlacEncoder(cfg.audio_sps)
@@ -406,30 +409,50 @@ class SpectrumServer:
         rows were gathered at, not the registry's current (possibly
         retuned-in-flight) values."""
         cfg = self.cfg
-        b = audio.shape[0]
+        b = pwr.shape[0]
         # ---- audio ----
-        for slot_id, conn in list(self.audio_conns.items()):
-            s = conn.slot
-            if not self.channels.active[slot_id]:
-                continue
-            if conn.out.backlogged:
-                continue
-            for h in range(b):
-                pcm = audio[h, slot_id]
-                if conn.is_opus:
-                    payloads = conn.encoder.process(pcm)
-                else:
-                    d = conn.encoder.process(pcm)
-                    payloads = [d] if d else []
-                for payload in payloads:
-                    # metadata per src/signal.cpp:102-109,287: l is
-                    # slice-relative (always 0), m is the absolute mid,
-                    # r is the slice width
+        if audio.ndim == 2:
+            # device-decimated continuous per-channel streams (Opus >48k
+            # path): one encoder feed per step; packets are attributed to
+            # hops by their position in the step's stream
+            for slot_id, conn in list(self.audio_conns.items()):
+                s = conn.slot
+                if not self.channels.active[slot_id]:
+                    continue
+                if conn.out.backlogged:
+                    continue
+                payloads = conn.encoder.process(audio[slot_id])
+                k = max(len(payloads), 1)
+                for j, payload in enumerate(payloads):
+                    h = (j * b) // k
                     pkt = cbor.audio_packet(
                         frame0 + h, 0, s.mid, s.r - s.l,
                         float(pwr[h, slot_id]), payload,
                     )
                     conn.out.send_nowait(pkt)
+        else:
+            for slot_id, conn in list(self.audio_conns.items()):
+                s = conn.slot
+                if not self.channels.active[slot_id]:
+                    continue
+                if conn.out.backlogged:
+                    continue
+                for h in range(b):
+                    pcm = audio[h, slot_id]
+                    if conn.is_opus:
+                        payloads = conn.encoder.process(pcm)
+                    else:
+                        d = conn.encoder.process(pcm)
+                        payloads = [d] if d else []
+                    for payload in payloads:
+                        # metadata per src/signal.cpp:102-109,287: l is
+                        # slice-relative (always 0), m is the absolute
+                        # mid, r is the slice width
+                        pkt = cbor.audio_packet(
+                            frame0 + h, 0, s.mid, s.r - s.l,
+                            float(pwr[h, slot_id]), payload,
+                        )
+                        conn.out.send_nowait(pkt)
         # ---- waterfall ----
         if wf is None or wf.shape[0] == 0:
             return

@@ -397,6 +397,44 @@ async def test_opus_audio_path():
 
 
 @async_test
+async def test_opus_device_decimated_dispatch():
+    """Opus >48 kHz: the device ships [C, T] decimated streams; dispatch
+    feeds them straight to a 48 kHz encoder (no host convolve)."""
+    cfg = make_cfg(input={"audio_compression": "opus", "audio_sps": 96000,
+                          "sps": 960000, "fft_size": 16384})
+    assert cfg.opus_decim == 2 and cfg.device_decim
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        ws = await client.ws_connect("/audio")
+        json.loads((await ws.receive()).data)
+        conn = next(iter(server.audio_conns.values()))
+        assert conn.encoder.rate == 48000
+        assert conn.encoder._decim == 1  # host decimation NOT engaged
+        b, c = cfg.hop_batch, cfg.max_channels
+        t = b * (cfg.audio_fft_size // 2) // 2
+        rng = np.random.default_rng(0)
+        pkts = []
+        for s in range(30):
+            audio = (rng.standard_normal((c, t)) * 3000).astype(np.int16)
+            pwr = np.abs(rng.standard_normal((b, c))).astype(np.float32)
+            server.dispatch(s * b, audio, pwr, None, [])
+            while True:
+                try:
+                    msg = await ws.receive(timeout=0.02)
+                except asyncio.TimeoutError:
+                    break
+                if msg.type.name == "BINARY":
+                    pkts.append(decode_cbor(msg.data))
+        assert len(pkts) > 5
+        frames = [p["frame_num"] for p in pkts]
+        assert frames == sorted(frames)
+        await ws.close()
+    finally:
+        await client.close()
+
+
+@async_test
 async def test_gzip_static(cfg, tmp_path):
     cfg.html_root = str(tmp_path)
     (tmp_path / "index.html").write_text("<html>" + "x" * 5000 + "</html>")

@@ -26,12 +26,16 @@ from __future__ import annotations
 
 import asyncio
 import json
+import queue
 import secrets
+import threading
 import time
+import traceback
 from pathlib import Path
 
 import numpy as np
 from aiohttp import web, WSMsgType
+from collections import deque
 
 from ..config import ServerConfig
 from ..ops.quantize import pyramid_level_offsets
@@ -94,6 +98,62 @@ class _SendQueue:
 
     def close(self):
         self.task.cancel()
+
+
+class EncodePool:
+    """Connection-affine encode workers.
+
+    The reference posts each client's demod+encode job to its asio
+    thread pool (src/websocket.cpp:180-182,227-229); here demod already
+    happened on device, but the FLAC/Opus/zstd/AV1 encoders are stateful
+    native calls that do NOT belong on the asyncio event loop (at 500
+    clients that is thousands of ctypes calls per step).  Each
+    connection hashes to ONE worker thread, which keeps its stateful
+    encoder single-threaded and its packet order intact with zero locks;
+    ctypes releases the GIL during the native encode, so workers run in
+    parallel.  Finished packets hop back to the event loop in one
+    call_soon_threadsafe per job."""
+
+    def __init__(self, workers: int):
+        self.n = max(1, workers)
+        self.queues: list[queue.Queue] = [
+            queue.Queue(maxsize=256) for _ in range(self.n)]
+        self.dropped = 0
+        self._threads = [
+            threading.Thread(target=self._run, args=(q,), daemon=True,
+                             name=f"encode-{i}")
+            for i, q in enumerate(self.queues)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _run(self, q: queue.Queue):
+        while True:
+            fn = q.get()
+            if fn is None:
+                return
+            try:
+                fn()
+            except Exception:
+                traceback.print_exc()
+
+    def submit(self, key: int, fn) -> bool:
+        """Enqueue fn on the worker owning `key`; drop when saturated
+        (slow-encoder analogue of the 50 kB socket gate)."""
+        try:
+            self.queues[key % self.n].put_nowait(fn)
+            return True
+        except queue.Full:
+            self.dropped += 1
+            return False
+
+    @property
+    def depth(self) -> int:
+        return sum(q.qsize() for q in self.queues)
+
+    def stop(self):
+        for q in self.queues:
+            q.put(None)
 
 
 class AudioConn:
@@ -203,6 +263,12 @@ class SpectrumServer:
         )
         self.loop: asyncio.AbstractEventLoop | None = None
         self.driver = None  # set by main
+        # [server] threads maps to encode workers (the reference's asio
+        # pool size, src/spectrumserver.cpp:21,253-261)
+        self.encode_pool = EncodePool(cfg.threads)
+        # event-loop time spent in dispatch() per step (the part that
+        # blocks serving; encoding happens on the pool)
+        self._dispatch_seconds: "deque[float]" = deque(maxlen=240)
         self.app = self._build_app()
 
     # ------------------------------------------------------------- app
@@ -214,7 +280,11 @@ class SpectrumServer:
         app.router.add_get("/metrics", self._http_metrics)
         app.router.add_get("/{tail:.*}", self._http_static)
         app.on_startup.append(self._on_startup)
+        app.on_cleanup.append(self._on_cleanup)
         return app
+
+    async def _on_cleanup(self, app):
+        self.encode_pool.stop()
 
     async def _on_startup(self, app):
         self.loop = asyncio.get_running_loop()
@@ -332,6 +402,13 @@ class SpectrumServer:
         m = self.driver.metrics.snapshot(self.cfg) if self.driver else {}
         m["audio_clients"] = self.channels.count
         m["waterfall_clients"] = self.waterfalls.count
+        m["encode_queue_depth"] = self.encode_pool.depth
+        m["encode_dropped"] = self.encode_pool.dropped
+        ds = sorted(self._dispatch_seconds)
+        if ds:
+            m["dispatch_ms_p50"] = ds[len(ds) // 2] * 1e3
+            m["dispatch_ms_p99"] = ds[min(len(ds) - 1,
+                                          int(len(ds) * 0.99))] * 1e3
         return web.json_response(m)
 
     async def _http_static(self, request: web.Request):
@@ -408,53 +485,28 @@ class SpectrumServer:
         was SUBMITTED -- packets must be labeled with the coordinates the
         rows were gathered at, not the registry's current (possibly
         retuned-in-flight) values."""
+        t_start = time.perf_counter()
         cfg = self.cfg
         b = pwr.shape[0]
-        # ---- audio ----
-        if audio.ndim == 2:
-            # device-decimated continuous per-channel streams (Opus >48k
-            # path): one encoder feed per step; packets are attributed to
-            # hops by their position in the step's stream
-            for slot_id, conn in list(self.audio_conns.items()):
-                s = conn.slot
-                if not self.channels.active[slot_id]:
-                    continue
-                if conn.out.backlogged:
-                    continue
-                payloads = conn.encoder.process(audio[slot_id])
-                k = max(len(payloads), 1)
-                for j, payload in enumerate(payloads):
-                    h = (j * b) // k
-                    pkt = cbor.audio_packet(
-                        frame0 + h, 0, s.mid, s.r - s.l,
-                        float(pwr[h, slot_id]), payload,
-                    )
-                    conn.out.send_nowait(pkt)
-        else:
-            for slot_id, conn in list(self.audio_conns.items()):
-                s = conn.slot
-                if not self.channels.active[slot_id]:
-                    continue
-                if conn.out.backlogged:
-                    continue
-                for h in range(b):
-                    pcm = audio[h, slot_id]
-                    if conn.is_opus:
-                        payloads = conn.encoder.process(pcm)
-                    else:
-                        d = conn.encoder.process(pcm)
-                        payloads = [d] if d else []
-                    for payload in payloads:
-                        # metadata per src/signal.cpp:102-109,287: l is
-                        # slice-relative (always 0), m is the absolute
-                        # mid, r is the slice width
-                        pkt = cbor.audio_packet(
-                            frame0 + h, 0, s.mid, s.r - s.l,
-                            float(pwr[h, slot_id]), payload,
-                        )
-                        conn.out.send_nowait(pkt)
+        decimated = audio.ndim == 2
+        # ---- audio: one encode job per connection per step, on the
+        # conn's affine worker (order-preserving) ----
+        for slot_id, conn in list(self.audio_conns.items()):
+            s = conn.slot
+            if not self.channels.active[slot_id]:
+                continue
+            if conn.out.backlogged:
+                continue
+            pcm = audio[slot_id] if decimated else audio[:, slot_id]
+            self.encode_pool.submit(slot_id, lambda c=conn, p=pcm,
+                                    pw=pwr[:, slot_id], mid=s.mid,
+                                    width=s.r - s.l:
+                                    self._encode_audio_job(
+                                        c, frame0, b, mid, width, p, pw,
+                                        decimated))
         # ---- waterfall ----
         if wf is None or wf.shape[0] == 0:
+            self._dispatch_seconds.append(time.perf_counter() - t_start)
             return
         for cid, conn in list(self.wf_conns.items()):
             if conn.out.backlogged:
@@ -466,23 +518,68 @@ class SpectrumServer:
                 ws_slot = conn.slot
                 sl, sr, slev = ws_slot.l, ws_slot.r, ws_slot.level
             n = min(sr - sl, wf.shape[2])
-            for d, h in enumerate(due_positions):
-                if (frame0 + h) % cfg.skip_num != 0:
-                    continue  # guard against stale due lists
-                row = wf[d, cid, :n]
-                if conn.av1 is not None:
-                    # AV1: frame bytes go out raw, headers ride the T.35
-                    # metadata OBU (src/waterfallcompression.cpp:84-125)
-                    frame_bytes = conn.av1.send(
-                        row.tobytes(), frame0 + h, sl << slev, sr << slev,
-                    )
-                    if frame_bytes:
-                        conn.out.send_nowait(frame_bytes)
-                    continue
-                pkt = cbor.waterfall_packet(
-                    frame0 + h, sl << slev, sr << slev, row.tobytes(),
-                )
-                conn.out.send_nowait(conn.encoder.compress(pkt))
+            entries = [
+                (frame0 + h, wf[d, cid, :n].tobytes())
+                for d, h in enumerate(due_positions)
+                if (frame0 + h) % cfg.skip_num == 0  # stale-list guard
+            ]
+            if not entries:
+                continue
+            self.encode_pool.submit(
+                self.channels.cfg.max_channels + cid,
+                lambda c=conn, e=entries, a=sl, o=sr, v=slev:
+                self._encode_waterfall_job(c, e, a, o, v))
+        self._dispatch_seconds.append(time.perf_counter() - t_start)
+
+    # ---- encode jobs (run on EncodePool workers, never on the loop) ----
+    def _post_packets(self, conn, pkts: list):
+        for p in pkts:
+            conn.out.send_nowait(p)
+
+    def _encode_audio_job(self, conn: AudioConn, frame0: int, b: int,
+                          mid: float, width: int, pcm: np.ndarray,
+                          pw: np.ndarray, decimated: bool):
+        pkts = []
+        if decimated:
+            # continuous decimated stream: packets attributed to hops by
+            # stream position (metadata per src/signal.cpp:102-109,287)
+            payloads = conn.encoder.process(pcm)
+            k = max(len(payloads), 1)
+            for j, payload in enumerate(payloads):
+                h = (j * b) // k
+                pkts.append(cbor.audio_packet(
+                    frame0 + h, 0, mid, width, float(pw[h]), payload))
+        else:
+            for h in range(b):
+                if conn.is_opus:
+                    payloads = conn.encoder.process(pcm[h])
+                else:
+                    d = conn.encoder.process(pcm[h])
+                    payloads = [d] if d else []
+                for payload in payloads:
+                    # l is slice-relative (always 0), m is the absolute
+                    # mid, r is the slice width
+                    pkts.append(cbor.audio_packet(
+                        frame0 + h, 0, mid, width, float(pw[h]), payload))
+        if pkts and self.loop is not None:
+            self.loop.call_soon_threadsafe(self._post_packets, conn, pkts)
+
+    def _encode_waterfall_job(self, conn: WaterfallConn, entries: list,
+                              sl: int, sr: int, slev: int):
+        pkts = []
+        for fnum, row in entries:
+            if conn.av1 is not None:
+                # AV1: frame bytes go out raw, headers ride the T.35
+                # metadata OBU (src/waterfallcompression.cpp:84-125)
+                frame_bytes = conn.av1.send(row, fnum, sl << slev,
+                                            sr << slev)
+                if frame_bytes:
+                    pkts.append(frame_bytes)
+            else:
+                pkts.append(conn.encoder.compress(cbor.waterfall_packet(
+                    fnum, sl << slev, sr << slev, row)))
+        if pkts and self.loop is not None:
+            self.loop.call_soon_threadsafe(self._post_packets, conn, pkts)
 
     def dispatch_threadsafe(self, frame0, audio, pwr, wf, due_positions,
                             wf_meta=None):

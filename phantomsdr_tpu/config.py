@@ -66,6 +66,9 @@ class ServerConfig:
     hop_batch: int = 4              # hops per device step
     max_channels: int = 128         # static channel-table capacity
     fft_strategy: str = "auto"
+    mesh_devices: int = 1           # >1: run the server on a device mesh
+    #                                 (time-sharded FFT + channel-sharded
+    #                                 demod, parallel/sharded.py)
 
     # ------------- derived (filled by finalize) -------------
     fft_result_size: int = field(default=0)
@@ -251,4 +254,5 @@ def config_from_dict(t: dict) -> ServerConfig:
     c.hop_batch = int(tpu.get("hop_batch", c.hop_batch))
     c.max_channels = int(tpu.get("max_channels", c.max_channels))
     c.fft_strategy = str(tpu.get("fft_strategy", c.fft_strategy))
+    c.mesh_devices = int(tpu.get("mesh_devices", c.mesh_devices))
     return c.finalize()

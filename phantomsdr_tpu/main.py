@@ -59,12 +59,18 @@ def main(argv=None):
                     help="force a jax platform (e.g. cpu); the container's "
                          "sitecustomize pins the TPU backend, so a plain "
                          "JAX_PLATFORMS env var is not enough")
+    ap.add_argument("--cpu-devices", type=int, default=0,
+                    help="with --platform cpu: present N virtual CPU "
+                         "devices (test a [tpu] mesh_devices config "
+                         "without TPU hardware)")
     args = ap.parse_args(argv)
 
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.cpu_devices:
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
     # persistent compile cache: server restarts skip the multi-minute
     # pipeline compile
     jax.config.update("jax_compilation_cache_dir",

@@ -57,7 +57,7 @@ from ..ops import convert
 from ..pipeline import (
     HopState, HopOutputs, WaterfallViews, init_audio_state,
     waterfall_from_spectra, gather_waterfall_views, audio_from_spectra,
-    pack_outputs, opus_decim_taps,
+    pack_outputs, opus_decim_taps, waterfall_due_positions,
 )
 from ..ops.fft import forward_spectrum
 
@@ -91,6 +91,11 @@ class ShardedHopPipeline:
         self.wire_per_hop = cfg.hop_size * (1 if cfg.is_real else 2)
         self.hops_per_shard = cfg.hop_batch // self.n
         self.view_cap = 2 * cfg.waterfall_size
+        self.num_channels = cfg.max_channels
+        # per-shard waterfall view gather rows: max cadence-due hops any
+        # single time shard can hold (host maps global due positions to
+        # (shard, local) and pads; see due_layout)
+        self.due_cap_local = max(1, -(-self.hops_per_shard // cfg.skip_num))
         # raw input: [n, (B/n) * wire_per_hop] -- NO halo; the overlap
         # halo moves over ICI (ring ppermute), not from the host.
         self.raw_shard_len = self.hops_per_shard * self.wire_per_hop
@@ -122,7 +127,7 @@ class ShardedHopPipeline:
                 partial(self._device_step, waterfall=mode),
                 mesh=mesh,
                 in_specs=(st_spec, P("d", None), chan_spec, views_spec,
-                          P("d")),
+                          P("d"), P("d", None)),
                 out_specs=(st_spec, out_spec),
             )
             self._steps[mode] = jax.jit(fn, donate_argnums=(0,))
@@ -162,7 +167,8 @@ class ShardedHopPipeline:
     # ------------------------------------------------------------------
     def _device_step(self, state: ShardedHopState, raw_shard: jnp.ndarray,
                      chans: ChannelTable, views: WaterfallViews,
-                     reset: jnp.ndarray, waterfall: str):
+                     reset: jnp.ndarray, due_idx: jnp.ndarray,
+                     waterfall: str):
         """Per-device body (inside shard_map)."""
         cfg = self.cfg
         bl = self.hops_per_shard
@@ -207,9 +213,11 @@ class ShardedHopPipeline:
                 wf = jnp.zeros((0, w, self.view_cap), jnp.int8)
             else:
                 pyr = jnp.zeros((bl, 0), jnp.int8)
-                # every local hop's views (cadence filtering is host-side
-                # in the sharded path: due positions differ per shard)
-                wf = gather_waterfall_views(pyr_full, views, self.view_cap)
+                # gather only this shard's cadence-due local hops (host
+                # maps global due positions to per-shard rows, padded to
+                # the static due cap; see due_layout)
+                due_local = pyr_full[due_idx[0]]
+                wf = gather_waterfall_views(due_local, views, self.view_cap)
 
         spec_ext = extend_spectrum(spec, cfg.is_real, r, a)  # [B/n, R+A]
 
@@ -240,29 +248,54 @@ class ShardedHopPipeline:
         [n, (B/n) * wph] rows."""
         return np.asarray(raw_block).reshape(self.n, self.raw_shard_len)
 
+    def due_layout(self, frame0: int = 0, cap: int | None = None
+                   ) -> tuple[np.ndarray, list[int]]:
+        """Map the batch's global cadence-due hop positions onto the
+        time shards.
+
+        Returns (due_idx [n, cap] int32 local positions padded with 0,
+        counts [n] real entries per shard).  Device row i*cap + j of the
+        'views' wf output is global hop i*hops_per_shard + due_idx[i, j]
+        for j < counts[i]; rows beyond counts[i] are padding."""
+        cap = cap or self.due_cap_local
+        bl = self.hops_per_shard
+        per: list[list[int]] = [[] for _ in range(self.n)]
+        for h in waterfall_due_positions(self.cfg, frame0):
+            per[h // bl].append(h % bl)
+        idx = np.zeros((self.n, cap), np.int32)
+        counts = []
+        for i, lst in enumerate(per):
+            counts.append(len(lst))
+            idx[i, : len(lst)] = lst
+        return idx, counts
+
     def step(self, state: ShardedHopState, raw_shards, chans: ChannelTable,
              views: WaterfallViews | None = None, waterfall: str = "full",
-             reset=None):
+             reset=None, due_idx=None):
         if views is None:
             views = self.empty_views()
         if reset is None:
             reset = jnp.zeros((self.cfg.max_channels,), jnp.int32)
-        return self._steps[waterfall](state, raw_shards, chans, views, reset)
+        if due_idx is None:
+            due_idx = jnp.asarray(self.due_layout()[0])
+        return self._steps[waterfall](state, raw_shards, chans, views, reset,
+                                      due_idx)
 
 
 def unpack_outputs_sharded(packed: np.ndarray, n: int, b: int, c: int,
-                           half: int, w: int, cap: int, views: bool,
-                           decim: int = 1):
+                           half: int, w: int, cap: int,
+                           wf_rows_per_shard: int, decim: int = 1):
     """Host-side inverse of the sharded `packed` buffer.
 
     The sharded packed output is NOT pipeline.unpack_outputs-compatible:
     it is a per-shard concatenation (out spec P('d')), shard i holding
-    audio [B, C/n, half] | pwr [B, C/n] | wf [B/n, W, cap] for ITS
+    audio [B, C/n, half] | pwr [B, C/n] | wf [rows, W, cap] for ITS
     channel shard / time shard.  Returns global (audio [B, C, half],
-    pwr [B, C], wf [B, W, cap] or None).  With device Opus decimation
+    pwr [B, C], wf [n*rows, W, cap] or None); map wf rows to hops with
+    ShardedHopPipeline.due_layout.  With device Opus decimation
     (decim > 1) audio is [C, B*half/decim] continuous streams."""
     cl = c // n
-    bl = b // n
+    rows = wf_rows_per_shard
     if decim > 1:
         la = b * half // decim
         na = cl * la * 2
@@ -271,11 +304,11 @@ def unpack_outputs_sharded(packed: np.ndarray, n: int, b: int, c: int,
         na = b * cl * half * 2
         audio = np.empty((b, c, half), np.int16)
     npw = b * cl * 4
-    nwf = bl * w * cap if views else 0
+    nwf = rows * w * cap
     seg = na + npw + nwf
     assert packed.size == n * seg, (packed.size, n, seg)
     pwr = np.empty((b, c), np.float32)
-    wf = np.empty((b, w, cap), np.int8) if views else None
+    wf = np.empty((n * rows, w, cap), np.int8) if rows else None
     for i in range(n):
         s = packed[i * seg:(i + 1) * seg]
         if decim > 1:
@@ -286,7 +319,7 @@ def unpack_outputs_sharded(packed: np.ndarray, n: int, b: int, c: int,
                 s[:na].view(np.int16).reshape(b, cl, half))
         pwr[:, i * cl:(i + 1) * cl] = (
             s[na:na + npw].view(np.float32).reshape(b, cl))
-        if views:
-            wf[i * bl:(i + 1) * bl] = (
-                s[na + npw:].view(np.int8).reshape(bl, w, cap))
+        if rows:
+            wf[i * rows:(i + 1) * rows] = (
+                s[na + npw:].view(np.int8).reshape(rows, w, cap))
     return audio, pwr, wf

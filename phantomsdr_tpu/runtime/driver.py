@@ -72,12 +72,16 @@ class SampleSource:
     raw wire ints; conversion happens on device."""
 
     def __init__(self, cfg: ServerConfig, stream: io.BufferedReader,
-                 loop_file: bool = False, throttle_sps: float = 0.0):
+                 loop_file: bool = False, throttle_sps: float = 0.0,
+                 include_halo: bool = True):
         self.cfg = cfg
         self.stream = stream
         self.dtype = wire_dtype(cfg.input_format)
         self.wire_per_hop = cfg.hop_size * (1 if cfg.is_real else 2)
         self.block_wire = cfg.hop_batch * self.wire_per_hop
+        # mesh mode reads WITHOUT the host halo: the overlap hop moves
+        # between time shards over ICI (parallel/sharded.py ring permute)
+        self.include_halo = include_halo
         self.halo = np.zeros(self.wire_per_hop, self.dtype)
         self.loop_file = loop_file
         self.throttle_sps = throttle_sps  # simulate realtime for file replay
@@ -85,7 +89,8 @@ class SampleSource:
         self._consumed = 0
 
     def read_block(self) -> np.ndarray | None:
-        """Return [(B+1)*wph] wire samples (halo + new), or None on EOF."""
+        """Return [(B+1)*wph] wire samples (halo + new), or [B*wph] when
+        include_halo=False; None on EOF."""
         need = self.block_wire * self.dtype.itemsize
         data = b""
         while len(data) < need:
@@ -97,8 +102,11 @@ class SampleSource:
                 return None
             data += chunk
         new = np.frombuffer(data, self.dtype)
-        block = np.concatenate([self.halo, new])
-        self.halo = new[-self.wire_per_hop:]
+        if not self.include_halo:
+            block = new
+        else:
+            block = np.concatenate([self.halo, new])
+            self.halo = new[-self.wire_per_hop:]
         if self.throttle_sps > 0:
             scalars_per_sample = 1 if self.cfg.is_real else 2
             self._consumed += self.block_wire / scalars_per_sample
@@ -127,7 +135,16 @@ class DSPDriver:
         self.waterfall_active = waterfall_active
         self.audio_active = audio_active
         self.metrics = Metrics()
-        self.pipe = HopPipeline(cfg)
+        self.sharded = cfg.mesh_devices > 1
+        if self.sharded:
+            # mesh server mode ([tpu] mesh_devices = N): the SAME serving
+            # loops run over the time+channel-sharded engine
+            from ..parallel.sharded import ShardedHopPipeline, make_mesh
+
+            self.pipe = ShardedHopPipeline(cfg, make_mesh(cfg.mesh_devices))
+            source.include_halo = False
+        else:
+            self.pipe = HopPipeline(cfg)
         self._queue: queue.Queue = queue.Queue(maxsize=3)
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
@@ -191,8 +208,17 @@ class DSPDriver:
         cfg = self.cfg
         state = self.pipe.init_state()
         scalars_per_sample = 1 if cfg.is_real else 2
-        # (frame0, packed_device_array, due_list_or_None, wf_meta, t_start)
+        decim = cfg.opus_decim if cfg.device_decim else 1
+        # (frame0, packed_device_array, due_list_or_None, wf_sel, wf_meta,
+        #  t_start) -- wf_sel maps the device's wf gather rows (per-shard
+        #  padded layout in mesh mode) to the due list's order
         pending = None
+
+        def prepare_raw(block):
+            pre = host_preconvert(block, cfg.input_format)
+            if self.sharded:
+                pre = self.pipe.shard_raw(pre)
+            return jnp.asarray(pre)
 
         # Pre-compile both step variants (and warm the output transfer
         # layouts) before serving: compilation of the big-FFT pipeline
@@ -203,15 +229,16 @@ class DSPDriver:
             t0 = time.monotonic()
             self._refresh_table()
             warm_state = self.pipe.init_state()
-            zeros = np.zeros(self.source.block_wire + self.source.wire_per_hop,
-                             self.source.dtype)
-            raw = jnp.asarray(host_preconvert(zeros, cfg.input_format))
+            halo = 0 if self.sharded else self.source.wire_per_hop
+            zeros = np.zeros(self.source.block_wire + halo, self.source.dtype)
+            raw = prepare_raw(zeros)
             for m in ("views", "off"):
                 warm_state, out = self.pipe.step(warm_state, raw,
                                                  self._table, self._views, m)
                 np.asarray(out.packed)
             del warm_state
-            print(f"device pipeline compiled in {time.monotonic()-t0:.1f}s",
+            print(f"device pipeline compiled in {time.monotonic()-t0:.1f}s "
+                  f"({'mesh x%d' % cfg.mesh_devices if self.sharded else 'single device'})",
                   flush=True)
         except Exception as e:
             self.metrics.device_errors += 1
@@ -224,7 +251,7 @@ class DSPDriver:
             nonlocal pending
             if pending is None:
                 return
-            frame0, packed_dev, due, wf_meta, t0 = pending
+            frame0, packed_dev, due, wf_sel, wf_meta, t0 = pending
             pending = None
             try:
                 packed = np.asarray(packed_dev)
@@ -234,12 +261,24 @@ class DSPDriver:
                 return
             w = (self.wf_registry.max_slots if self.wf_registry
                  else 1)
-            d = self.pipe.due_cap if due is not None else 0
-            audio, pwr, wf = unpack_outputs(
-                packed, cfg.hop_batch, self.pipe.num_channels,
-                cfg.audio_fft_size // 2, d, w, self.pipe.view_cap,
-                decim=cfg.opus_decim if cfg.device_decim else 1,
-            )
+            if self.sharded:
+                from ..parallel.sharded import unpack_outputs_sharded
+
+                rows = self.pipe.due_cap_local if due is not None else 0
+                audio, pwr, wf = unpack_outputs_sharded(
+                    packed, cfg.mesh_devices, cfg.hop_batch,
+                    self.pipe.num_channels, cfg.audio_fft_size // 2,
+                    w, self.pipe.view_cap, rows, decim=decim,
+                )
+                if wf is not None:
+                    wf = wf[wf_sel]  # padded per-shard rows -> due order
+            else:
+                d = self.pipe.due_cap if due is not None else 0
+                audio, pwr, wf = unpack_outputs(
+                    packed, cfg.hop_batch, self.pipe.num_channels,
+                    cfg.audio_fft_size // 2, d, w, self.pipe.view_cap,
+                    decim=decim,
+                )
             self.metrics.step_seconds.append(time.monotonic() - t0)
             try:
                 self.consumer(frame0, audio, pwr,
@@ -277,12 +316,21 @@ class DSPDriver:
             t0 = time.monotonic()
             if resets is not None:
                 resets = jnp.asarray(resets)
-            due_idx = (jnp.asarray(
-                pad_due_positions(due, self.pipe.due_cap), jnp.int32)
-                if due else None)
+            due_idx = None
+            wf_sel = None
+            if due:
+                if self.sharded:
+                    idx_np, counts = self.pipe.due_layout(frame0)
+                    due_idx = jnp.asarray(idx_np)
+                    cl = self.pipe.due_cap_local
+                    wf_sel = [i * cl + j for i in range(cfg.mesh_devices)
+                              for j in range(counts[i])]
+                else:
+                    due_idx = jnp.asarray(
+                        pad_due_positions(due, self.pipe.due_cap), jnp.int32)
             wf_meta = self._wf_meta
             try:
-                raw = jnp.asarray(host_preconvert(block, cfg.input_format))
+                raw = prepare_raw(block)
                 state, out = self.pipe.step(state, raw, self._table,
                                             self._views, mode, reset=resets,
                                             due_idx=due_idx)
@@ -303,5 +351,6 @@ class DSPDriver:
             # one step in flight: fetch the previous step's outputs only
             # after this one is dispatched (overlaps transfer & compute)
             flush_pending()
-            pending = (frame0, out.packed, due if due else None, wf_meta, t0)
+            pending = (frame0, out.packed, due if due else None, wf_sel,
+                       wf_meta, t0)
         flush_pending()

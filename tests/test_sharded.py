@@ -108,13 +108,36 @@ def test_sharded_waterfall_views(setup):
     st = sp.init_state()
     _, o_full = sp.step(st, shards, table, views, waterfall="full")
     st = sp.init_state()
-    _, o_views = sp.step(st, shards, table, views, waterfall="views")
+    # gather EVERY local hop (due_idx covering all positions) so all
+    # hops' views can be checked against the full pyramid
+    bl = sp.hops_per_shard
+    idx = np.tile(np.arange(bl, dtype=np.int32), (sp.n, 1))
+    _, o_views = sp.step(st, shards, table, views, waterfall="views",
+                         due_idx=jnp.asarray(idx))
 
     full = np.asarray(o_full.pyramid)
     wf = np.asarray(o_views.wf)
-    assert wf.shape == (b, 2, sp.view_cap)
+    assert wf.shape == (b, 2, sp.view_cap)  # row i*bl+j == global hop
     for h in range(b):
         for w in range(2):
             s0 = int(views.start[w])
             n = int(views.length[w])
             np.testing.assert_array_equal(wf[h, w, :n], full[h, s0:s0 + n])
+
+
+def test_sharded_due_layout():
+    cfg = make_cfg(8)
+    assert cfg.skip_num == 18 and cfg.hop_batch == 16
+    mesh = make_mesh(8)
+    sp = ShardedHopPipeline(cfg, mesh)
+    # frame0=0: only global hop 0 due -> shard 0 row 0
+    idx, counts = sp.due_layout(0)
+    assert counts == [1] + [0] * 7
+    assert idx[0, 0] == 0
+    # frame0=13: hop 5 due (13+5=18) -> shard 2 (hops 4,5), local 1
+    idx, counts = sp.due_layout(13)
+    assert counts[2] == 1 and idx[2, 0] == 1
+    assert sum(counts) == 1
+    # frame0=17: hops 1 and ... 1+17=18 due; 16 hops span one cadence
+    idx, counts = sp.due_layout(17)
+    assert sum(counts) == 1 and counts[0] == 1 and idx[0, 0] == 1

@@ -45,6 +45,38 @@ def build(cfg, stream, loop_file=False, throttle=0.0):
     return server, driver
 
 
+def build_multihost(cfg, stream, link_addr, link_port,
+                    loop_file=False, throttle=0.0):
+    """Multi-host cluster build (call AFTER multihost.bootstrap): this
+    process serves the channel slots living on its devices; process 0
+    additionally ingests samples and distributes rows + control."""
+    if cfg.audio_compression == "flac":
+        from .runtime.codecs import _load_hostlib
+
+        _load_hostlib()
+    from .ops.quantize import pyramid_level_offsets
+    from .parallel.multihost import MultihostRuntime, MultihostDriver
+    from .runtime.registry import ChannelRegistry, WaterfallRegistry
+
+    rt = MultihostRuntime(cfg)
+    channels = ChannelRegistry(cfg, slot_offset=rt.chan_offset,
+                               slot_count=rt.chan_count)
+    waterfalls = WaterfallRegistry(
+        cfg, pyramid_level_offsets(cfg.fft_result_size,
+                                   cfg.downsample_levels),
+        slot_offset=rt.chan_offset, slot_count=rt.chan_count)
+    server = SpectrumServer(cfg, channels, waterfalls,
+                            chan_offset=rt.chan_offset)
+    source = None
+    if rt.process_id == 0:
+        source = SampleSource(cfg, stream, loop_file=loop_file,
+                              throttle_sps=throttle, include_halo=False)
+    driver = MultihostDriver(cfg, rt, source, server,
+                             link_addr=link_addr, link_port=link_port)
+    server.driver = driver
+    return server, driver
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="phantomsdr-tpu")
     ap.add_argument("-c", "--config", default="config.toml",
@@ -63,6 +95,16 @@ def main(argv=None):
                     help="with --platform cpu: present N virtual CPU "
                          "devices (test a [tpu] mesh_devices config "
                          "without TPU hardware)")
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 for a multi-host "
+                         "cluster (jax.distributed)")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--link-port", type=int, default=28700,
+                    help="ingest host's TCP port for the DCN raw-row feed")
+    ap.add_argument("--link-addr", default=None,
+                    help="followers: ingest host's host:link-port "
+                         "(default 127.0.0.1:<link-port>)")
     args = ap.parse_args(argv)
 
     import jax
@@ -71,6 +113,11 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     if args.cpu_devices:
         jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+    if args.num_processes > 1:
+        # one process per host; must run before any jax computation
+        jax.distributed.initialize(args.coordinator,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
     # persistent compile cache: server restarts skip the multi-minute
     # pipeline compile
     jax.config.update("jax_compilation_cache_dir",
@@ -83,10 +130,16 @@ def main(argv=None):
     else:
         stream = sys.stdin.buffer
 
-    server, driver = build(
-        cfg, stream, loop_file=args.loop,
-        throttle=cfg.sps if args.throttle else 0.0,
-    )
+    if args.num_processes > 1:
+        server, driver = build_multihost(
+            cfg, stream, args.link_addr, args.link_port,
+            loop_file=args.loop, throttle=cfg.sps if args.throttle else 0.0,
+        )
+    else:
+        server, driver = build(
+            cfg, stream, loop_file=args.loop,
+            throttle=cfg.sps if args.throttle else 0.0,
+        )
     driver.start()
 
     async def _run():

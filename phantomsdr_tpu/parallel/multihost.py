@@ -1,0 +1,536 @@
+"""Multi-host runtime: DCN raw-row distribution, replicated-table sync,
+and the per-host serving partition (BASELINE config 5, "N>=2 hosts").
+
+The reference is a single process with no distributed backend at all
+(SURVEY.md section 5); this module is the TPU-native scaling story made
+code rather than doc:
+
+- **Bootstrap**: one process per host, `jax.distributed.initialize`
+  (called from main.py's --coordinator/--process-id flags or
+  `bootstrap()` below); the mesh spans every device of every host and
+  all heavy traffic (overlap halo ppermute, spectrum all_gather) rides
+  ICI inside `ShardedHopPipeline` exactly as on one host.
+
+- **DCN raw feeding**: the SDR byte stream lands on ONE ingest host
+  (process 0).  Each step it slices the hop batch into per-time-shard
+  rows and ships every remote host ONLY the rows of its addressable
+  devices over a plain length-prefixed TCP link (the DCN path).  At
+  35 MSPS u8 IQ that is 70 MB/s total; rows are disjoint because the
+  overlap halo moves over ICI, never DCN.
+
+- **Replicated control state**: a jitted multi-controller step requires
+  bit-identical replicated inputs on every process.  The ingest host
+  owns the merged channel/view tables and piggybacks them (plus reset
+  masks, due layout, frame counter) on each step's row message; the
+  step only runs on a follower once it has that step's control block.
+
+- **Per-host serving partition**: audio comes back channel-sharded with
+  channel slot ranges aligned to hosts (slot s lives on device
+  s // (C/n)), so host h serves listeners in its slot range from purely
+  LOCAL device memory (`local_audio`); follower registries allocate
+  from their own range and push row updates back to the ingest host
+  over the same link (`table_update`), which merges them into the
+  global table.  Waterfall rows are all-gathered on device
+  (ShardedHopPipeline(gather_wf=True)) so every host serves waterfall
+  clients from its local replica.
+
+Validated without a pod by tools/multihost_dryrun.py: a 2-process CPU
+cluster (2 virtual devices each) produces audio identical to the
+single-process pipeline, with the rows truly crossing the TCP link.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+import threading
+import time
+
+import numpy as np
+
+from ..config import ServerConfig
+
+DEFAULT_LINK_PORT = 28700
+
+
+def bootstrap(coordinator: str, num_processes: int, process_id: int,
+              cpu_devices: int = 0) -> None:
+    """Initialize the multi-controller runtime (one call per process,
+    BEFORE any jax computation).  cpu_devices > 0 presents virtual CPU
+    devices for pod-free testing."""
+    import jax
+
+    if cpu_devices:
+        jax.config.update("jax_num_cpu_devices", cpu_devices)
+    jax.distributed.initialize(coordinator, num_processes=num_processes,
+                               process_id=process_id)
+
+
+# ---------------------------------------------------------------- link
+
+class Link:
+    """Length-prefixed TCP message link: one JSON header + one binary
+    blob per message.  Blocking, ordered, one peer."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._wlock = threading.Lock()
+
+    def send(self, header: dict, blob: bytes = b"") -> None:
+        h = json.dumps(header).encode()
+        with self._wlock:
+            self.sock.sendall(struct.pack("<II", len(h), len(blob)))
+            self.sock.sendall(h)
+            if blob:
+                self.sock.sendall(blob)
+
+    def _read_exact(self, n: int) -> bytes:
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("link closed")
+            buf.extend(chunk)
+        return bytes(buf)
+
+    def recv(self) -> tuple[dict, bytes]:
+        hl, bl = struct.unpack("<II", self._read_exact(8))
+        header = json.loads(self._read_exact(hl))
+        blob = self._read_exact(bl) if bl else b""
+        return header, blob
+
+    def close(self):
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+def serve_links(port: int, num_followers: int, host: str = "0.0.0.0"
+                ) -> dict[int, Link]:
+    """Ingest-host side: accept one link per follower (each identifies
+    with its process id)."""
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(num_followers)
+    links: dict[int, Link] = {}
+    for _ in range(num_followers):
+        conn, _ = srv.accept()
+        link = Link(conn)
+        hello, _ = link.recv()
+        links[int(hello["pid"])] = link
+    srv.close()
+    return links
+
+
+def connect_link(addr: str, pid: int, timeout: float = 60.0) -> Link:
+    """Follower side: connect to the ingest host and identify."""
+    host, port = addr.rsplit(":", 1)
+    import time
+
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            sock = socket.create_connection((host, int(port)), timeout=5)
+            break
+        except OSError:
+            if time.monotonic() > deadline:
+                raise
+            time.sleep(0.2)
+    sock.settimeout(None)  # blocking link; idle gaps are normal
+    link = Link(sock)
+    link.send({"pid": pid})
+    return link
+
+
+# ------------------------------------------------------- control codec
+
+_TABLE_FIELDS = ("l", "r", "m_idx", "mode")  # int32 [C]; active as int8
+
+
+def pack_control(table_arrays, views, wf_meta, reset) -> tuple[dict, bytes]:
+    """(channel table, waterfall views, wf coordinate meta, reset mask)
+    -> (header fragment, blob) with fixed field order."""
+    l, r, m_idx, mode, active = table_arrays
+    parts = [np.ascontiguousarray(a, np.int32).tobytes()
+             for a in (l, r, m_idx, mode)]
+    parts.append(np.ascontiguousarray(active, np.int8).tobytes())
+    parts.append(np.ascontiguousarray(views[0], np.int32).tobytes())
+    parts.append(np.ascontiguousarray(views[1], np.int32).tobytes())
+    for a in wf_meta:
+        parts.append(np.ascontiguousarray(a, np.int32).tobytes())
+    has_reset = reset is not None
+    if has_reset:
+        parts.append(np.ascontiguousarray(reset, np.int32).tobytes())
+    return ({"c": int(l.shape[0]), "w": int(views[0].shape[0]),
+             "reset": has_reset}, b"".join(parts))
+
+
+def unpack_control(meta: dict, blob: bytes):
+    c, w = meta["c"], meta["w"]
+    off = 0
+
+    def take(count, dt):
+        nonlocal off
+        a = np.frombuffer(blob, dt, count=count, offset=off)
+        off += a.nbytes
+        return a
+
+    l, r, m_idx, mode = (take(c, np.int32) for _ in range(4))
+    active = take(c, np.int8).astype(bool)
+    views = (take(w, np.int32), take(w, np.int32))
+    wf_meta = tuple(take(w, np.int32) for _ in range(3))
+    reset = take(c, np.int32) if meta["reset"] else None
+    return (l, r, m_idx, mode, active), views, wf_meta, reset
+
+
+# ------------------------------------------------------------ runtime
+
+class MultihostRuntime:
+    """Per-process glue around ShardedHopPipeline for a multi-host mesh.
+
+    Construct AFTER bootstrap(); wraps the global mesh, knows this
+    host's device/channel/hop sub-ranges, builds global raw arrays from
+    host-local rows, and extracts this host's serving outputs."""
+
+    def __init__(self, cfg: ServerConfig):
+        import jax
+        from .sharded import ShardedHopPipeline, make_mesh
+
+        self.cfg = cfg
+        self.process_id = jax.process_index()
+        self.num_processes = jax.process_count()
+        devices = jax.devices()
+        self.mesh = make_mesh(len(devices))
+        self.sp = ShardedHopPipeline(cfg, self.mesh, gather_wf=True)
+        self.n = self.mesh.size
+        local = set(d.id for d in jax.local_devices())
+        self.local_shards = [i for i, d in enumerate(devices)
+                             if d.id in local]
+        assert self.local_shards == list(range(
+            self.local_shards[0], self.local_shards[0] + len(self.local_shards))), \
+            "host devices must be contiguous on the mesh axis"
+        # serving partition: channel slots are sharded over devices in
+        # order, so this host's slot range is exactly its device span
+        cpd = cfg.max_channels // self.n
+        self.chan_offset = self.local_shards[0] * cpd
+        self.chan_count = len(self.local_shards) * cpd
+
+    # ---- input side -------------------------------------------------
+    def rows_for(self, block: np.ndarray, shard: int) -> np.ndarray:
+        """Ingest host: the raw row for one time shard of this block."""
+        return self.sp.shard_raw(block)[shard]
+
+    def global_raw(self, local_rows: np.ndarray):
+        """[local_n, row_len] host rows -> global [n, row_len] array."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P("d", None))
+        devices = list(self.mesh.devices)
+        arrs = [jax.device_put(local_rows[i][None, :], devices[s])
+                for i, s in enumerate(self.local_shards)]
+        return jax.make_array_from_single_device_arrays(
+            (self.n, local_rows.shape[1]), sh, arrs)
+
+    # ---- output side ------------------------------------------------
+    def local_audio(self, out) -> np.ndarray:
+        """This host's channel-shard audio: [B, C_local, half] (or
+        [C_local, T] decimated) -- purely local device fetches."""
+        axis = 0 if out.audio.ndim == 2 else 1
+        shards = sorted(out.audio.addressable_shards,
+                        key=lambda s: s.index[axis].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards],
+                              axis=axis)
+
+    def local_power(self, out) -> np.ndarray:
+        shards = sorted(out.avg_power.addressable_shards,
+                        key=lambda s: s.index[1].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=1)
+
+    def local_wf(self, out) -> np.ndarray | None:
+        """All hosts hold the full due-row set (gather_wf replication);
+        read one local replica."""
+        if out.wf.shape[0] == 0:
+            return None
+        return np.asarray(out.wf.addressable_shards[0].data)
+
+
+# ------------------------------------------------------------- driver
+
+class MultihostDriver:
+    """Multi-host drop-in for runtime.driver.DSPDriver: same consumer
+    contract (the SpectrumServer's dispatch), engine spanning all hosts.
+
+    Process 0 (ingest): reads the sample stream, merges every host's
+    registry rows into the global control state, ships each follower its
+    raw rows + the replicated control block per step, runs the step, and
+    serves its own channel range.  Followers: receive, step, serve their
+    range, and push their registry updates upstream (piggybacked before
+    each step_done ack).  Every process passes bit-identical replicated
+    inputs to the jitted step -- the control block is the single source
+    of truth.
+
+    v1 runs steps in lockstep without cross-step pipelining (the
+    single-host driver keeps one step in flight); acceptable because the
+    collectives already synchronize compute, and ingest read overlaps
+    the previous step's serving."""
+
+    def __init__(self, cfg: ServerConfig, runtime: MultihostRuntime,
+                 source, server, link_addr: str | None = None,
+                 link_port: int = DEFAULT_LINK_PORT):
+        from ..runtime.driver import Metrics
+
+        self.cfg = cfg
+        self.rt = runtime
+        self.source = source            # ingest only
+        self.server = server
+        self.link_port = link_port
+        self.link_addr = link_addr or f"127.0.0.1:{link_port}"
+        self.metrics = Metrics()
+        self.pipe = runtime.sp          # /metrics + tests poke this
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._links: dict[int, "Link"] = {}
+        self._acked: dict[int, int] = {}
+        self._ack_cv = threading.Condition()
+
+    # ------------------------------------------------------------ plumbing
+    def start(self):
+        t = threading.Thread(target=self._run, name="multihost-driver",
+                             daemon=True)
+        self._threads = [t]
+        t.start()
+
+    def stop(self):
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=10)
+        for link in self._links.values():
+            link.close()
+
+    def _run(self):
+        try:
+            if self.rt.process_id == 0:
+                self._run_ingest()
+            else:
+                self._run_follower()
+        except Exception as e:
+            self.metrics.device_errors += 1
+            self.metrics.last_device_error = repr(e)[:300]
+            import traceback
+
+            traceback.print_exc()
+
+    # ------------------------------------------------------------- ingest
+    def _reader(self, pid: int, link: "Link"):
+        """Ingest-side per-follower reader: applies host updates into
+        the global registries, tracks step acks."""
+        try:
+            while not self._stop.is_set():
+                hdr, blob = link.recv()
+                t = hdr.get("type")
+                if t == "host_update":
+                    off = 0
+                    c = hdr["chan_count"]
+                    w = hdr["wf_count"]
+
+                    def take(count, dt=np.int32):
+                        nonlocal off
+                        a = np.frombuffer(blob, dt, count=count, offset=off)
+                        off += a.nbytes
+                        return a
+
+                    tbl = (take(c), take(c), take(c), take(c),
+                           take(c, np.int8).astype(bool))
+                    resets = take(c) if hdr["reset"] else None
+                    self.server.channels.merge_rows(hdr["chan_offset"],
+                                                    tbl, resets)
+                    wfr = tuple(take(w) for _ in range(5))
+                    self.server.waterfalls.merge_rows(hdr["wf_offset"], wfr)
+                elif t == "step_done":
+                    with self._ack_cv:
+                        self._acked[pid] = hdr["seq"]
+                        self._ack_cv.notify_all()
+        except (ConnectionError, OSError):
+            pass
+
+    def _run_ingest(self):
+        import jax.numpy as jnp
+        from ..pipeline import WaterfallViews, channels_from_numpy
+
+        cfg = self.cfg
+        rt = self.rt
+        self._links = serve_links(self.link_port, rt.num_processes - 1)
+        for pid, link in self._links.items():
+            th = threading.Thread(target=self._reader, args=(pid, link),
+                                  daemon=True)
+            th.start()
+        state = rt.sp.init_state()
+        scalars = 1 if cfg.is_real else 2
+        seq = 0
+        while not self._stop.is_set():
+            block = self.source.read_block()
+            if block is None:
+                self.metrics.eof = True
+                for link in self._links.values():
+                    link.send({"type": "eof"})
+                return
+            self.metrics.samples += self.source.block_wire // scalars
+            # wait for all followers to ack the previous step (bounds
+            # the table-merge race AND applies their updates first)
+            with self._ack_cv:
+                self._ack_cv.wait_for(
+                    lambda: all(self._acked.get(p, -1) >= seq - 1
+                                for p in self._links)
+                    or self._stop.is_set(), timeout=30)
+            if self._stop.is_set():
+                return
+
+            _, tbl_arrays, resets = self.server.channels.snapshot()
+            _, vstart, vlength, wf_meta = self.server.waterfalls.snapshot()
+            frame0 = self.metrics.frames
+            audio_any = bool(tbl_arrays[4].any())
+            wf_any = bool((vlength > 0).any())
+            if not audio_any and not wf_any:
+                # global idle: skip compute everywhere (src/fft.cpp:72-79)
+                for link in self._links.values():
+                    link.send({"type": "skip", "seq": seq})
+                self.metrics.idle_frames += cfg.hop_batch
+                self.metrics.frames += cfg.hop_batch
+                seq += 1
+                continue
+            idx, counts = rt.sp.due_layout(frame0)
+            due = [i * rt.sp.hops_per_shard + int(idx[i, j])
+                   for i in range(rt.n) for j in range(counts[i])]
+            due = due if wf_any else []
+            mode = "views" if due else "off"
+            rows = rt.sp.shard_raw(block)
+            meta, cblob = pack_control(tbl_arrays, (vstart, vlength),
+                                       wf_meta, resets)
+            dpp = rt.n // rt.num_processes
+            for pid, link in self._links.items():
+                their = [i for i in range(rt.n) if i // dpp == pid]
+                rbytes = rows[their].tobytes()
+                link.send({"type": "step", "seq": seq, "frame0": frame0,
+                           "mode": mode, "due": due, "idx": idx.tolist(),
+                           "counts": counts, "control": meta,
+                           "nrows": len(their)}, cblob + rbytes)
+            t0 = time.monotonic()
+            state = self._step_and_serve(
+                state, rows[rt.local_shards], tbl_arrays,
+                (vstart, vlength), wf_meta, resets, idx, due, mode,
+                frame0, t0)
+            self.metrics.frames += cfg.hop_batch
+            seq += 1
+
+    # ----------------------------------------------------------- follower
+    def _run_follower(self):
+        cfg = self.cfg
+        rt = self.rt
+        link = connect_link(self.link_addr, rt.process_id)
+        self._links = {0: link}
+        state = rt.sp.init_state()
+        self._last_chan_v = -1
+        self._last_wf_v = -1
+        while not self._stop.is_set():
+            hdr, blob = link.recv()
+            t = hdr.get("type")
+            if t == "eof":
+                self.metrics.eof = True
+                return
+            if t == "skip":
+                self.metrics.frames += cfg.hop_batch
+                # a client may have connected while idle: its slot must
+                # still flow upstream or the ingest host never wakes up
+                self._push_updates(link)
+                link.send({"type": "step_done", "seq": hdr["seq"]})
+                continue
+            assert t == "step"
+            rows_bytes = (hdr["nrows"] * rt.sp.raw_shard_len
+                          * self.source_itemsize)
+            tbl, views_np, wf_meta, resets = unpack_control(
+                hdr["control"], blob[: len(blob) - rows_bytes])
+            rows = np.frombuffer(
+                blob[len(blob) - rows_bytes:],
+                dtype=self.wire_dtype).reshape(hdr["nrows"],
+                                               rt.sp.raw_shard_len)
+            idx = np.asarray(hdr["idx"], np.int32)
+            t0 = time.monotonic()
+            state = self._step_and_serve(
+                state, rows, tbl, views_np, wf_meta, resets, idx,
+                hdr["due"], hdr["mode"], hdr["frame0"], t0)
+            self.metrics.frames += cfg.hop_batch
+            # push local registry changes upstream BEFORE the ack so the
+            # ingest host merges them for the next control block
+            self._push_updates(link)
+            link.send({"type": "step_done", "seq": hdr["seq"]})
+
+    def _push_updates(self, link: "Link"):
+        ch = self.server.channels
+        wf = self.server.waterfalls
+        if ch.version == self._last_chan_v and wf.version == self._last_wf_v:
+            return
+        self._last_chan_v, self._last_wf_v = ch.version, wf.version
+        co, cc, ctbl, cresets = ch.range_rows()
+        wo, wc, wrows = wf.range_rows()
+        parts = [np.ascontiguousarray(a, np.int32).tobytes()
+                 for a in ctbl[:4]]
+        parts.append(np.ascontiguousarray(ctbl[4], np.int8).tobytes())
+        if cresets is not None:
+            parts.append(np.ascontiguousarray(cresets, np.int32).tobytes())
+        parts += [np.ascontiguousarray(a, np.int32).tobytes()
+                  for a in wrows]
+        link.send({"type": "host_update", "chan_offset": co,
+                   "chan_count": cc, "reset": cresets is not None,
+                   "wf_offset": wo, "wf_count": wc}, b"".join(parts))
+
+    # -------------------------------------------------------------- step
+    @property
+    def wire_dtype(self):
+        from ..ops.convert import wire_dtype
+
+        return wire_dtype(self.cfg.input_format)
+
+    @property
+    def source_itemsize(self) -> int:
+        return self.wire_dtype.itemsize
+
+    def _step_and_serve(self, state, my_rows, tbl_arrays, views_np,
+                        wf_meta, resets, idx, due, mode, frame0, t0):
+        import jax.numpy as jnp
+        from ..pipeline import WaterfallViews, channels_from_numpy
+
+        cfg = self.cfg
+        rt = self.rt
+        raw = rt.global_raw(np.ascontiguousarray(my_rows))
+        table = channels_from_numpy(*tbl_arrays)
+        views = WaterfallViews(start=jnp.asarray(views_np[0]),
+                               length=jnp.asarray(views_np[1]))
+        reset_dev = jnp.asarray(resets) if resets is not None else None
+        state, out = rt.sp.step(state, raw, table, views, mode,
+                                reset=reset_dev, due_idx=jnp.asarray(idx))
+        audio = rt.local_audio(out)
+        pwr = rt.local_power(out)
+        wf = rt.local_wf(out) if mode == "views" else None
+        if wf is not None:
+            # padded per-shard replica rows -> due-list order
+            cl = rt.sp.due_cap_local
+            sel = []
+            for i in range(rt.n):
+                cnt = sum(1 for h in due
+                          if h // rt.sp.hops_per_shard == i)
+                sel += [i * cl + j for j in range(cnt)]
+            wf = wf[sel]
+        self.metrics.step_seconds.append(time.monotonic() - t0)
+        try:
+            self.server.dispatch_threadsafe(frame0, audio, pwr, wf,
+                                            due, wf_meta)
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+        return state

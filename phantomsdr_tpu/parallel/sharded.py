@@ -75,11 +75,19 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 
 class ShardedHopPipeline:
-    """Hop pipeline pjit'd over a 1-D device mesh (axis 'd')."""
+    """Hop pipeline pjit'd over a 1-D device mesh (axis 'd').
 
-    def __init__(self, cfg: ServerConfig, mesh: Mesh):
+    gather_wf=True additionally all-gathers the (tiny) waterfall view
+    rows over ICI so EVERY shard -- and hence every host of a multi-host
+    mesh -- holds all due rows replicated: any host can then serve any
+    waterfall client from its local shards without cross-host fetches
+    (parallel/multihost.py).  Costs one [due_rows, W, view_cap] int8
+    all-gather (~100 kB at 100 clients) per due step."""
+
+    def __init__(self, cfg: ServerConfig, mesh: Mesh, gather_wf: bool = False):
         self.cfg = cfg
         self.mesh = mesh
+        self.gather_wf = gather_wf
         self.n = mesh.size
         if cfg.hop_batch % self.n:
             raise ValueError("hop_batch must divide evenly over the mesh")
@@ -117,9 +125,10 @@ class ShardedHopPipeline:
         # per-channel streams [C, B*half/f]
         audio_spec = (P("d", None) if self.decim_taps is not None
                       else P(None, "d", None))
+        wf_spec = P(None, None, None) if gather_wf else P("d", None, None)
         out_spec = HopOutputs(
             audio=audio_spec, avg_power=P(None, "d"),
-            wf=P("d", None, None), pyramid=P("d", None), packed=P("d"),
+            wf=wf_spec, pyramid=P("d", None), packed=P("d"),
         )
         self._steps = {}
         for mode in ("views", "full", "off"):
@@ -129,6 +138,9 @@ class ShardedHopPipeline:
                 in_specs=(st_spec, P("d", None), chan_spec, views_spec,
                           P("d"), P("d", None)),
                 out_specs=(st_spec, out_spec),
+                # gather_wf replicates the wf rows via an all_gather whose
+                # replication the static VMA checker cannot infer
+                check_vma=not gather_wf,
             )
             self._steps[mode] = jax.jit(fn, donate_argnums=(0,))
 
@@ -218,6 +230,9 @@ class ShardedHopPipeline:
                 # the static due cap; see due_layout)
                 due_local = pyr_full[due_idx[0]]
                 wf = gather_waterfall_views(due_local, views, self.view_cap)
+                if self.gather_wf:
+                    # replicate all shards' rows (see class docstring)
+                    wf = jax.lax.all_gather(wf, "d", axis=0, tiled=True)
 
         spec_ext = extend_spectrum(spec, cfg.is_real, r, a)  # [B/n, R+A]
 
@@ -230,7 +245,12 @@ class ShardedHopPipeline:
         )
         new_inner = HopState(frame=state.inner.frame + cfg.hop_batch,
                              audio=audio_st)
-        packed = pack_outputs(audio16, pwr, wf)
+        # gather_wf mode fetches wf from its local replica, never via
+        # packed (packing the replicated rows per shard would ship n
+        # copies)
+        packed = pack_outputs(audio16, pwr,
+                              wf if not self.gather_wf
+                              else jnp.zeros((0,), jnp.int8))
         return (
             ShardedHopState(inner=new_inner, halo=new_halo[None, :]),
             HopOutputs(audio=audio16, avg_power=pwr, wf=wf, pyramid=pyr,

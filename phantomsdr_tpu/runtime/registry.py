@@ -47,13 +47,23 @@ class WaterfallSlot:
 
 
 class ChannelRegistry:
-    """Dense audio-channel slot allocator + device-table builder."""
+    """Dense audio-channel slot allocator + device-table builder.
 
-    def __init__(self, cfg: ServerConfig):
+    slot_offset/slot_count restrict ALLOCATION to a sub-range for the
+    multi-host serving partition (parallel/multihost.py): each host
+    serves the listeners whose channel shards live on its devices.  The
+    table arrays stay full-width; rows outside the range are filled by
+    merge_rows() from the other hosts' registries."""
+
+    def __init__(self, cfg: ServerConfig, slot_offset: int = 0,
+                 slot_count: int | None = None):
         self.cfg = cfg
         c = cfg.max_channels
+        self.slot_offset = slot_offset
+        self.slot_count = slot_count if slot_count is not None else c
         self._lock = threading.Lock()
-        self._free = list(range(c - 1, -1, -1))
+        self._free = list(range(slot_offset + self.slot_count - 1,
+                                slot_offset - 1, -1))
         self.slots: dict[int, AudioSlot] = {}
         self.l = np.zeros(c, np.int32)
         self.r = np.zeros(c, np.int32)
@@ -165,6 +175,58 @@ class ChannelRegistry:
     def count(self) -> int:
         return len(self.slots)
 
+    # --------------------------------------------------- multi-host sync
+    def range_rows(self) -> tuple[int, int, tuple[np.ndarray, ...],
+                                  np.ndarray | None]:
+        """This host's authoritative sub-range (offset, count, arrays,
+        reset mask) for upstream sync.  Consumes pending resets like
+        snapshot() (active-gated)."""
+        o, n = self.slot_offset, self.slot_count
+        with self._lock:
+            mask = None
+            pend = {s for s in (self._fresh | self._agc_fresh)
+                    if o <= s < o + n}
+            if pend:
+                mask = np.zeros(n, np.int32)
+                for s in self._agc_fresh & pend:
+                    mask[s - o] = RESET_AGC
+                consumed = {s for s in self._fresh & pend if self.active[s]}
+                for s in consumed:
+                    mask[s - o] = RESET_FULL
+                self._fresh -= consumed
+                self._agc_fresh -= pend
+                if not mask.any():
+                    mask = None
+            sl = slice(o, o + n)
+            return o, n, (self.l[sl].copy(), self.r[sl].copy(),
+                          self.m_idx[sl].copy(), self.mode[sl].copy(),
+                          self.active[sl].copy()), mask
+
+    def merge_rows(self, offset: int, arrays: tuple[np.ndarray, ...],
+                   resets: np.ndarray | None) -> None:
+        """Ingest-host side: apply another host's authoritative rows
+        (and queue its resets) into the global table."""
+        n = arrays[0].shape[0]
+        sl = slice(offset, offset + n)
+        with self._lock:
+            self.l[sl], self.r[sl] = arrays[0], arrays[1]
+            self.m_idx[sl], self.mode[sl] = arrays[2], arrays[3]
+            self.active[sl] = arrays[4]
+            if resets is not None:
+                for i in np.nonzero(resets)[0]:
+                    s = offset + int(i)
+                    if resets[i] == RESET_FULL:
+                        self._fresh.add(s)
+                    else:
+                        self._agc_fresh.add(s)
+            self.version += 1
+
+    @property
+    def remote_count(self) -> int:
+        """Active rows OUTSIDE this host's range (merged from peers)."""
+        o, n = self.slot_offset, self.slot_count
+        return int(self.active.sum()) - int(self.active[o:o + n].sum())
+
 
 class WaterfallRegistry:
     """Dense waterfall slot table (device view gathers) + level selection
@@ -176,13 +238,17 @@ class WaterfallRegistry:
     """
 
     def __init__(self, cfg: ServerConfig, level_offsets: list[int],
-                 max_slots: int | None = None):
+                 max_slots: int | None = None, slot_offset: int = 0,
+                 slot_count: int | None = None):
         self.cfg = cfg
         self.level_offsets = level_offsets
         n = max_slots or cfg.max_channels
         self.max_slots = n
+        self.slot_offset = slot_offset
+        self.slot_count = slot_count if slot_count is not None else n
         self._lock = threading.Lock()
-        self._free = list(range(n - 1, -1, -1))
+        self._free = list(range(slot_offset + self.slot_count - 1,
+                                slot_offset - 1, -1))
         self.clients: dict[int, WaterfallSlot] = {}
         self.start = np.zeros(n, np.int32)
         self.length = np.zeros(n, np.int32)
@@ -257,6 +323,23 @@ class WaterfallRegistry:
         with self._lock:
             return (self.version, self.start.copy(), self.length.copy(),
                     (self.l.copy(), self.r.copy(), self.level.copy()))
+
+    # --------------------------------------------------- multi-host sync
+    def range_rows(self) -> tuple[int, int, tuple[np.ndarray, ...]]:
+        o, n = self.slot_offset, self.slot_count
+        sl = slice(o, o + n)
+        with self._lock:
+            return o, n, (self.start[sl].copy(), self.length[sl].copy(),
+                          self.l[sl].copy(), self.r[sl].copy(),
+                          self.level[sl].copy())
+
+    def merge_rows(self, offset: int, arrays: tuple[np.ndarray, ...]) -> None:
+        n = arrays[0].shape[0]
+        sl = slice(offset, offset + n)
+        with self._lock:
+            (self.start[sl], self.length[sl], self.l[sl], self.r[sl],
+             self.level[sl]) = arrays
+            self.version += 1
 
     @property
     def count(self) -> int:

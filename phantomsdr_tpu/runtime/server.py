@@ -245,10 +245,15 @@ class WaterfallConn:
 
 
 class SpectrumServer:
-    def __init__(self, cfg: ServerConfig):
+    def __init__(self, cfg: ServerConfig, channels: ChannelRegistry = None,
+                 waterfalls: WaterfallRegistry = None, chan_offset: int = 0):
+        """channels/waterfalls: inject range-partitioned registries for
+        the multi-host serving partition; chan_offset maps global slot
+        ids onto this host's local audio/power arrays in dispatch()."""
         self.cfg = cfg
-        self.channels = ChannelRegistry(cfg)
-        self.waterfalls = WaterfallRegistry(
+        self.chan_offset = chan_offset
+        self.channels = channels or ChannelRegistry(cfg)
+        self.waterfalls = waterfalls or WaterfallRegistry(
             cfg, pyramid_level_offsets(cfg.fft_result_size,
                                        cfg.downsample_levels))
         self.audio_conns: dict[int, AudioConn] = {}       # slot -> conn
@@ -497,9 +502,10 @@ class SpectrumServer:
                 continue
             if conn.out.backlogged:
                 continue
-            pcm = audio[slot_id] if decimated else audio[:, slot_id]
+            li = slot_id - self.chan_offset  # local row (multi-host)
+            pcm = audio[li] if decimated else audio[:, li]
             self.encode_pool.submit(slot_id, lambda c=conn, p=pcm,
-                                    pw=pwr[:, slot_id], mid=s.mid,
+                                    pw=pwr[:, li], mid=s.mid,
                                     width=s.r - s.l:
                                     self._encode_audio_job(
                                         c, frame0, b, mid, width, p, pw,

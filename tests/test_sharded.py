@@ -141,3 +141,41 @@ def test_sharded_due_layout():
     # frame0=17: hops 1 and ... 1+17=18 due; 16 hops span one cadence
     idx, counts = sp.due_layout(17)
     assert sum(counts) == 1 and counts[0] == 1 and idx[0, 0] == 1
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("PHANTOMSDR_SLOW_TESTS"),
+    reason="big-shape compile test; set PHANTOMSDR_SLOW_TESTS=1")
+def test_sharded_flagship_shape_compiles():
+    """Compile + run ONE sharded step at the flagship fft_size (2^20,
+    four-step decomposition path, FOUR_STEP_THRESHOLD = 2^19) on the
+     8-device CPU mesh: pins compile health of the 2^20 sharded config
+    (VERDICT round 1, item 9)."""
+    import time
+
+    cfg = config_from_dict({
+        "input": {
+            "sps": 35_000_000, "frequency": 100_000_000,
+            "fft_size": 1 << 20, "signal": "iq", "audio_sps": 12000,
+            "waterfall_size": 1024, "driver": {"format": "u8"},
+        },
+        "tpu": {"hop_batch": 8, "max_channels": 8},
+    })
+    mesh = make_mesh(8)
+    sp = ShardedHopPipeline(cfg, mesh)
+    c = cfg.max_channels
+    l = np.linspace(1000, cfg.fft_result_size - 2000, c).astype(np.int64)
+    table = channels_from_numpy(
+        l=l, r=l + 300, m_idx=l + 150, mode=np.arange(c) % 4,
+        active=np.ones(c, bool))
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, size=cfg.hop_batch * sp.wire_per_hop,
+                       dtype=np.uint8)
+    state = sp.init_state()
+    t0 = time.monotonic()
+    state, out = sp.step(state, jnp.asarray(sp.shard_raw(raw)), table,
+                         waterfall="views")
+    jax.block_until_ready(out.packed)
+    dt = time.monotonic() - t0
+    print(f"sharded 2^20 step compiled+ran in {dt:.1f}s")
+    assert np.asarray(out.avg_power).shape == (cfg.hop_batch, c)

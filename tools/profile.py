@@ -1,0 +1,269 @@
+"""Per-stage device-time profiler for the hop pipeline (SURVEY.md
+section 5: per-stage device time as a first-class metric; VERDICT
+round 1, item 3: PERF.md's stage table must be reproducible by one
+command).
+
+Methodology: the dev-environment relay adds ~100 ms RTT per dispatch,
+which would swamp sub-millisecond stage times.  Each stage is therefore
+wrapped in an on-device ``lax.fori_loop`` that re-runs it K times with a
+forced serial data dependency (the output folds into the carry through a
+denormal-scale perturbation XLA cannot elide), and the device time per
+iteration is the SLOPE between a K=1 and a K=KBIG run:
+
+    stage_time = (t[KBIG] - t[1]) / (KBIG - 1)
+
+which cancels dispatch/RTT exactly.  The end-to-end step is additionally
+measured the normal way (state-chained steps, one packed fetch each).
+
+Usage:
+    python tools/profile.py [--fft-log2 20] [--hops 18] [--channels 128]
+                            [--out PROFILE.json] [--platform cpu]
+Writes one JSON artifact and prints it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def timed(fn, *args):
+    """Wall time of fn incl. a REAL device sync: on the axon remote
+    backend block_until_ready returns before the device finishes, so the
+    only reliable fence is a (tiny) device->host fetch.  The fetch costs
+    one relay RTT -- identical for K=1 and K=kbig, so it cancels in the
+    slope."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.monotonic()
+    out = fn(*args)
+    leaf = out if hasattr(out, "ravel") else \
+        [x for x in jax.tree_util.tree_leaves(out)
+         if hasattr(x, "ravel")][0]
+    # real-valued scalar: complex device->host transfers fail on axon
+    _ = np.asarray(jnp.real(jnp.ravel(leaf)[:1]).astype(jnp.float32))
+    return time.monotonic() - t0
+
+
+def loop_stage(fn, reduce_fn, x, k):
+    """Build a jitted K-iteration serial loop of fn starting from x."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def body(i, c):
+        y = fn(c)
+        # forced serial dependency; 1e-38 keeps the value numerically
+        # intact while defeating loop-invariant code motion
+        return c + (reduce_fn(y) * 1e-38).astype(c.dtype)
+
+    return jax.jit(lambda x0: lax.fori_loop(0, k, body, x0))
+
+
+def slope(fn, reduce_fn, x, kbig):
+    """Device ms/iteration from the K=1 vs K=kbig slope.  kbig must be
+    large enough that kbig * stage_time dwarfs the dispatch/RTT jitter
+    (~100 ms wobble through the dev relay)."""
+    f1 = loop_stage(fn, reduce_fn, x, 1)
+    fk = loop_stage(fn, reduce_fn, x, kbig)
+    timed(f1, x)       # compile
+    timed(fk, x)       # compile
+    t1 = min(timed(f1, x) for _ in range(5))
+    tk = min(timed(fk, x) for _ in range(5))
+    return (tk - t1) / (kbig - 1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fft-log2", type=int, default=20)
+    ap.add_argument("--hops", type=int, default=18)
+    ap.add_argument("--channels", type=int, default=128)
+    ap.add_argument("--kbig", type=int, default=256)
+    ap.add_argument("--out", default="PROFILE.json")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    import jax.numpy as jnp
+
+    from phantomsdr_tpu.config import config_from_dict
+    from phantomsdr_tpu.ops.fft import frame_hops, forward_spectrum
+    from phantomsdr_tpu.ops.windows import hann_window
+    from phantomsdr_tpu.ops.agc import (
+        dc_blocker, agc_process, make_agc_params, dc_blocker_delay,
+        init_dc_state, init_agc_state,
+    )
+    from phantomsdr_tpu.ops.channelizer import (
+        demodulate, init_channel_state, extend_spectrum,
+    )
+    from phantomsdr_tpu.pipeline import (
+        HopPipeline, waterfall_from_spectra, channels_from_numpy,
+    )
+
+    sps = 35_000_000
+    cfg = config_from_dict({
+        "input": {
+            "sps": sps, "frequency": 100_000_000,
+            "fft_size": 1 << args.fft_log2, "signal": "iq",
+            "audio_sps": 12000, "waterfall_size": 1024,
+            "driver": {"format": "u8"},
+        },
+        "tpu": {"hop_batch": args.hops, "max_channels": args.channels},
+    })
+    b, c = cfg.hop_batch, cfg.max_channels
+    r, a = cfg.fft_result_size, cfg.audio_max_fft_size
+    half = a // 2
+    window = hann_window(cfg.fft_size)
+    rng = np.random.default_rng(0)
+
+    dev = jax.devices()[0]
+    print(f"# profiling on {dev} fft=2^{args.fft_log2} B={b} C={c}",
+          file=sys.stderr, flush=True)
+
+    # ---- stage inputs (device-resident, created via jit) ----
+    n_cplx = (b + 1) * cfg.hop_size
+    x_time = jax.jit(lambda k: jax.lax.complex(
+        jax.random.normal(k, (n_cplx,)), jax.random.normal(k, (n_cplx,)))
+        )(jax.random.PRNGKey(0))
+    spec = jax.jit(lambda k: jax.lax.complex(
+        jax.random.normal(k, (b, r)), jax.random.normal(k, (b, r)))
+        )(jax.random.PRNGKey(1)) * 1e-3
+    jax.block_until_ready((x_time, spec))
+
+    # NB: everything closed over by a staged stage function must be HOST
+    # numpy -- device-resident closure constants make lowering fetch
+    # device->host mid-lower, which the axon remote backend rejects
+    # (CLAUDE.md gotcha)
+    from phantomsdr_tpu.ops.channelizer import ChannelTable, ChannelState
+
+    l = np.linspace(1000, r - 2000, c).astype(np.int32)
+    width = np.full(c, min(a, 300), np.int32)
+    table = ChannelTable(l=l, r=(l + width).astype(np.int32),
+                         m_idx=(l + width // 2).astype(np.int32),
+                         mode=(np.arange(c) % 4).astype(np.int32),
+                         active=np.ones(c, bool))
+    chan_st = ChannelState(
+        ssb_prev=np.zeros((c, half), np.float32),
+        cplx_prev=np.zeros((c, half), np.complex64),
+        fm_prev=np.zeros((c,), np.complex64),
+        carrier_prev=np.zeros((c, half), np.complex64),
+        pll_phase=np.zeros((c,), np.float32),
+        pll_freq=np.zeros((c,), np.float32),
+    )
+    agc_params = make_agc_params(cfg.audio_sps)
+    dc_delay = dc_blocker_delay(cfg.audio_sps)
+
+    results: dict = {"config": {
+        "fft_size": cfg.fft_size, "hop_batch": b, "channels": c,
+        "sps": sps, "audio_fft_size": a,
+        "device": str(dev), "backend": jax.default_backend(),
+    }, "method": "fori_loop slope (K=1 vs K=%d), min of 3" % args.kbig,
+        "stages_ms": {}}
+
+    # ---- stage 1: framing + window + forward FFT ----
+    def s_fft(x):
+        frames = frame_hops(x, b, cfg.fft_size)
+        return forward_spectrum(frames, window, cfg.is_real,
+                                cfg.fft_strategy)
+
+    t = slope(s_fft, lambda y: jnp.sum(jnp.real(y)), x_time, args.kbig)
+    results["stages_ms"]["fft_batch"] = round(t * 1e3, 3)
+
+    # ---- stage 2: waterfall power/quantize pyramid ----
+    t = slope(lambda s: waterfall_from_spectra(cfg, s),
+              lambda y: jnp.sum(y.astype(jnp.float32)), spec, args.kbig)
+    results["stages_ms"]["waterfall_pyramid"] = round(t * 1e3, 3)
+
+    # ---- stage 3: channelizer demod scan over the batch ----
+    def s_demod(s):
+        se = extend_spectrum(s, cfg.is_real, r, a)
+
+        def hop_body(carry, se_h):
+            st, _ = carry
+            st, audio, pwr = demodulate(
+                se_h, table, st, jnp.int32(0),
+                audio_fft_size=a, fft_result_size=r,
+                base_idx=cfg.base_idx, is_real=cfg.is_real)
+            return (st, audio), pwr
+
+        (_, audio), _ = jax.lax.scan(hop_body, (chan_st,
+                                                jnp.zeros((c, half))), se)
+        return audio
+
+    t = slope(s_demod, lambda y: jnp.sum(y), spec, args.kbig)
+    results["stages_ms"]["channelizer_demod"] = round(t * 1e3, 3)
+
+    # ---- stage 4: DC blocker + AGC over the batch's audio ----
+    audio_blk = jax.jit(lambda k: jax.random.normal(k, (b, c, half)))(
+        jax.random.PRNGKey(2))
+    jax.block_until_ready(audio_blk)
+
+    def s_dcagc(ab):
+        def hop_body(carry, x):
+            dc_st, agc_st = carry
+            dc_st, y = dc_blocker(dc_st, x, dc_delay)
+            agc_st, y = agc_process(agc_st, y, agc_params)
+            return (dc_st, agc_st), y
+
+        _, out = jax.lax.scan(
+            hop_body, (init_dc_state(c, dc_delay),
+                       init_agc_state(c, agc_params.window)), ab)
+        return out
+
+    t = slope(s_dcagc, lambda y: jnp.sum(y), audio_blk, args.kbig)
+    results["stages_ms"]["dc_agc"] = round(t * 1e3, 3)
+
+    # ---- end-to-end step (normal path, packed fetch per step) ----
+    pipe = HopPipeline(cfg)
+    blk = (b + 1) * pipe.wire_per_hop
+    pool = [jnp.asarray(rng.integers(0, 256, size=blk, dtype=np.uint8))
+            for _ in range(2)]
+    jax.block_until_ready(pool)
+    state = pipe.init_state()
+    state, out = pipe.step(state, pool[0], table, waterfall="full")
+    np.asarray(out.packed)  # compile + layout warm
+    times = []
+    for i in range(6):
+        t0 = time.monotonic()
+        state, out = pipe.step(state, pool[i % 2], table, waterfall="full")
+        _ = np.asarray(out.packed)
+        times.append(time.monotonic() - t0)
+    times.sort()
+    results["step_ms_e2e_p50"] = round(times[len(times) // 2] * 1e3, 2)
+    compute = sum(results["stages_ms"].values())
+    results["device_compute_ms_total"] = round(compute, 3)
+    results["device_msps_ceiling"] = round(
+        b * cfg.hop_size / (compute / 1e3) / 1e6, 1)
+    results["samples_per_step"] = b * cfg.hop_size
+
+    # ---- HBM speed-of-light accounting for the FFT ----
+    # 2^20 c2c f32: ~3 passes x 16 B/point r+w over B*N points
+    n = cfg.fft_size
+    bytes_moved = 3 * 2 * 8 * b * n
+    results["fft_sol"] = {
+        "assumed_hbm_gbps": 800,
+        "bytes_moved_est": bytes_moved,
+        "sol_ms": round(bytes_moved / (800e9) * 1e3, 3),
+        "measured_ms": results["stages_ms"]["fft_batch"],
+    }
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

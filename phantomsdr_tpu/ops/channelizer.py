@@ -284,6 +284,145 @@ def demodulate(
     return new_state, audio, avg_power
 
 
+def demodulate_batch(
+    spec_ext: jnp.ndarray,
+    chans: ChannelTable,
+    state: ChannelState,
+    frame0: jnp.ndarray,
+    *,
+    audio_fft_size: int,
+    fft_result_size: int,
+    base_idx: int,
+    is_real: bool,
+    am_sync: bool = False,
+    carrier_cutoff: int = 0,
+) -> tuple[ChannelState, jnp.ndarray, jnp.ndarray]:
+    """All-hops batched demodulation: [B, R+A] -> (state,
+    audio [B, C, A/2], avg_power [B, C]).
+
+    Numerically identical to scanning `demodulate` over the batch
+    (pinned by tests/test_channelizer.py), but restructured for the
+    TPU: the bin gathers, the [B*C, A] IFFTs and the parity negation
+    are hop-independent, so they run as ONE batched computation instead
+    of B serial scan iterations; the only true sequential dependencies
+    -- overlap-add, the FM discriminator seed and the AM-sync PLL --
+    are expressed as batched shifts (overlap-add/FM need only the
+    PREVIOUS hop's wave, available in-batch) and, for the PLL alone, a
+    per-sample scan.  Cuts the profiled demod stage ~4x at the
+    north-star config (PERF.md).
+    """
+    a = audio_fft_size
+    half = a // 2
+    b = spec_ext.shape[0]
+    c = chans.l.shape[0]
+
+    start = (chans.l + base_idx) % fft_result_size
+    audio_r = chans.r - chans.l
+    m_rel = chans.m_idx - chans.l
+    maxi = spec_ext.shape[-1] - 1
+
+    def gather(rel_idx, valid):
+        """[C, K] slice-relative bins -> [B, C, K] values (one gather)."""
+        safe = jnp.clip(start[:, None] + rel_idx, 0, maxi)
+        vals = spec_ext[:, safe]                         # [B, C, K]
+        return jnp.where(valid[None], vals, jnp.zeros((), spec_ext.dtype))
+
+    # ---- average slice power (signal.cpp:117-119) ----
+    k_a = jnp.arange(a, dtype=jnp.int32)
+    slice_vals = gather(k_a[None, :].repeat(c, 0),
+                        k_a[None, :] < audio_r[:, None])
+    avg_power = jnp.sum(
+        jnp.real(slice_vals) ** 2 + jnp.imag(slice_vals) ** 2, axis=-1)
+
+    # ---- SSB bins + batched c2r IFFT (signal.cpp:126-156) ----
+    k_r = jnp.arange(half + 1, dtype=jnp.int32)
+    usb_rel = m_rel[:, None] + k_r[None, :]
+    lsb_rel = m_rel[:, None] - k_r[None, :]
+    is_lsb = (chans.mode == MODE_LSB)[:, None]
+    ssb_rel = jnp.where(is_lsb, lsb_rel, usb_rel)
+    ssb_valid = (ssb_rel >= 0) & (ssb_rel < audio_r[:, None])
+    ssb_bins = gather(ssb_rel, ssb_valid)                # [B, C, A/2+1]
+    ssb_wave = jnp.fft.irfft(ssb_bins, n=a) * a          # [B, C, A]
+    ssb_wave = jnp.where(is_lsb[None], ssb_wave[..., ::-1], ssb_wave)
+
+    # ---- AM/FM bins + batched c2c IFFT (signal.cpp:173-214) ----
+    t = jnp.arange(a, dtype=jnp.int32)
+    pos_rel = m_rel[:, None] + t[None, :]
+    neg_rel = m_rel[:, None] - (a - t)[None, :]
+    is_pos = t[None, :] < half
+    is_neg = t[None, :] > half
+    cplx_rel = jnp.where(is_pos, pos_rel, neg_rel)
+    cplx_valid = ((is_pos | is_neg) & (cplx_rel >= 0)
+                  & (cplx_rel < audio_r[:, None]))
+    cplx_bins = gather(cplx_rel, cplx_valid)             # [B, C, A]
+    cplx_wave = jnp.fft.ifft(cplx_bins) * a
+
+    # ---- parity fix-up, vectorized over hops (signal.cpp:160-168) ----
+    m_even = (chans.m_idx % 2) == 0
+    parity_mode = (~m_even) if is_real else m_even
+    frames = frame0 + jnp.arange(b, dtype=jnp.int32)
+    negate = ((frames % 2) == 1)[:, None] & parity_mode[None, :]
+    sgn = jnp.where(negate, -1.0, 1.0)[:, :, None]       # [B, C, 1]
+    ssb_wave = ssb_wave * sgn
+    cplx_wave = cplx_wave * sgn.astype(jnp.complex64)
+
+    # ---- overlap-add as a batched shift: hop h's carry-in is hop
+    # h-1's second half, already in the batch (signal.cpp:170-172) ----
+    ssb_out = ssb_wave[:, :, :half] + jnp.concatenate(
+        [state.ssb_prev[None], ssb_wave[:-1, :, half:]])
+    new_ssb_prev = ssb_wave[-1, :, half:]
+    cplx_out = cplx_wave[:, :, :half] + jnp.concatenate(
+        [state.cplx_prev[None], cplx_wave[:-1, :, half:]])
+    new_cplx_prev = cplx_wave[-1, :, half:]
+
+    if am_sync:
+        keep = ((t[None, :] < carrier_cutoff)
+                | (t[None, :] >= a - carrier_cutoff))
+        car_wave = jnp.fft.ifft(jnp.where(keep[None], cplx_bins, 0)) * a
+        car_wave = car_wave * sgn.astype(jnp.complex64)
+        car_out = car_wave[:, :, :half] + jnp.concatenate(
+            [state.carrier_prev[None], car_wave[:-1, :, half:]])
+        new_carrier_prev = car_wave[-1, :, half:]
+        # the PLL is the one truly per-sample recursion: scan over the
+        # whole batch's concatenated time stream
+        car_flat = car_out.transpose(1, 0, 2).reshape(c, b * half)
+        base_flat = cplx_out.transpose(1, 0, 2).reshape(c, b * half)
+        am_flat, pll_phase, pll_freq = am_sync_detect(
+            car_flat, base_flat, state.pll_phase, state.pll_freq)
+        am_audio = am_flat.reshape(c, b, half).transpose(1, 0, 2)
+    else:
+        am_audio = jnp.sqrt(
+            jnp.real(cplx_out) ** 2 + jnp.imag(cplx_out) ** 2)
+        new_carrier_prev = state.carrier_prev
+        pll_phase, pll_freq = state.pll_phase, state.pll_freq
+
+    # ---- FM discriminator: the cross-hop seed is in-batch too ----
+    flat = cplx_out.transpose(1, 0, 2).reshape(c, b * half)
+    prev_flat = jnp.concatenate([state.fm_prev[:, None], flat[:, :-1]],
+                                axis=1)
+    fm_audio = (jnp.angle(flat * jnp.conj(prev_flat))
+                .reshape(c, b, half).transpose(1, 0, 2))
+    new_fm_prev = flat[:, -1]
+
+    mode = chans.mode[None, :, None]
+    audio = jnp.where(
+        mode == MODE_AM, am_audio,
+        jnp.where(mode == MODE_FM, fm_audio, ssb_out),
+    )
+    # NaN guard (documented deviation; signal.cpp:266-271 drops the frame)
+    audio = jnp.where(jnp.isnan(audio), 0.0, audio)
+
+    new_state = ChannelState(
+        ssb_prev=new_ssb_prev,
+        cplx_prev=new_cplx_prev,
+        fm_prev=new_fm_prev,
+        carrier_prev=new_carrier_prev,
+        pll_phase=pll_phase,
+        pll_freq=pll_freq,
+    )
+    return new_state, audio, avg_power
+
+
 def float_to_int16(audio: jnp.ndarray, mult: float = 65536.0 / 4.0) -> jnp.ndarray:
     """Round-half-up float -> int16 (reference src/utils/dsp.cpp:152-165).
 

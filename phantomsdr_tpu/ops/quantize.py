@@ -86,8 +86,13 @@ def waterfall_pyramid(
     """
     out = [quantize_power(power0, size_log2)]
     p = power0
+    win = (1,) * (power0.ndim - 1) + (2,)
     for i in range(levels - 1):
-        p = p[..., 0::2] + p[..., 1::2]
+        # adjacent-pair sum as a strided reduce_window: bitwise the same
+        # addition as p[..., 0::2] + p[..., 1::2], but lane-stride-2
+        # slicing forces cross-lane relayouts on TPU (measured 16 ms for
+        # [18, 2^20] x 11 levels vs 4 ms with reduce_window)
+        p = jax.lax.reduce_window(p, 0.0, jax.lax.add, win, win, "VALID")
         out.append(quantize_power(p, size_log2 - i - 1))
     return out
 

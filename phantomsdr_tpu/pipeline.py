@@ -45,7 +45,7 @@ from .ops.quantize import (
 )
 from .ops.channelizer import (
     ChannelTable, ChannelState, init_channel_state,
-    extend_spectrum, demodulate, float_to_int16,
+    extend_spectrum, demodulate_batch, float_to_int16,
 )
 from .ops.agc import (
     AGCParams, AGCState, DCBlockerState, dc_blocker, dc_blocker_delay,
@@ -241,40 +241,39 @@ def audio_from_spectra(
             dec=jax.tree.map(lambda x: zero_rows(x, full), audio_state.dec),
         )
 
-    def hop_body(carry, inputs):
-        chan_st, dc_st, agc_st = carry
-        se, fnum = inputs
-        chan_st, audio, pwr = demodulate(
-            se, chans, chan_st, fnum,
-            audio_fft_size=a, fft_result_size=cfg.fft_result_size,
-            base_idx=cfg.base_idx, is_real=cfg.is_real,
-            am_sync=cfg.am_sync,
-            carrier_cutoff=500 * a // cfg.audio_sps,  # signal.cpp:217
-        )
-        dc_st, audio = dc_blocker(dc_st, audio, dc_delay)
-        agc_st, audio = agc_process(agc_st, audio, agc_params)
-        return (chan_st, dc_st, agc_st), (audio, pwr)
-
-    frames_idx = frame0 + jnp.arange(b, dtype=jnp.int32)
-    (chan_st, dc_st, agc_st), (audio_f, pwr) = jax.lax.scan(
-        hop_body, (audio_state.chan, audio_state.dc, audio_state.agc),
-        (spec_ext, frames_idx),
+    # ---- batched demod: one gather + one batched IFFT for ALL hops;
+    # overlap-add/FM seeds are in-batch shifts (see demodulate_batch) --
+    # no per-hop scan on the demod path
+    half = a // 2
+    c = chans.l.shape[0]
+    chan_st, audio_f, pwr = demodulate_batch(
+        spec_ext, chans, audio_state.chan, frame0,
+        audio_fft_size=a, fft_result_size=cfg.fft_result_size,
+        base_idx=cfg.base_idx, is_real=cfg.is_real,
+        am_sync=cfg.am_sync,
+        carrier_cutoff=500 * a // cfg.audio_sps,  # signal.cpp:217
     )
+
+    # ---- DC blocker + AGC over the batch's CONTINUOUS per-channel
+    # stream (identical math to per-hop blocks: both ops carry state
+    # across arbitrary block boundaries)
+    stream = audio_f.transpose(1, 0, 2).reshape(c, b * half)
+    dc_st, stream = dc_blocker(audio_state.dc, stream, dc_delay)
+    agc_st, stream = agc_process(audio_state.agc, stream, agc_params)
 
     dec_st = audio_state.dec
     if decim_taps is not None:
         # device Opus decimation (replaces the reference's rate-clamp
-        # wart, src/audio.cpp:59): the batch's audio becomes ONE
-        # continuous per-channel stream, anti-alias filtered and
-        # decimated with the filter tail carried across steps.  The
+        # wart, src/audio.cpp:59): anti-alias filter + decimate the
+        # stream with the filter tail carried across steps.  The
         # per-hop framing is gone on purpose -- Opus frames span hops
         # anyway (src/audio.cpp:63-84's partial-frame queue).
         f = cfg.opus_decim
-        stream = audio_f.transpose(1, 0, 2).reshape(chans.l.shape[0], -1)
         dec_st, dec_out = polyphase_decimate(dec_st, stream, decim_taps, f)
         audio16 = float_to_int16(dec_out)                 # [C, B*half/f]
     else:
-        audio16 = float_to_int16(audio_f)                 # [B, C, half]
+        audio16 = float_to_int16(
+            stream.reshape(c, b, half).transpose(1, 0, 2))  # [B, C, half]
     return (AudioState(chan=chan_st, dc=dc_st, agc=agc_st, dec=dec_st),
             audio16, pwr)
 

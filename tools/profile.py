@@ -107,7 +107,7 @@ def main():
         init_dc_state, init_agc_state,
     )
     from phantomsdr_tpu.ops.channelizer import (
-        demodulate, init_channel_state, extend_spectrum,
+        demodulate_batch, extend_spectrum,
     )
     from phantomsdr_tpu.pipeline import (
         HopPipeline, waterfall_from_spectra, channels_from_numpy,
@@ -187,20 +187,13 @@ def main():
               lambda y: jnp.sum(y.astype(jnp.float32)), spec, args.kbig)
     results["stages_ms"]["waterfall_pyramid"] = round(t * 1e3, 3)
 
-    # ---- stage 3: channelizer demod scan over the batch ----
+    # ---- stage 3: hop-batched channelizer demod (the production path) ----
     def s_demod(s):
         se = extend_spectrum(s, cfg.is_real, r, a)
-
-        def hop_body(carry, se_h):
-            st, _ = carry
-            st, audio, pwr = demodulate(
-                se_h, table, st, jnp.int32(0),
-                audio_fft_size=a, fft_result_size=r,
-                base_idx=cfg.base_idx, is_real=cfg.is_real)
-            return (st, audio), pwr
-
-        (_, audio), _ = jax.lax.scan(hop_body, (chan_st,
-                                                jnp.zeros((c, half))), se)
+        _, audio, _ = demodulate_batch(
+            se, table, chan_st, jnp.int32(0),
+            audio_fft_size=a, fft_result_size=r,
+            base_idx=cfg.base_idx, is_real=cfg.is_real)
         return audio
 
     t = slope(s_demod, lambda y: jnp.sum(y), spec, args.kbig)

@@ -34,6 +34,15 @@ import numpy as np
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", choices=("iq", "real"), default="iq",
+                    help="iq: 35 MSPS-class u8 IQ north star (default, "
+                         "the driver-recorded headline); real: RX888-"
+                         "class 70 MSPS s16 real-input profile")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -48,22 +57,35 @@ def main():
         HopPipeline, WaterfallViews, channels_from_numpy,
     )
 
-    sps = 35_000_000
-    cfg = config_from_dict({
-        "input": {
-            "sps": sps,
-            "frequency": 100_000_000,
-            "fft_size": 1 << 20,
-            "signal": "iq",
-            "audio_sps": 12000,
-            "waterfall_size": 1024,
-            "driver": {"format": "u8"},
-        },
-        # large hop batch amortizes the per-step host round trips;
-        # 18 is a multiple of skip_num=6 at this config, so the
-        # waterfall cadence positions stay static (3 due hops/step)
-        "tpu": {"hop_batch": 18, "max_channels": 128},
-    })
+    if args.profile == "real":
+        sps = 70_000_000
+        baseline = 70.0
+        cfg = config_from_dict({
+            "input": {
+                "sps": sps, "frequency": 0, "fft_size": 1 << 20,
+                "signal": "real", "audio_sps": 12000,
+                "waterfall_size": 1024, "driver": {"format": "s16"},
+            },
+            "tpu": {"hop_batch": 12, "max_channels": 64},
+        })
+    else:
+        sps = 35_000_000
+        baseline = 35.0
+        cfg = config_from_dict({
+            "input": {
+                "sps": sps,
+                "frequency": 100_000_000,
+                "fft_size": 1 << 20,
+                "signal": "iq",
+                "audio_sps": 12000,
+                "waterfall_size": 1024,
+                "driver": {"format": "u8"},
+            },
+            # large hop batch amortizes the per-step host round trips;
+            # 18 is a multiple of skip_num=6 at this config, so the
+            # waterfall cadence positions stay static (3 due hops/step)
+            "tpu": {"hop_batch": 18, "max_channels": 128},
+        })
     pipe = HopPipeline(cfg)
     c = cfg.max_channels
 
@@ -92,7 +114,9 @@ def main():
     wph = pipe.wire_per_hop
     blk = (cfg.hop_batch + 1) * wph
     # pool of distinct device-resident raw blocks (see module docstring)
-    pool = [jnp.asarray(rng.integers(0, 256, size=blk, dtype=np.uint8))
+    wire_dt = np.dtype(np.uint8 if cfg.input_format == 'u8' else np.int16)
+    lo, hi = (0, 256) if wire_dt == np.uint8 else (-20000, 20000)
+    pool = [jnp.asarray(rng.integers(lo, hi, size=blk, dtype=wire_dt))
             for _ in range(4)]
     import jax as _jax
     _jax.block_until_ready(pool)
@@ -142,8 +166,8 @@ def main():
     # than as the headline (see module docstring).
     def ingest_window(secs=8.0):
         nonlocal state
-        host_blocks = [np.asarray(rng.integers(0, 256, size=blk,
-                                               dtype=np.uint8))
+        host_blocks = [np.asarray(rng.integers(lo, hi, size=blk,
+                                               dtype=wire_dt))
                        for _ in range(4)]
         t0 = time.monotonic()
         steps = 0
@@ -181,12 +205,15 @@ def main():
         file=sys.stderr,
     )
     result = {
-        "metric": "sustained_iq_msps",
+        "metric": ("sustained_iq_msps" if args.profile == "iq"
+                   else "sustained_real_msps"),
         "value": round(msps, 2),
         "unit": "MSPS",
-        "vs_baseline": round(msps / 35.0, 3),
+        "vs_baseline": round(msps / baseline, 3),
     }
-    with open("BENCH_DETAILS.json", "w") as f:
+    details = ("BENCH_DETAILS.json" if args.profile == "iq"
+               else "BENCH_DETAILS_real.json")
+    with open(details, "w") as f:
         json.dump({**result,
                    "windows_msps": [round(t[0], 2) for t in trials],
                    "ingest_msps_windows": [round(t[0], 2) for t in ing],

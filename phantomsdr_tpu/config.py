@@ -24,6 +24,18 @@ MODE_NAMES = ("USB", "LSB", "AM", "FM")
 OPUS_RATES = (48000, 24000, 16000, 12000, 8000)
 
 
+def opus_decim_factor(audio_sps: int) -> int:
+    """Smallest integer decimation landing exactly on a legal Opus rate
+    (1 = none found / not needed).  The ONLY place this selection lives;
+    runtime/codecs.py consumes it too."""
+    if audio_sps <= 48000:
+        return 1
+    for factor in range(2, 65):
+        if audio_sps % factor == 0 and audio_sps // factor in OPUS_RATES:
+            return factor
+    return 1
+
+
 @dataclass
 class ServerConfig:
     # [server]
@@ -147,13 +159,8 @@ class ServerConfig:
         # decimation landing exactly on a legal Opus rate; the stream is
         # anti-alias filtered + decimated (on device when the hop-batch
         # geometry divides, ops/polyphase.py) before encoding.
-        self.opus_decim = 1
-        if self.audio_compression == "opus" and self.audio_sps > 48000:
-            for factor in range(2, 65):
-                if (self.audio_sps % factor == 0
-                        and self.audio_sps // factor in OPUS_RATES):
-                    self.opus_decim = factor
-                    break
+        self.opus_decim = (opus_decim_factor(self.audio_sps)
+                           if self.audio_compression == "opus" else 1)
 
         if not self.register_password:
             self.register_password = secrets.token_hex(16)

@@ -89,7 +89,14 @@ class Link:
     def _read_exact(self, n: int) -> bytes:
         buf = bytearray()
         while len(buf) < n:
-            chunk = self.sock.recv(n - len(buf))
+            try:
+                chunk = self.sock.recv(n - len(buf))
+            except socket.timeout:
+                if buf:
+                    # timing out MID-message would desync the framing;
+                    # the peer is stalled, not idle
+                    raise ConnectionError("partial read timed out")
+                raise
             if not chunk:
                 raise ConnectionError("link closed")
             buf.extend(chunk)
@@ -148,43 +155,79 @@ def connect_link(addr: str, pid: int, timeout: float = 60.0) -> Link:
 
 # ------------------------------------------------------- control codec
 
-_TABLE_FIELDS = ("l", "r", "m_idx", "mode")  # int32 [C]; active as int8
+def _pack_arrays(specs) -> bytes:
+    """specs: [(array, dtype), ...] -> concatenated bytes.  Always used
+    through one of the codec PAIRS below -- the wire format exists in
+    exactly one place per message type."""
+    return b"".join(np.ascontiguousarray(a, d).tobytes() for a, d in specs)
 
 
-def pack_control(table_arrays, views, wf_meta, reset) -> tuple[dict, bytes]:
-    """(channel table, waterfall views, wf coordinate meta, reset mask)
-    -> (header fragment, blob) with fixed field order."""
+class _Taker:
+    def __init__(self, blob: bytes):
+        self.blob = blob
+        self.off = 0
+
+    def __call__(self, count, dt):
+        a = np.frombuffer(self.blob, dt, count=count, offset=self.off)
+        self.off += a.nbytes
+        return a
+
+
+def pack_control(table_arrays, mid, views, wf_meta, reset
+                 ) -> tuple[dict, bytes]:
+    """Step control block: (channel table, packet-metadata mids,
+    waterfall views, wf coordinate meta, reset mask) -> (header, blob).
+    Inverse: unpack_control (keep the two in lockstep)."""
     l, r, m_idx, mode, active = table_arrays
-    parts = [np.ascontiguousarray(a, np.int32).tobytes()
-             for a in (l, r, m_idx, mode)]
-    parts.append(np.ascontiguousarray(active, np.int8).tobytes())
-    parts.append(np.ascontiguousarray(views[0], np.int32).tobytes())
-    parts.append(np.ascontiguousarray(views[1], np.int32).tobytes())
-    for a in wf_meta:
-        parts.append(np.ascontiguousarray(a, np.int32).tobytes())
+    specs = [(a, np.int32) for a in (l, r, m_idx, mode)]
+    specs.append((active, np.int8))
+    specs.append((mid, np.float64))
+    specs += [(views[0], np.int32), (views[1], np.int32)]
+    specs += [(a, np.int32) for a in wf_meta]
     has_reset = reset is not None
     if has_reset:
-        parts.append(np.ascontiguousarray(reset, np.int32).tobytes())
+        specs.append((reset, np.int32))
     return ({"c": int(l.shape[0]), "w": int(views[0].shape[0]),
-             "reset": has_reset}, b"".join(parts))
+             "reset": has_reset}, _pack_arrays(specs))
 
 
 def unpack_control(meta: dict, blob: bytes):
     c, w = meta["c"], meta["w"]
-    off = 0
-
-    def take(count, dt):
-        nonlocal off
-        a = np.frombuffer(blob, dt, count=count, offset=off)
-        off += a.nbytes
-        return a
-
+    take = _Taker(blob)
     l, r, m_idx, mode = (take(c, np.int32) for _ in range(4))
     active = take(c, np.int8).astype(bool)
+    mid = take(c, np.float64)
     views = (take(w, np.int32), take(w, np.int32))
     wf_meta = tuple(take(w, np.int32) for _ in range(3))
     reset = take(c, np.int32) if meta["reset"] else None
-    return (l, r, m_idx, mode, active), views, wf_meta, reset
+    return (l, r, m_idx, mode, active), mid, views, wf_meta, reset
+
+
+def pack_host_update(chan_offset, chan_count, ctbl, cresets,
+                     wf_offset, wf_count, wrows) -> tuple[dict, bytes]:
+    """Follower->ingest registry sync: the channel range's 6 table
+    arrays (incl. mid), optional reset mask, and the waterfall range's
+    5 view arrays.  Inverse: unpack_host_update."""
+    specs = [(a, np.int32) for a in ctbl[:4]]
+    specs.append((ctbl[4], np.int8))
+    specs.append((ctbl[5], np.float64))
+    if cresets is not None:
+        specs.append((cresets, np.int32))
+    specs += [(a, np.int32) for a in wrows]
+    return ({"type": "host_update", "chan_offset": chan_offset,
+             "chan_count": chan_count, "reset": cresets is not None,
+             "wf_offset": wf_offset, "wf_count": wf_count},
+            _pack_arrays(specs))
+
+
+def unpack_host_update(hdr: dict, blob: bytes):
+    c, w = hdr["chan_count"], hdr["wf_count"]
+    take = _Taker(blob)
+    tbl = ([take(c, np.int32) for _ in range(4)]
+           + [take(c, np.int8).astype(bool), take(c, np.float64)])
+    resets = take(c, np.int32) if hdr["reset"] else None
+    wrows = tuple(take(w, np.int32) for _ in range(5))
+    return tuple(tbl), resets, wrows
 
 
 # ------------------------------------------------------------ runtime
@@ -307,10 +350,12 @@ class MultihostDriver:
 
     def stop(self):
         self._stop.set()
+        # close links FIRST: the driver thread blocks in link.recv() /
+        # sendall and only a socket close unblocks it
+        for link in list(self._links.values()):
+            link.close()
         for t in self._threads:
             t.join(timeout=10)
-        for link in self._links.values():
-            link.close()
 
     def _run(self):
         try:
@@ -331,26 +376,17 @@ class MultihostDriver:
         the global registries, tracks step acks."""
         try:
             while not self._stop.is_set():
-                hdr, blob = link.recv()
+                try:
+                    hdr, blob = link.recv()
+                except socket.timeout:
+                    continue  # idle link; healthy followers may be quiet
                 t = hdr.get("type")
                 if t == "host_update":
-                    off = 0
-                    c = hdr["chan_count"]
-                    w = hdr["wf_count"]
-
-                    def take(count, dt=np.int32):
-                        nonlocal off
-                        a = np.frombuffer(blob, dt, count=count, offset=off)
-                        off += a.nbytes
-                        return a
-
-                    tbl = (take(c), take(c), take(c), take(c),
-                           take(c, np.int8).astype(bool))
-                    resets = take(c) if hdr["reset"] else None
+                    tbl, resets, wrows = unpack_host_update(hdr, blob)
                     self.server.channels.merge_rows(hdr["chan_offset"],
                                                     tbl, resets)
-                    wfr = tuple(take(w) for _ in range(5))
-                    self.server.waterfalls.merge_rows(hdr["wf_offset"], wfr)
+                    self.server.waterfalls.merge_rows(hdr["wf_offset"],
+                                                      wrows)
                 elif t == "step_done":
                     with self._ack_cv:
                         self._acked[pid] = hdr["seq"]
@@ -358,47 +394,89 @@ class MultihostDriver:
         except (ConnectionError, OSError):
             pass
 
+    def _fail_cluster(self, why: str):
+        """Fail LOUDLY and promptly.  The jitted step is a collective
+        over every process's devices, so a dead or wedged follower
+        cannot be papered over -- the next collective would hang all
+        hosts with no diagnostics.  Surface the cause in metrics/logs,
+        stop issuing steps, and close every link so peers unblock and
+        exit too; an external supervisor restarts the cluster (the
+        engine is stateless beyond per-connection scratch, like the
+        reference)."""
+        self.metrics.device_errors += 1
+        self.metrics.last_device_error = f"cluster failed: {why}"[:300]
+        print(f"multihost: cluster failed ({why}); stopping", flush=True)
+        self._stop.set()
+        for link in list(self._links.values()):
+            link.close()
+        with self._ack_cv:
+            self._ack_cv.notify_all()
+
     def _run_ingest(self):
         import jax.numpy as jnp
         from ..pipeline import WaterfallViews, channels_from_numpy
+
+        from ..ops.convert import host_preconvert
 
         cfg = self.cfg
         rt = self.rt
         self._links = serve_links(self.link_port, rt.num_processes - 1)
         for pid, link in self._links.items():
+            # bounded socket ops so a WEDGED follower (socket alive,
+            # process not reading) surfaces as a timeout instead of an
+            # eternal sendall under _wlock
+            link.sock.settimeout(60)
             th = threading.Thread(target=self._reader, args=(pid, link),
                                   daemon=True)
             th.start()
         state = rt.sp.init_state()
         scalars = 1 if cfg.is_real else 2
         seq = 0
+
+        def send_all(hdr, blob=b""):
+            for pid, link in list(self._links.items()):
+                try:
+                    link.send(hdr, blob)
+                except (OSError, socket.timeout) as e:
+                    self._fail_cluster(f"send to follower {pid}: {e!r}")
+                    return False
+            return True
+
         while not self._stop.is_set():
             block = self.source.read_block()
             if block is None:
                 self.metrics.eof = True
-                for link in self._links.values():
-                    link.send({"type": "eof"})
+                send_all({"type": "eof"})
                 return
             self.metrics.samples += self.source.block_wire // scalars
             # wait for all followers to ack the previous step (bounds
-            # the table-merge race AND applies their updates first)
+            # the table-merge race AND applies their updates first); a
+            # follower that stops acking means the next collective would
+            # hang every host -> fail the cluster loudly instead
             with self._ack_cv:
-                self._ack_cv.wait_for(
+                ok = self._ack_cv.wait_for(
                     lambda: all(self._acked.get(p, -1) >= seq - 1
                                 for p in self._links)
-                    or self._stop.is_set(), timeout=30)
+                    or self._stop.is_set(), timeout=60)
             if self._stop.is_set():
                 return
+            if not ok:
+                stalled = [p for p in self._links
+                           if self._acked.get(p, -1) < seq - 1]
+                self._fail_cluster(f"followers {stalled} stopped acking "
+                                   f"at seq {seq - 1}")
+                return
 
-            _, tbl_arrays, resets = self.server.channels.snapshot()
+            _, tbl_arrays, resets, (_, _, mids) = \
+                self.server.channels.snapshot()
             _, vstart, vlength, wf_meta = self.server.waterfalls.snapshot()
             frame0 = self.metrics.frames
             audio_any = bool(tbl_arrays[4].any())
             wf_any = bool((vlength > 0).any())
             if not audio_any and not wf_any:
                 # global idle: skip compute everywhere (src/fft.cpp:72-79)
-                for link in self._links.values():
-                    link.send({"type": "skip", "seq": seq})
+                if not send_all({"type": "skip", "seq": seq}):
+                    return
                 self.metrics.idle_frames += cfg.hop_batch
                 self.metrics.frames += cfg.hop_batch
                 seq += 1
@@ -408,20 +486,31 @@ class MultihostDriver:
                    for i in range(rt.n) for j in range(counts[i])]
             due = due if wf_any else []
             mode = "views" if due else "off"
-            rows = rt.sp.shard_raw(block)
-            meta, cblob = pack_control(tbl_arrays, (vstart, vlength),
+            # format conversion that must happen host-side (f64 -> f32)
+            # happens ON THE INGEST HOST, before rows cross DCN
+            rows = rt.sp.shard_raw(host_preconvert(block, cfg.input_format))
+            meta, cblob = pack_control(tbl_arrays, mids, (vstart, vlength),
                                        wf_meta, resets)
             dpp = rt.n // rt.num_processes
-            for pid, link in self._links.items():
+            sent = True
+            for pid, link in list(self._links.items()):
                 their = [i for i in range(rt.n) if i // dpp == pid]
                 rbytes = rows[their].tobytes()
-                link.send({"type": "step", "seq": seq, "frame0": frame0,
-                           "mode": mode, "due": due, "idx": idx.tolist(),
-                           "counts": counts, "control": meta,
-                           "nrows": len(their)}, cblob + rbytes)
+                try:
+                    link.send({"type": "step", "seq": seq,
+                               "frame0": frame0, "mode": mode, "due": due,
+                               "idx": idx.tolist(), "counts": counts,
+                               "control": meta, "nrows": len(their)},
+                              cblob + rbytes)
+                except (OSError, socket.timeout) as e:
+                    self._fail_cluster(f"send to follower {pid}: {e!r}")
+                    sent = False
+                    break
+            if not sent:
+                return
             t0 = time.monotonic()
             state = self._step_and_serve(
-                state, rows[rt.local_shards], tbl_arrays,
+                state, rows[rt.local_shards], tbl_arrays, mids,
                 (vstart, vlength), wf_meta, resets, idx, due, mode,
                 frame0, t0)
             self.metrics.frames += cfg.hop_batch
@@ -451,17 +540,17 @@ class MultihostDriver:
                 continue
             assert t == "step"
             rows_bytes = (hdr["nrows"] * rt.sp.raw_shard_len
-                          * self.source_itemsize)
-            tbl, views_np, wf_meta, resets = unpack_control(
+                          * self.row_dtype.itemsize)
+            tbl, mids, views_np, wf_meta, resets = unpack_control(
                 hdr["control"], blob[: len(blob) - rows_bytes])
             rows = np.frombuffer(
                 blob[len(blob) - rows_bytes:],
-                dtype=self.wire_dtype).reshape(hdr["nrows"],
-                                               rt.sp.raw_shard_len)
+                dtype=self.row_dtype).reshape(hdr["nrows"],
+                                              rt.sp.raw_shard_len)
             idx = np.asarray(hdr["idx"], np.int32)
             t0 = time.monotonic()
             state = self._step_and_serve(
-                state, rows, tbl, views_np, wf_meta, resets, idx,
+                state, rows, tbl, mids, views_np, wf_meta, resets, idx,
                 hdr["due"], hdr["mode"], hdr["frame0"], t0)
             self.metrics.frames += cfg.hop_batch
             # push local registry changes upstream BEFORE the ack so the
@@ -477,29 +566,19 @@ class MultihostDriver:
         self._last_chan_v, self._last_wf_v = ch.version, wf.version
         co, cc, ctbl, cresets = ch.range_rows()
         wo, wc, wrows = wf.range_rows()
-        parts = [np.ascontiguousarray(a, np.int32).tobytes()
-                 for a in ctbl[:4]]
-        parts.append(np.ascontiguousarray(ctbl[4], np.int8).tobytes())
-        if cresets is not None:
-            parts.append(np.ascontiguousarray(cresets, np.int32).tobytes())
-        parts += [np.ascontiguousarray(a, np.int32).tobytes()
-                  for a in wrows]
-        link.send({"type": "host_update", "chan_offset": co,
-                   "chan_count": cc, "reset": cresets is not None,
-                   "wf_offset": wo, "wf_count": wc}, b"".join(parts))
+        hdr, blob = pack_host_update(co, cc, ctbl, cresets, wo, wc, wrows)
+        link.send(hdr, blob)
 
     # -------------------------------------------------------------- step
     @property
-    def wire_dtype(self):
-        from ..ops.convert import wire_dtype
+    def row_dtype(self):
+        """Dtype of rows ON THE WIRE: the ingest host runs
+        host_preconvert before shipping (f64 arrives as f32)."""
+        from ..ops.convert import device_dtype
 
-        return wire_dtype(self.cfg.input_format)
+        return device_dtype(self.cfg.input_format)
 
-    @property
-    def source_itemsize(self) -> int:
-        return self.wire_dtype.itemsize
-
-    def _step_and_serve(self, state, my_rows, tbl_arrays, views_np,
+    def _step_and_serve(self, state, my_rows, tbl_arrays, mids, views_np,
                         wf_meta, resets, idx, due, mode, frame0, t0):
         import jax.numpy as jnp
         from ..pipeline import WaterfallViews, channels_from_numpy
@@ -527,8 +606,9 @@ class MultihostDriver:
             wf = wf[sel]
         self.metrics.step_seconds.append(time.monotonic() - t0)
         try:
+            audio_meta = (tbl_arrays[0], tbl_arrays[1], mids)
             self.server.dispatch_threadsafe(frame0, audio, pwr, wf,
-                                            due, wf_meta)
+                                            due, wf_meta, audio_meta)
         except Exception:
             import traceback
 

@@ -130,21 +130,14 @@ class OpusChunkEncoder:
     clamped, samples not resampled -- a 4x time-stretch); here the
     stream is polyphase-decimated to <=48 kHz first."""
 
-    _OPUS_RATES = (48000, 24000, 16000, 12000, 8000)
-
     def __init__(self, sample_rate: int):
+        from ..config import opus_decim_factor
+
         self._lib = _load_opus()
-        self._decim = 1
+        # single source of truth for the factor selection (config.py);
+        # e.g. 60000 -> /5 = 12000, NOT /2 = 30000 which Opus rejects
+        self._decim = opus_decim_factor(sample_rate)
         self._dec_tail = None
-        if sample_rate > 48000:
-            # smallest integer factor landing exactly on a legal Opus
-            # rate (rate/factor must be one of _OPUS_RATES; e.g. 60000
-            # -> /5 = 12000, NOT /2 = 30000 which Opus rejects)
-            for factor in range(2, 65):
-                if (sample_rate % factor == 0
-                        and sample_rate // factor in self._OPUS_RATES):
-                    self._decim = factor
-                    break
         if self._decim > 1:
             from ..ops.polyphase import decimator_taps
 

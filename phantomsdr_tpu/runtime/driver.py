@@ -152,7 +152,8 @@ class DSPDriver:
         self._table = None
         self._views_version = -1
         self._views = None
-        self._wf_meta = None  # (l, r, level) arrays snapshotted with views
+        self._wf_meta = None    # (l, r, level) snapshotted with views
+        self._audio_meta = None  # (l, r, mid) snapshotted with the table
 
     # ------------------------------------------------------------------
     def start(self):
@@ -186,7 +187,8 @@ class DSPDriver:
         same step."""
         import jax.numpy as jnp
 
-        v, arrays, resets = self.registry.snapshot()
+        v, arrays, resets, audio_meta = self.registry.snapshot()
+        self._audio_meta = audio_meta
         if v != self._table_version or self._table is None:
             self._table = channels_from_numpy(*arrays)
             self._table_version = v
@@ -251,7 +253,7 @@ class DSPDriver:
             nonlocal pending
             if pending is None:
                 return
-            frame0, packed_dev, due, wf_sel, wf_meta, t0 = pending
+            frame0, packed_dev, due, wf_sel, wf_meta, audio_meta, t0 = pending
             pending = None
             try:
                 packed = np.asarray(packed_dev)
@@ -284,7 +286,7 @@ class DSPDriver:
                 self.consumer(frame0, audio, pwr,
                               wf if due is not None else None,
                               due if due is not None else [],
-                              wf_meta)
+                              wf_meta, audio_meta)
             except Exception:
                 import traceback
 
@@ -329,6 +331,7 @@ class DSPDriver:
                     due_idx = jnp.asarray(
                         pad_due_positions(due, self.pipe.due_cap), jnp.int32)
             wf_meta = self._wf_meta
+            audio_meta = self._audio_meta
             try:
                 raw = prepare_raw(block)
                 state, out = self.pipe.step(state, raw, self._table,
@@ -352,5 +355,5 @@ class DSPDriver:
             # after this one is dispatched (overlaps transfer & compute)
             flush_pending()
             pending = (frame0, out.packed, due if due else None, wf_sel,
-                       wf_meta, t0)
+                       wf_meta, audio_meta, t0)
         flush_pending()

@@ -70,6 +70,10 @@ class ChannelRegistry:
         self.m_idx = np.zeros(c, np.int32)
         self.mode = np.zeros(c, np.int32)
         self.active = np.zeros(c, bool)
+        # fractional mid (packet metadata only; the device uses m_idx):
+        # snapshotted WITH the table so in-flight steps are labeled with
+        # the coordinates they were demodulated at
+        self.mid = np.zeros(c, np.float64)
         self.version = 0  # bumped on any change; driver re-uploads the table
         self._fresh: set[int] = set()      # slots needing a full state reset
         self._agc_fresh: set[int] = set()  # slots needing an AGC-only reset
@@ -125,6 +129,7 @@ class ChannelRegistry:
             self.l[s] = l
             self.r[s] = r
             self.m_idx[s] = int(np.floor(mid))
+            self.mid[s] = mid
             self.active[s] = True
             self.version += 1
 
@@ -143,8 +148,16 @@ class ChannelRegistry:
             return True
 
     # ------------------------------------------------------------- device
-    def snapshot(self) -> tuple[int, tuple[np.ndarray, ...], np.ndarray | None]:
-        """Atomic (version, table arrays, one-shot reset mask).
+    def snapshot(self) -> tuple[int, tuple[np.ndarray, ...],
+                                np.ndarray | None,
+                                tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Atomic (version, table arrays, one-shot reset mask,
+        (l, r, mid) packet-metadata arrays).
+
+        The metadata triple rides with each submitted step so audio
+        packets are labeled with the slice the PCM was actually
+        demodulated at, not the registry's current (possibly
+        retuned-in-flight) values -- same rule as the waterfall wf_meta.
 
         The reset mask is int32 per RESET_* codes.  Full resets are only
         consumed for slots that are *active in this same snapshot*: a
@@ -169,7 +182,7 @@ class ChannelRegistry:
             return self.version, (
                 self.l.copy(), self.r.copy(), self.m_idx.copy(),
                 self.mode.copy(), self.active.copy(),
-            ), mask
+            ), mask, (self.l.copy(), self.r.copy(), self.mid.copy())
 
     @property
     def count(self) -> int:
@@ -200,7 +213,8 @@ class ChannelRegistry:
             sl = slice(o, o + n)
             return o, n, (self.l[sl].copy(), self.r[sl].copy(),
                           self.m_idx[sl].copy(), self.mode[sl].copy(),
-                          self.active[sl].copy()), mask
+                          self.active[sl].copy(),
+                          self.mid[sl].copy()), mask
 
     def merge_rows(self, offset: int, arrays: tuple[np.ndarray, ...],
                    resets: np.ndarray | None) -> None:
@@ -212,6 +226,7 @@ class ChannelRegistry:
             self.l[sl], self.r[sl] = arrays[0], arrays[1]
             self.m_idx[sl], self.mode[sl] = arrays[2], arrays[3]
             self.active[sl] = arrays[4]
+            self.mid[sl] = arrays[5]
             if resets is not None:
                 for i in np.nonzero(resets)[0]:
                     s = offset + int(i)

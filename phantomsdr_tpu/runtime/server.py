@@ -482,13 +482,14 @@ class SpectrumServer:
     # -------------------------------------------------------- dispatch
     def dispatch(self, frame0: int, audio: np.ndarray, pwr: np.ndarray,
                  wf: np.ndarray | None, due_positions: list[int],
-                 wf_meta=None):
+                 wf_meta=None, audio_meta=None):
         """Called (via call_soon_threadsafe) with one device batch:
         audio [B, C, A/2] int16, pwr [B, C], wf [D, W, view_cap] int8
         client waterfall views for the batch's due hop positions.
-        wf_meta: (l, r, level) per-cid arrays snapshotted when the step
-        was SUBMITTED -- packets must be labeled with the coordinates the
-        rows were gathered at, not the registry's current (possibly
+        wf_meta: (l, r, level) per-cid arrays; audio_meta: (l, r, mid)
+        per-slot arrays -- both snapshotted when the step was SUBMITTED:
+        packets must be labeled with the coordinates the data was
+        gathered/demodulated at, not the registry's current (possibly
         retuned-in-flight) values."""
         t_start = time.perf_counter()
         cfg = self.cfg
@@ -504,9 +505,13 @@ class SpectrumServer:
                 continue
             li = slot_id - self.chan_offset  # local row (multi-host)
             pcm = audio[li] if decimated else audio[:, li]
+            if audio_meta is not None:
+                mid = float(audio_meta[2][slot_id])
+                width = int(audio_meta[1][slot_id] - audio_meta[0][slot_id])
+            else:  # direct-dispatch callers (tests), no pipelining race
+                mid, width = s.mid, s.r - s.l
             self.encode_pool.submit(slot_id, lambda c=conn, p=pcm,
-                                    pw=pwr[:, li], mid=s.mid,
-                                    width=s.r - s.l:
+                                    pw=pwr[:, li], mid=mid, width=width:
                                     self._encode_audio_job(
                                         c, frame0, b, mid, width, p, pw,
                                         decimated))
@@ -588,11 +593,12 @@ class SpectrumServer:
             self.loop.call_soon_threadsafe(self._post_packets, conn, pkts)
 
     def dispatch_threadsafe(self, frame0, audio, pwr, wf, due_positions,
-                            wf_meta=None):
+                            wf_meta=None, audio_meta=None):
         if self.loop is None:
             return
         self.loop.call_soon_threadsafe(
-            self.dispatch, frame0, audio, pwr, wf, due_positions, wf_meta
+            self.dispatch, frame0, audio, pwr, wf, due_positions, wf_meta,
+            audio_meta,
         )
 
     # ---------------------------------------------------------- state

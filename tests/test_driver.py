@@ -61,7 +61,7 @@ def test_driver_end_to_end_with_consumer():
     got = []
     done = threading.Event()
 
-    def consumer(frame0, audio, pwr, wfviews, due, wf_meta):
+    def consumer(frame0, audio, pwr, wfviews, due, wf_meta, audio_meta):
         got.append((frame0, audio.shape, None if wfviews is None
                     else wfviews.shape, list(due)))
         if len(got) >= nblocks:

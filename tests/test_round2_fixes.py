@@ -51,13 +51,13 @@ def test_reset_pending_until_slot_active():
     slot = reg.acquire("u1")
     # fresh but inactive: reset must NOT be consumed yet, or the slot
     # runs >=1 silent step post-reset and the AGC gain ramps to ~2e9
-    _, _, resets = reg.snapshot()
+    _, _, resets, _ = reg.snapshot()
     assert resets is None
     reg.retune(slot, 10, 15.0, 20)
-    _, arrays, resets = reg.snapshot()
+    _, arrays, resets, _ = reg.snapshot()
     assert resets is not None and resets[slot.slot] == RESET_FULL
     assert arrays[4][slot.slot]  # active in the SAME snapshot
-    _, _, resets = reg.snapshot()
+    _, _, resets, _ = reg.snapshot()
     assert resets is None  # one-shot
 
 
@@ -69,7 +69,7 @@ def test_release_clears_pending_reset():
     slot2 = reg.acquire("u2")
     assert slot2.slot == slot.slot
     reg.retune(slot2, 10, 15.0, 20)
-    _, _, resets = reg.snapshot()
+    _, _, resets, _ = reg.snapshot()
     assert resets[slot2.slot] == RESET_FULL
 
 
@@ -80,19 +80,19 @@ def test_demodulation_change_queues_agc_reset():
     reg.retune(slot, 10, 15.0, 20)
     reg.snapshot()  # consume the connect reset
     assert reg.set_mode(slot, "FM")
-    _, _, resets = reg.snapshot()
+    _, _, resets, _ = reg.snapshot()
     assert resets[slot.slot] == RESET_AGC
     # the reference resets the AGC even on an unrecognized mode string
     # (src/signal.cpp:315-328: agc.reset() runs unconditionally)
     assert not reg.set_mode(slot, "QAM4096")
-    _, _, resets = reg.snapshot()
+    _, _, resets, _ = reg.snapshot()
     assert resets[slot.slot] == RESET_AGC
     # a full reset supersedes a simultaneous AGC reset
     reg.release(slot)
     s2 = reg.acquire("u2")
     reg.set_mode(s2, "AM")
     reg.retune(s2, 10, 15.0, 20)
-    _, _, resets = reg.snapshot()
+    _, _, resets, _ = reg.snapshot()
     assert resets[s2.slot] == RESET_FULL
 
 

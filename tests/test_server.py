@@ -397,6 +397,46 @@ async def test_opus_audio_path():
 
 
 @async_test
+async def test_dispatch_uses_submitted_audio_coordinates(cfg):
+    """Audio packets must carry the (mid, width) the PCM was demodulated
+    at, not post-retune values (same rule as wf_meta)."""
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        ws = await client.ws_connect("/audio")
+        json.loads((await ws.receive()).data)
+        slot = next(iter(server.channels.slots.values()))
+        await ws.send_str(json.dumps(
+            {"cmd": "window", "l": 100, "m": 150.5, "r": 300}))
+        await asyncio.sleep(0.05)
+        _, _, _, audio_meta = server.channels.snapshot()
+        submitted = (150.5, 200)
+        # retune AFTER the step was (conceptually) submitted
+        await ws.send_str(json.dumps(
+            {"cmd": "window", "l": 400, "m": 500.0, "r": 700}))
+        await asyncio.sleep(0.05)
+        assert slot.mid == 500.0
+        audio, pwr, wf, due, _ = synth_outputs(cfg, server)
+        for s in range(10):
+            server.dispatch(s * cfg.hop_batch, audio, pwr, None, [],
+                            audio_meta=audio_meta)
+        got = None
+        for _ in range(100):
+            try:
+                msg = await ws.receive(timeout=0.05)
+            except asyncio.TimeoutError:
+                break
+            if msg.type.name == "BINARY":
+                got = decode_cbor(msg.data)
+                break
+        assert got is not None
+        assert got["m"] == submitted[0] and got["r"] == submitted[1]
+        await ws.close()
+    finally:
+        await client.close()
+
+
+@async_test
 async def test_opus_device_decimated_dispatch():
     """Opus >48 kHz: the device ships [C, T] decimated streams; dispatch
     feeds them straight to a 48 kHz encoder (no host convolve)."""

@@ -140,7 +140,9 @@ def cluster_main(pid: int, outdir: str):
                    for i in range(rt.n) for j in range(counts[i])]
             block = stream[s * blk_w:(s + 1) * blk_w]
             rows = rt.sp.shard_raw(block)
-            meta, cblob = pack_control(table, (views_start, views_length),
+            mids = table[2].astype(np.float64)  # metadata only
+            meta, cblob = pack_control(table, mids,
+                                       (views_start, views_length),
                                        wf_meta, None)
             for fpid, link in links.items():
                 their = [i for i in range(rt.n)
@@ -161,7 +163,7 @@ def cluster_main(pid: int, outdir: str):
             hdr, blob = link.recv()
             assert hdr["seq"] == s
             rows_bytes = hdr["nrows"] * rt.sp.raw_shard_len * 2
-            table_arrays, views_np, wfm, reset = unpack_control(
+            table_arrays, _mids, views_np, wfm, reset = unpack_control(
                 hdr["control"], blob[: len(blob) - rows_bytes])
             rows = np.frombuffer(blob[len(blob) - rows_bytes:],
                                  np.int16).reshape(hdr["nrows"],

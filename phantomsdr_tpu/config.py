@@ -191,6 +191,22 @@ class ServerConfig:
         return self.fft_size // 2
 
     @property
+    def view_cap(self) -> int:
+        """Per-client waterfall view row capacity (device gather width).
+
+        The level-selection loop (src/waterfall.cpp:53-94, implemented
+        in runtime/registry.py) picks the pyramid level whose width w
+        minimizes |w - waterfall_size| over the halving chain, so the
+        selected width never exceeds 4/3 * waterfall_size -- except
+        when even the COARSEST level is wider (coarsest row width is in
+        [waterfall_size, 2*waterfall_size) by construction and has no
+        coarser level to halve to).  Sizing the gather to this bound
+        instead of a blanket 2x cuts ~1/3 of the waterfall bytes off
+        every device->host fetch (pure zero padding otherwise)."""
+        coarsest = self.fft_result_size >> (self.downsample_levels - 1)
+        return max(coarsest, (4 * self.waterfall_size) // 3 + 4)
+
+    @property
     def device_decim(self) -> bool:
         """Opus decimation runs ON DEVICE when the per-step sample count
         divides by the factor (static shapes); otherwise the host

@@ -98,7 +98,7 @@ class ShardedHopPipeline:
         self.dc_delay = dc_blocker_delay(cfg.audio_sps)
         self.wire_per_hop = cfg.hop_size * (1 if cfg.is_real else 2)
         self.hops_per_shard = cfg.hop_batch // self.n
-        self.view_cap = 2 * cfg.waterfall_size
+        self.view_cap = cfg.view_cap
         self.num_channels = cfg.max_channels
         # per-shard waterfall view gather rows: max cadence-due hops any
         # single time shard can hold (host maps global due positions to

@@ -291,7 +291,7 @@ class HopPipeline:
         self.hop_batch = cfg.hop_batch
         # wire scalars per hop: H reals or 2H for IQ
         self.wire_per_hop = cfg.hop_size * (1 if cfg.is_real else 2)
-        self.view_cap = 2 * cfg.waterfall_size
+        self.view_cap = cfg.view_cap
         self.due_cap = waterfall_due_cap(cfg)
         self.decim_taps = opus_decim_taps(cfg)  # host numpy; embeds in jit
         self._steps = {

@@ -275,7 +275,7 @@ class WaterfallRegistry:
         self.r = np.zeros(n, np.int32)
         self.level = np.zeros(n, np.int32)
         self.version = 0
-        self.view_cap = 2 * cfg.waterfall_size
+        self.view_cap = cfg.view_cap
 
     def acquire(self) -> tuple[int, WaterfallSlot] | tuple[None, None]:
         with self._lock:

@@ -220,6 +220,14 @@ def pack_host_update(chan_offset, chan_count, ctbl, cresets,
             _pack_arrays(specs))
 
 
+def _events_tbl(tbl_arrays, mids) -> dict:
+    """JSON-able slot coordinates for the idle-path /events sync."""
+    return {"l": np.asarray(tbl_arrays[0]).tolist(),
+            "r": np.asarray(tbl_arrays[1]).tolist(),
+            "mid": np.asarray(mids).tolist(),
+            "active": np.asarray(tbl_arrays[4]).astype(int).tolist()}
+
+
 def unpack_host_update(hdr: dict, blob: bytes):
     c, w = hdr["chan_count"], hdr["wf_count"]
     take = _Taker(blob)
@@ -340,6 +348,9 @@ class MultihostDriver:
         self._links: dict[int, "Link"] = {}
         self._acked: dict[int, int] = {}
         self._ack_cv = threading.Condition()
+        # cluster-wide /events state: {str(slot): uid} of live slots
+        self._uids: dict[str, str] = {}
+        self._uid_lock = threading.Lock()
 
     # ------------------------------------------------------------ plumbing
     def start(self):
@@ -387,6 +398,13 @@ class MultihostDriver:
                                                     tbl, resets)
                     self.server.waterfalls.merge_rows(hdr["wf_offset"],
                                                       wrows)
+                    with self._uid_lock:
+                        lo = hdr["chan_offset"]
+                        hi = lo + hdr["chan_count"]
+                        for k in [k for k in self._uids
+                                  if lo <= int(k) < hi]:
+                            del self._uids[k]
+                        self._uids.update(hdr.get("uids", {}))
                 elif t == "step_done":
                     with self._ack_cv:
                         self._acked[pid] = hdr["seq"]
@@ -473,9 +491,26 @@ class MultihostDriver:
             frame0 = self.metrics.frames
             audio_any = bool(tbl_arrays[4].any())
             wf_any = bool((vlength > 0).any())
+            # cluster-wide /events block (riding both step and skip):
+            # merged uid map + global wf count; every host diffs the
+            # replicated table to surface ALL users' tuning
+            with self._uid_lock:
+                for k in [k for k in self._uids
+                          if self.rt.chan_offset <= int(k)
+                          < self.rt.chan_offset + self.rt.chan_count]:
+                    del self._uids[k]
+                self._uids.update(
+                    {str(s): u for s, u
+                     in self.server.channels.uid_rows().items()})
+                uids = dict(self._uids)
+            events = {"uids": uids,
+                      "wf_clients": int((vlength > 0).sum())}
+            self._apply_events(tbl_arrays, mids, events)
             if not audio_any and not wf_any:
                 # global idle: skip compute everywhere (src/fft.cpp:72-79)
-                if not send_all({"type": "skip", "seq": seq}):
+                if not send_all({"type": "skip", "seq": seq,
+                                 "events": events,
+                                 "tbl": _events_tbl(tbl_arrays, mids)}):
                     return
                 self.metrics.idle_frames += cfg.hop_batch
                 self.metrics.frames += cfg.hop_batch
@@ -500,7 +535,8 @@ class MultihostDriver:
                     link.send({"type": "step", "seq": seq,
                                "frame0": frame0, "mode": mode, "due": due,
                                "idx": idx.tolist(), "counts": counts,
-                               "control": meta, "nrows": len(their)},
+                               "control": meta, "nrows": len(their),
+                               "events": events},
                               cblob + rbytes)
                 except (OSError, socket.timeout) as e:
                     self._fail_cluster(f"send to follower {pid}: {e!r}")
@@ -533,6 +569,12 @@ class MultihostDriver:
                 return
             if t == "skip":
                 self.metrics.frames += cfg.hop_batch
+                ev, tb = hdr.get("events"), hdr.get("tbl")
+                if ev is not None and tb is not None:
+                    self._apply_events(
+                        (np.asarray(tb["l"]), np.asarray(tb["r"]),
+                         None, None, np.asarray(tb["active"], bool)),
+                        np.asarray(tb["mid"]), ev)
                 # a client may have connected while idle: its slot must
                 # still flow upstream or the ingest host never wakes up
                 self._push_updates(link)
@@ -548,6 +590,8 @@ class MultihostDriver:
                 dtype=self.row_dtype).reshape(hdr["nrows"],
                                               rt.sp.raw_shard_len)
             idx = np.asarray(hdr["idx"], np.int32)
+            if "events" in hdr:
+                self._apply_events(tbl, mids, hdr["events"])
             t0 = time.monotonic()
             state = self._step_and_serve(
                 state, rows, tbl, mids, views_np, wf_meta, resets, idx,
@@ -567,7 +611,20 @@ class MultihostDriver:
         co, cc, ctbl, cresets = ch.range_rows()
         wo, wc, wrows = wf.range_rows()
         hdr, blob = pack_host_update(co, cc, ctbl, cresets, wo, wc, wrows)
+        hdr["uids"] = {str(s): u for s, u in ch.uid_rows().items()}
         link.send(hdr, blob)
+
+    def _apply_events(self, tbl_arrays, mids, events: dict):
+        """Marshal the cluster /events state onto this host's serving
+        loop (every host shows ALL users, SURVEY section 5 events row)."""
+        srv = self.server
+        if srv.loop is None:
+            return
+        srv.loop.call_soon_threadsafe(
+            srv.apply_cluster_state,
+            np.asarray(tbl_arrays[0]), np.asarray(tbl_arrays[1]),
+            np.asarray(mids), np.asarray(tbl_arrays[4]),
+            dict(events.get("uids", {})), int(events.get("wf_clients", 0)))
 
     # -------------------------------------------------------------- step
     @property

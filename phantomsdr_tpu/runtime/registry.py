@@ -242,6 +242,13 @@ class ChannelRegistry:
         o, n = self.slot_offset, self.slot_count
         return int(self.active.sum()) - int(self.active[o:o + n].sum())
 
+    def uid_rows(self) -> dict[int, str]:
+        """{slot: unique_id} for this host's live slots (multi-host
+        /events sync: uids ride the cluster link so every host can
+        attribute remote tuning changes)."""
+        with self._lock:
+            return {s: sl.unique_id for s, sl in self.slots.items()}
+
 
 class WaterfallRegistry:
     """Dense waterfall slot table (device view gathers) + level selection

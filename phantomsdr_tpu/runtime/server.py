@@ -274,6 +274,10 @@ class SpectrumServer:
         # event-loop time spent in dispatch() per step (the part that
         # blocks serving; encoding happens on the pool)
         self._dispatch_seconds: "deque[float]" = deque(maxlen=240)
+        # multi-host /events sync state (apply_cluster_state)
+        self._cluster_counts = None
+        self._cluster_prev = None
+        self._cluster_uids: dict = {}
         self.app = self._build_app()
 
     # ------------------------------------------------------------- app
@@ -450,7 +454,47 @@ class SpectrumServer:
             return
         self.signal_changes[uid] = (l, mid, r)
 
+    # ---- multi-host /events sync (parallel/multihost.py): the cluster
+    # driver feeds every host the replicated slot state + uid map so
+    # each host's /events shows ALL users, not just its partition
+    def apply_cluster_state(self, l, r, mid, active, uids: dict,
+                            wf_clients: int):
+        """Called on the event loop per cluster step: diff the replicated
+        table against the previous one and emit remote users' tuning
+        changes; remember counts + uids for /events state."""
+        self._cluster_counts = (int(active.sum()), wf_clients)
+        prev = self._cluster_prev
+        old_uids = self._cluster_uids
+        self._cluster_prev = (l, r, mid, active)
+        self._cluster_uids = uids
+        if not self.cfg.otherusers:
+            return
+        local = self.channels.slots  # local slots emit their own changes
+        c = len(active)
+        for s in range(c):
+            if s in local:
+                continue
+            if active[s]:
+                uid = uids.get(str(s))
+                if uid is None:
+                    continue
+                changed = (prev is None or not prev[3][s]
+                           or prev[0][s] != l[s] or prev[1][s] != r[s]
+                           or prev[2][s] != mid[s])
+                if changed:
+                    self.signal_changes[uid] = (int(l[s]), float(mid[s]),
+                                                int(r[s]))
+            elif prev is not None and prev[3][s]:
+                # disconnected remote user: the uid left the CURRENT map
+                # with the same update, so attribute via the old map
+                uid = old_uids.get(str(s)) or uids.get(str(s))
+                if uid is not None:
+                    self.signal_changes[uid] = (-1, -1.0, -1)
+
     def _event_counts(self) -> dict:
+        if getattr(self, "_cluster_counts", None) is not None:
+            a, w = self._cluster_counts
+            return {"waterfall_clients": w, "signal_clients": a}
         return {
             "waterfall_clients": self.waterfalls.count,
             "signal_clients": self.channels.count,
@@ -462,6 +506,16 @@ class SpectrumServer:
         if self.cfg.otherusers:
             for slot in self.channels.slots.values():
                 changes[slot.unique_id] = [slot.l, slot.mid, slot.r]
+            prev = getattr(self, "_cluster_prev", None)
+            if prev is not None:
+                l, r, mid, active = prev
+                uids = self._cluster_uids
+                for s in range(len(active)):
+                    uid = uids.get(str(s))
+                    if (uid is not None and active[s]
+                            and s not in self.channels.slots):
+                        changes[uid] = [int(l[s]), float(mid[s]),
+                                        int(r[s])]
         info["signal_changes"] = changes
         return json.dumps(info)
 

@@ -333,6 +333,43 @@ async def test_dispatch_uses_submitted_waterfall_coordinates(cfg):
         await client.close()
 
 
+def test_apply_cluster_state_diffs(cfg):
+    """Multi-host /events derivation: remote users' changes come from
+    diffing the replicated table; disconnects attribute via the old uid
+    map; local slots are never double-reported."""
+    server = SpectrumServer(cfg)
+    c = cfg.max_channels
+    l = np.zeros(c, np.int32); r = np.zeros(c, np.int32)
+    mid = np.zeros(c, np.float64); act = np.zeros(c, bool)
+    # remote slot 5 appears
+    l[5], r[5], mid[5], act[5] = 100, 200, 150.0, True
+    server.apply_cluster_state(l.copy(), r.copy(), mid.copy(), act.copy(),
+                               {"5": "uidA"}, wf_clients=3)
+    assert server.signal_changes["uidA"] == (100, 150.0, 200)
+    assert server._event_counts() == {"waterfall_clients": 3,
+                                      "signal_clients": 1}
+    # initial state lists the remote user
+    st = json.loads(server.initial_state_info())
+    assert st["signal_changes"]["uidA"] == [100, 150.0, 200]
+    server.signal_changes.clear()
+    # unchanged table -> no new change
+    server.apply_cluster_state(l.copy(), r.copy(), mid.copy(), act.copy(),
+                               {"5": "uidA"}, 3)
+    assert server.signal_changes == {}
+    # retune
+    l[5], mid[5] = 300, 350.0
+    server.apply_cluster_state(l.copy(), r.copy(), mid.copy(), act.copy(),
+                               {"5": "uidA"}, 3)
+    assert server.signal_changes["uidA"] == (300, 350.0, 200)
+    server.signal_changes.clear()
+    # disconnect: uid gone from the new map, attributed via the old one
+    act[5] = False
+    server.apply_cluster_state(l.copy(), r.copy(), mid.copy(), act.copy(),
+                               {}, 0)
+    assert server.signal_changes["uidA"] == (-1, -1.0, -1)
+    assert server._event_counts()["signal_clients"] == 0
+
+
 @async_test
 async def test_unknown_path_static_404(cfg):
     server = SpectrumServer(cfg)

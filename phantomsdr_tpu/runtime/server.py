@@ -601,6 +601,14 @@ class SpectrumServer:
         for p in pkts:
             conn.out.send_nowait(p)
 
+    def _post_threadsafe(self, conn, pkts: list):
+        """Worker->loop handoff; quiet when the loop already shut down
+        (late jobs during teardown)."""
+        try:
+            self.loop.call_soon_threadsafe(self._post_packets, conn, pkts)
+        except RuntimeError:
+            pass
+
     def _encode_audio_job(self, conn: AudioConn, frame0: int, b: int,
                           mid: float, width: int, pcm: np.ndarray,
                           pw: np.ndarray, decimated: bool):
@@ -627,7 +635,7 @@ class SpectrumServer:
                     pkts.append(cbor.audio_packet(
                         frame0 + h, 0, mid, width, float(pw[h]), payload))
         if pkts and self.loop is not None:
-            self.loop.call_soon_threadsafe(self._post_packets, conn, pkts)
+            self._post_threadsafe(conn, pkts)
 
     def _encode_waterfall_job(self, conn: WaterfallConn, entries: list,
                               sl: int, sr: int, slev: int):
@@ -644,7 +652,7 @@ class SpectrumServer:
                 pkts.append(conn.encoder.compress(cbor.waterfall_packet(
                     fnum, sl << slev, sr << slev, row)))
         if pkts and self.loop is not None:
-            self.loop.call_soon_threadsafe(self._post_packets, conn, pkts)
+            self._post_threadsafe(conn, pkts)
 
     def dispatch_threadsafe(self, frame0, audio, pwr, wf, due_positions,
                             wf_meta=None, audio_meta=None):

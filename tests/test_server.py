@@ -458,11 +458,11 @@ async def test_dispatch_uses_submitted_audio_coordinates(cfg):
             server.dispatch(s * cfg.hop_batch, audio, pwr, None, [],
                             audio_meta=audio_meta)
         got = None
-        for _ in range(100):
+        for _ in range(100):  # ~5 s budget: encode runs on pool workers
             try:
                 msg = await ws.receive(timeout=0.05)
             except asyncio.TimeoutError:
-                break
+                continue
             if msg.type.name == "BINARY":
                 got = decode_cbor(msg.data)
                 break

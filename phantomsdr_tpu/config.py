@@ -161,6 +161,16 @@ class ServerConfig:
         # geometry divides, ops/polyphase.py) before encoding.
         self.opus_decim = (opus_decim_factor(self.audio_sps)
                            if self.audio_compression == "opus" else 1)
+        if (self.audio_compression == "opus"
+                and self.audio_sps // self.opus_decim not in OPUS_RATES):
+            # fail at config time: libopus rejects non-{8,12,16,24,48}k
+            # rates, which would otherwise kill every audio connection
+            # at accept time (the reference has the same latent failure,
+            # src/audio.cpp:59 clamps without resampling)
+            raise ValueError(
+                f"audio_sps={self.audio_sps} cannot feed Opus: no integer "
+                f"decimation reaches a legal rate {OPUS_RATES}; use one of "
+                f"those rates (or a multiple) or audio_compression='flac'")
 
         if not self.register_password:
             self.register_password = secrets.token_hex(16)

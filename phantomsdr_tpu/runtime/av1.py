@@ -19,6 +19,9 @@ AV1 support disables itself and the server falls back to zstd.
 from __future__ import annotations
 
 import ctypes
+import struct
+
+import numpy as np
 import zstandard
 
 WATERFALL_COALESCE = 8
@@ -33,10 +36,17 @@ AOM_RC_ONE_PASS = 0
 AOM_CQ = 2
 AOM_BITS_8 = 8
 
-# aomcx.h enum aome_enc_control_id (v3.x)
+# aomcx.h enum aome_enc_control_id values, established EMPIRICALLY
+# against the shipped libaom.so.3 (v3.6) since no headers exist in this
+# image: CPUUSED=13 (accepts 0..9), CQ_LEVEL=25 (range-checks 0..63,
+# rejects 64), LOSSLESS=31 (verified functionally: enabling it nearly
+# doubles the encoded size of full-entropy noise frames, 6.3->11.8 kB
+# for 8x1024 random int8 -- the quantizer path is bypassed).  Control
+# return codes are CHECKED so any future ABI drift fails loudly instead
+# of silently degrading "lossless" to lossy.
 AOME_SET_CPUUSED = 13
-AOME_SET_CQ_LEVEL = 23
-AV1E_SET_LOSSLESS = 30
+AOME_SET_CQ_LEVEL = 25
+AV1E_SET_LOSSLESS = 31
 
 # word offsets (u32) into aom_codec_enc_cfg_t, libaom 3.6 layout
 W_USAGE = 0
@@ -234,22 +244,21 @@ class AV1Encoder:
             aom.abi_version)
         if rc != 0:
             raise _AomError(f"aom_codec_enc_init rc={rc}")
-        lib.aom_codec_control(ctypes.byref(self.ctx),
-                              ctypes.c_int(AOME_SET_CPUUSED),
-                              ctypes.c_int(8))
-        lib.aom_codec_control(ctypes.byref(self.ctx),
-                              ctypes.c_int(AOME_SET_CQ_LEVEL),
-                              ctypes.c_int(63 - 51))
-        lib.aom_codec_control(ctypes.byref(self.ctx),
-                              ctypes.c_int(AV1E_SET_LOSSLESS),
-                              ctypes.c_int(1))
+        lib.aom_codec_control.restype = ctypes.c_int
+        for cid, val, name in ((AOME_SET_CPUUSED, 8, "CPUUSED"),
+                               (AOME_SET_CQ_LEVEL, 63 - 51, "CQ_LEVEL"),
+                               (AV1E_SET_LOSSLESS, 1, "LOSSLESS")):
+            rc = lib.aom_codec_control(ctypes.byref(self.ctx),
+                                       ctypes.c_int(cid),
+                                       ctypes.c_int(val))
+            if rc != 0:
+                raise _AomError(f"aom_codec_control({name}={val}) rc={rc}")
+        self._zc = zstandard.ZstdCompressor(level=5)
 
     def send(self, row: bytes, frame_num: int, l: int, r: int) -> bytes | None:
         """Add one waterfall line; returns an encoded AV1 frame every
         WATERFALL_COALESCE lines, else None."""
         lib = self.aom.lib
-        import numpy as np
-
         arr = np.frombuffer(row, np.uint8)
         n = min(arr.size, self.width)
         # values are int8 dB ^ 0x80 into the luma plane (reference :90)
@@ -264,13 +273,11 @@ class AV1Encoder:
         # per-line headers -> zstd -> T.35 metadata OBU (reference :100-108)
         # wire layout per line: {u64 frame_num; u32 bytes; u32 l; u32 r}
         # padded to 24 bytes (waterfallcompression.h:57-62)
-        import struct
-
         hdr_blob = b"".join(
             struct.pack("<QIII4x", fn, nb, hl, hr)
             for fn, nb, hl, hr in self.headers
         )
-        meta = b"\x00" + zstandard.ZstdCompressor(level=5).compress(hdr_blob)
+        meta = b"\x00" + self._zc.compress(hdr_blob)
         lib.aom_img_remove_metadata(self.img)
         rc = lib.aom_img_add_metadata(self.img, OBU_METADATA_TYPE_ITUT_T35,
                                       meta, len(meta), AOM_MIF_ANY_FRAME)

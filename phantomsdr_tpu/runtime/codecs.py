@@ -17,7 +17,6 @@ Each audio packet is CBOR {data, frame_num, l, m, pwr, r}
 from __future__ import annotations
 
 import ctypes
-import os
 from pathlib import Path
 
 import numpy as np
@@ -35,8 +34,13 @@ def _load_hostlib():
         return _hostlib
     so = _CSRC / "libphantomhost.so"
     if not so.exists():
-        # try to build it (native toolchain is available in the image)
-        os.system(f"make -C {_CSRC} >/dev/null 2>&1")
+        # try to build it (native toolchain is available in the image);
+        # main.build() calls this at startup so the compile never runs
+        # on the serving path
+        import subprocess
+
+        subprocess.run(["make", "-C", str(_CSRC)],
+                       capture_output=True, check=False)
     if not so.exists():
         raise RuntimeError("libphantomhost.so not built (run make -C csrc)")
     lib = ctypes.CDLL(str(so))
@@ -63,6 +67,9 @@ class FlacEncoder:
     def __init__(self, sample_rate: int, blocksize: int = 4096):
         self._lib = _load_hostlib()
         self._enc = self._lib.phantom_flac_create(sample_rate, blocksize)
+        if not self._enc:
+            raise RuntimeError(
+                f"phantom_flac_create({sample_rate}, {blocksize}) failed")
         self._cap = 1 << 20
         self._out = ctypes.create_string_buffer(self._cap)
 
@@ -78,7 +85,9 @@ class FlacEncoder:
 
     def finish(self) -> bytes:
         n = self._lib.phantom_flac_finish(self._enc, self._out, self._cap)
-        return self._out.raw[:max(n, 0)]
+        if n < 0:
+            raise RuntimeError("flac finish failed")
+        return self._out.raw[:n]
 
     def close(self):
         if self._enc:

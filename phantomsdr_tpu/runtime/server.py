@@ -251,6 +251,16 @@ class SpectrumServer:
         the multi-host serving partition; chan_offset maps global slot
         ids onto this host's local audio/power arrays in dispatch()."""
         self.cfg = cfg
+        if cfg.waterfall_compression == "av1":
+            # fall back to zstd BEFORE serving if libaom is unusable, so
+            # basic_info advertises the format clients will actually get
+            # (av1.py validates the ABI layout at load)
+            from .av1 import av1_available, _Aom
+
+            if not av1_available():
+                print(f"av1 unavailable ({_Aom.failure()}); falling back "
+                      f"to zstd waterfall compression", flush=True)
+                cfg.waterfall_compression = "zstd"
         self.chan_offset = chan_offset
         self.channels = channels or ChannelRegistry(cfg)
         self.waterfalls = waterfalls or WaterfallRegistry(

@@ -99,3 +99,39 @@ def test_av1_first_frame_has_sequence_header_dims():
     # seq_profile(3) must be 0 (monochrome needs profile 0 w/ mono flag)
     assert (seq[0][0] >> 5) == 0
     enc.close()
+
+
+def test_av1_lossless_actually_engages():
+    """Canary for the empirically-established control IDs: lossless mode
+    must produce a substantially LARGER stream than lossy on
+    full-entropy noise (quantization bypassed).  If a libaom ABI change
+    remaps AV1E_SET_LOSSLESS, either the checked control rc fails the
+    constructor or this size relation breaks."""
+    import ctypes
+    from phantomsdr_tpu.runtime import av1 as av1mod
+
+    if not av1mod.av1_available():
+        import pytest
+        pytest.skip(f"libaom unavailable: {av1mod._Aom.failure()}")
+
+    rng = np.random.default_rng(0)
+    rows = [rng.integers(-128, 128, 1024).astype(np.int8).tobytes()
+            for _ in range(8)]
+
+    def frame_size(lossless: bool) -> int:
+        enc = av1mod.AV1Encoder(1024)
+        if not lossless:  # flip lossless back OFF on this instance
+            rc = enc.aom.lib.aom_codec_control(
+                ctypes.byref(enc.ctx),
+                ctypes.c_int(av1mod.AV1E_SET_LOSSLESS), ctypes.c_int(0))
+            assert rc == 0
+        out = None
+        for i, r in enumerate(rows):
+            out = enc.send(r, i, 0, 1024) or out
+        enc.close()
+        return len(out)
+
+    lossy, lossless = frame_size(False), frame_size(True)
+    # 8 KB of noise: lossless carries ~full entropy, lossy quantizes
+    assert lossless > lossy * 1.3, (lossless, lossy)
+    assert lossless > 8000

@@ -18,11 +18,15 @@ level i has width R >> i and power offset size_log2 - i.
 
 Status: semantics verified (interpret-mode golden tests); on the
 current Mosaic toolchain the in-kernel adjacent-pair halving
-(``reshape(b, t/2, 2)``: minor-most lane split) does not lower, and the
-XLA formulation in ops.quantize already measures at HBM speed-of-light
-for this op (~0.02 ms for [18, 2^20], a negligible share of the hop
-step), so the XLA path remains the production default.  Revisit when
-Mosaic supports lane-minor reshapes or strided lane slices.
+(``reshape(b, t/2, 2)``: minor-most lane split) does not lower.  The
+production XLA path (ops.quantize) was re-measured honestly in round 2
+with the fori_loop slope harness (round-1's "~0.02 ms" timed async
+dispatch): the lane-stride-2 formulation cost 16.3 ms for [18, 2^20]
+x 11 levels and was replaced by strided ``reduce_window`` pair sums at
+4.7 ms (direct-from-level-0 and single-fused-quantize variants measured
+worse; see PERF.md).  The fused-kernel idea this file implements
+remains the theoretical SOL (<1 ms) -- revisit if Mosaic gains
+lane-minor reshapes or strided lane slices.
 """
 
 from __future__ import annotations

@@ -172,13 +172,25 @@ class DSPDriver:
 
     # ------------------------------------------------------------------
     def _read_loop(self):
+        def put(item) -> bool:
+            # bounded put that honors stop: a dead device thread must
+            # not leave the reader parked in a full queue forever
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         while not self._stop.is_set():
             block = self.source.read_block()
             if block is None:
                 self.metrics.eof = True
-                self._queue.put(None)
+                put(None)
                 return
-            self._queue.put(block)
+            if not put(block):
+                return
 
     def _refresh_table(self):
         """Refresh device tables; returns the one-shot reset mask (int32
@@ -215,6 +227,7 @@ class DSPDriver:
         #  t_start) -- wf_sel maps the device's wf gather rows (per-shard
         #  padded layout in mesh mode) to the due list's order
         pending = None
+        was_idle = False
 
         def prepare_raw(block):
             pre = host_preconvert(block, cfg.input_format)
@@ -261,8 +274,9 @@ class DSPDriver:
                 self.metrics.device_errors += 1
                 self.metrics.last_device_error = repr(e)[:300]
                 return
-            w = (self.wf_registry.max_slots if self.wf_registry
-                 else 1)
+            # width of the view table the step actually ran with (the
+            # sharded empty_views default is n rows, not 1)
+            w = int(self._views.start.shape[0])
             if self.sharded:
                 from ..parallel.sharded import unpack_outputs_sharded
 
@@ -309,7 +323,16 @@ class DSPDriver:
                 flush_pending()
                 self.metrics.idle_frames += cfg.hop_batch
                 self.metrics.frames += cfg.hop_batch
+                was_idle = True
                 continue
+            if was_idle and self.sharded:
+                # the mesh keeps the 50%-overlap halo ON DEVICE, so it
+                # went stale across the idle gap (the single-device path
+                # refreshes its host halo on every discarded block);
+                # re-init to a zero halo like a cold start rather than
+                # windowing minutes-old samples into the resume frame
+                state = self.pipe.init_state()
+            was_idle = False
             resets = self._refresh_table()
             frame0 = self.metrics.frames
             due = (waterfall_due_positions(cfg, frame0)
@@ -356,4 +379,9 @@ class DSPDriver:
             flush_pending()
             pending = (frame0, out.packed, due if due else None, wf_sel,
                        wf_meta, audio_meta, t0)
+            if self._queue.empty():
+                # input-paced (realtime SDR slower than the device):
+                # fetch NOW instead of idling until the next block, so
+                # step_seconds measures device+fetch time, not pacing
+                flush_pending()
         flush_pending()

@@ -105,6 +105,8 @@ class ChannelRegistry:
         """Validation per src/signal.cpp:300-314: 0<=l<=r<R and
         r-l <= audio_fft_size."""
         cfg = self.cfg
+        if not np.isfinite(mid):
+            return
         if l < 0 or l >= cfg.fft_result_size or r < 0 or r >= cfg.fft_result_size:
             return
         if l > r or r - l > cfg.audio_fft_size:

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import math
 import queue
 import secrets
 import threading
@@ -185,9 +186,14 @@ class AudioConn:
             if m is None:
                 return
             try:
+                # json.loads accepts NaN/Infinity literals; int(inf)
+                # raises OverflowError -- a client must not be able to
+                # kill its handler or half-update the registry
                 l, r = int(cmd["l"]), int(cmd["r"])
                 m = float(m)
-            except (KeyError, TypeError, ValueError):
+            except (KeyError, TypeError, ValueError, OverflowError):
+                return
+            if not math.isfinite(m):
                 return
             reg = self.server.channels
             reg.retune(self.slot, l, m, r)
@@ -235,7 +241,7 @@ class WaterfallConn:
         if name == "window":
             try:
                 l, r = int(cmd["l"]), int(cmd["r"])
-            except (KeyError, TypeError, ValueError):
+            except (KeyError, TypeError, ValueError, OverflowError):
                 return
             self.server.waterfalls.retune(self.cid, self.slot, l, r)
         elif name == "userid":
@@ -288,6 +294,8 @@ class SpectrumServer:
         self._cluster_counts = None
         self._cluster_prev = None
         self._cluster_uids: dict = {}
+        self._gzip_cache: dict = {}
+        self._GZIP_MAX_BYTES = 1 << 20
         self.app = self._build_app()
 
     # ------------------------------------------------------------- app
@@ -352,7 +360,6 @@ class SpectrumServer:
             self.channels.release(slot)
             await ws.close()
             raise
-        slot.mode = self.cfg.default_mode
         self.channels.set_mode(slot, self.cfg.default_mode)
         # defaults bypass command validation (websocket.cpp:145)
         self.channels.set_default_range(slot)
@@ -442,12 +449,27 @@ class SpectrumServer:
             path = path / "index.html"
         if not path.is_file():
             raise web.HTTPNotFound()
-        # gzip bodies when the client accepts it (src/http.cpp:86-94)
-        if "gzip" in request.headers.get("Accept-Encoding", ""):
-            import gzip as _gzip
+        # gzip bodies when the client accepts it (src/http.cpp:86-94);
+        # compressed off the event loop, cached by (path, mtime), and
+        # only for small assets -- big files stream uncompressed rather
+        # than stall audio dispatch for a synchronous compress
+        st = path.stat()
+        if ("gzip" in request.headers.get("Accept-Encoding", "")
+                and st.st_size <= self._GZIP_MAX_BYTES):
+            key = (str(path), st.st_mtime_ns)
+            body = self._gzip_cache.get(key)
+            if body is None:
+                import gzip as _gzip
+
+                loop = asyncio.get_running_loop()
+                data = await loop.run_in_executor(None, path.read_bytes)
+                body = await loop.run_in_executor(None, _gzip.compress,
+                                                  data)
+                if len(self._gzip_cache) > 64:
+                    self._gzip_cache.clear()
+                self._gzip_cache[key] = body
             import mimetypes
 
-            body = _gzip.compress(path.read_bytes())
             ctype = mimetypes.guess_type(str(path))[0] or "text/plain"
             return web.Response(
                 body=body, content_type=ctype,
@@ -530,9 +552,12 @@ class SpectrumServer:
         return json.dumps(info)
 
     async def _event_timer(self):
+        # unconditional 1 Hz broadcast like the reference
+        # (src/events.cpp:86-112): counts must reach /events subscribers
+        # even when no tuning changed (e.g. waterfall-only churn)
         while True:
             await asyncio.sleep(1.0)
-            if not self.signal_changes:
+            if not self.event_conns:
                 continue
             info = self._event_counts()
             info["signal_changes"] = {
@@ -593,11 +618,8 @@ class SpectrumServer:
                 ws_slot = conn.slot
                 sl, sr, slev = ws_slot.l, ws_slot.r, ws_slot.level
             n = min(sr - sl, wf.shape[2])
-            entries = [
-                (frame0 + h, wf[d, cid, :n].tobytes())
-                for d, h in enumerate(due_positions)
-                if (frame0 + h) % cfg.skip_num == 0  # stale-list guard
-            ]
+            entries = [(frame0 + h, wf[d, cid, :n].tobytes())
+                       for d, h in enumerate(due_positions)]
             if not entries:
                 continue
             self.encode_pool.submit(

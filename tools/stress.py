@@ -15,34 +15,60 @@ import time
 import aiohttp
 
 
-async def audio_client(session, url, idx, stats, stop):
-    try:
-        async with session.ws_connect(url + "/audio", max_msg_size=1 << 22) as ws:
-            info = json.loads((await ws.receive()).data)
-            rsize = info["fft_result_size"]
-            a = info["audio_max_fft"]
-            l = (idx * 131) % max(rsize - a - 1, 1)
-            width = min(a, 300)
-            await ws.send_str(json.dumps({
-                "cmd": "window", "l": l, "m": l + width / 2, "r": l + width}))
-            await ws.send_str(json.dumps({
-                "cmd": "demodulation",
-                "demodulation": ["USB", "LSB", "AM", "FM"][idx % 4]}))
-            while not stop.is_set():
-                try:
-                    msg = await ws.receive(timeout=5)
-                except asyncio.TimeoutError:
-                    continue  # server may still be compiling
-                if msg.type == aiohttp.WSMsgType.BINARY:
-                    stats["audio_pkts"] += 1
-                    stats["audio_bytes"] += len(msg.data)
-                elif msg.type in (aiohttp.WSMsgType.CLOSE,
-                                  aiohttp.WSMsgType.CLOSED,
-                                  aiohttp.WSMsgType.ERROR):
-                    stats["audio_closed"] += 1
-                    return
-    except Exception:
-        stats["audio_errors"] += 1
+async def audio_client(session, url, idx, stats, stop, churn_secs=0.0):
+    """One audio listener; churn_secs > 0 makes it live-cycle: connect,
+    listen, retune mid-life, disconnect, reconnect -- exercising slot
+    reuse, one-shot resets, AGC resets and the events stream under load."""
+    import random
+
+    rng = random.Random(idx)
+    while not stop.is_set():
+        try:
+            async with session.ws_connect(url + "/audio",
+                                          max_msg_size=1 << 22) as ws:
+                info = json.loads((await ws.receive()).data)
+                rsize = info["fft_result_size"]
+                a = info["audio_max_fft"]
+                l = (idx * 131) % max(rsize - a - 1, 1)
+                width = min(a, 300)
+                await ws.send_str(json.dumps({
+                    "cmd": "window", "l": l, "m": l + width / 2,
+                    "r": l + width}))
+                await ws.send_str(json.dumps({
+                    "cmd": "demodulation",
+                    "demodulation": ["USB", "LSB", "AM", "FM"][idx % 4]}))
+                deadline = (time.monotonic()
+                            + rng.uniform(0.5, 2.0) * churn_secs
+                            if churn_secs else None)
+                while not stop.is_set():
+                    if deadline and time.monotonic() > deadline:
+                        break  # disconnect + reconnect (churn)
+                    try:
+                        msg = await ws.receive(timeout=1)
+                    except asyncio.TimeoutError:
+                        if churn_secs and rng.random() < 0.3:
+                            l2 = rng.randrange(max(rsize - a - 1, 1))
+                            await ws.send_str(json.dumps({
+                                "cmd": "window", "l": l2,
+                                "m": l2 + width / 2, "r": l2 + width}))
+                            stats["retunes"] += 1
+                        continue  # server may still be compiling
+                    if msg.type == aiohttp.WSMsgType.BINARY:
+                        stats["audio_pkts"] += 1
+                        stats["audio_bytes"] += len(msg.data)
+                    elif msg.type in (aiohttp.WSMsgType.CLOSE,
+                                      aiohttp.WSMsgType.CLOSED,
+                                      aiohttp.WSMsgType.ERROR):
+                        stats["audio_closed"] += 1
+                        return
+            if not churn_secs:
+                return
+            stats["reconnects"] += 1
+        except Exception:
+            stats["audio_errors"] += 1
+            if not churn_secs:
+                return
+            await asyncio.sleep(0.5)
 
 
 async def wf_client(session, url, idx, stats, stop):
@@ -76,14 +102,19 @@ async def main():
     ap.add_argument("--audio", type=int, default=50)
     ap.add_argument("--wf", type=int, default=50)
     ap.add_argument("--secs", type=float, default=20)
+    ap.add_argument("--churn", type=float, default=0.0,
+                    help="audio clients reconnect every ~N s and retune "
+                         "randomly (slot-reuse/reset/AGC churn)")
     args = ap.parse_args()
 
     stats = dict(audio_pkts=0, audio_bytes=0, wf_pkts=0, wf_bytes=0,
-                 audio_errors=0, wf_errors=0, audio_closed=0, wf_closed=0)
+                 audio_errors=0, wf_errors=0, audio_closed=0, wf_closed=0,
+                 retunes=0, reconnects=0)
     stop = asyncio.Event()
     async with aiohttp.ClientSession(
             connector=aiohttp.TCPConnector(limit=0)) as session:
-        tasks = [asyncio.create_task(audio_client(session, args.url, i, stats, stop))
+        tasks = [asyncio.create_task(audio_client(session, args.url, i,
+                                                  stats, stop, args.churn))
                  for i in range(args.audio)]
         tasks += [asyncio.create_task(wf_client(session, args.url, i, stats, stop))
                   for i in range(args.wf)]
@@ -106,6 +137,8 @@ async def main():
         "wf_pkts_per_s": round(stats["wf_pkts"] / dt, 1),
         "wf_MBps": round(stats["wf_bytes"] / dt / 1e6, 2),
         "errors": stats["audio_errors"] + stats["wf_errors"],
+        "retunes": stats["retunes"],
+        "reconnects": stats["reconnects"],
         "closed": stats["audio_closed"] + stats["wf_closed"],
         "server_metrics": metrics,
     }, indent=1))

@@ -71,6 +71,24 @@ def roll_iq(x: jnp.ndarray, base_idx: int) -> jnp.ndarray:
     return jnp.roll(x, -base_idx, axis=-1)
 
 
+def _pair_matrix(n: int) -> "np.ndarray":
+    """[n, n//2] f32 0/1 matrix: (x @ m)[j] = x[2j] + x[2j+1].
+
+    Each column has exactly two 1-entries, so every output bin of the
+    matmul is a single f32 ``a + b`` (the other products are exact +0):
+    bit-identical to the reference's adjacent-pair sum regardless of
+    the MXU accumulation order.
+    """
+    import numpy as np
+    m = np.zeros((n, n // 2), np.float32)
+    m[np.arange(0, n, 2), np.arange(n // 2)] = 1.0
+    m[np.arange(1, n, 2), np.arange(n // 2)] = 1.0
+    return m
+
+
+_PAIR_MATS = {n: _pair_matrix(n) for n in (128, 64, 32, 16, 8, 4, 2)}
+
+
 def waterfall_pyramid(
     power0: jnp.ndarray,
     levels: int,
@@ -83,17 +101,43 @@ def waterfall_pyramid(
     R >> i, with power offset ``size_log2 - i``
     (reference src/fft_impl.cpp:162-172: level 0 uses size_log2, each
     halving uses size_log2 - i - 1).
+
+    Formulation (tools/pyr_bench.py shootout on v5e, [18, 2^20] x 11
+    levels): adjacent-pair sums run on the MXU as 0/1-matrix matmuls
+    along the lane-minor dim, which avoids both the cross-lane
+    relayouts of strided slicing (16.3 ms) and the per-level
+    reduce_window overhead (3.9 ms) -- 1.38 ms, bit-exact (see
+    _pair_matrix).  The minor dim shrinks 128 -> 64 -> ... -> 2 -> 1;
+    when it bottoms out the flat width is re-split by 128 (one tiny
+    relayout at width R/128) and the chain restarts.  Widths below 256
+    (small test configs) fall back to reduce_window.
     """
     out = [quantize_power(power0, size_log2)]
     p = power0
+    lead = power0.shape[:-1]
     win = (1,) * (power0.ndim - 1) + (2,)
-    for i in range(levels - 1):
-        # adjacent-pair sum as a strided reduce_window: bitwise the same
-        # addition as p[..., 0::2] + p[..., 1::2], but lane-stride-2
-        # slicing forces cross-lane relayouts on TPU (measured 16 ms for
-        # [18, 2^20] x 11 levels vs 4 ms with reduce_window)
-        p = jax.lax.reduce_window(p, 0.0, jax.lax.add, win, win, "VALID")
-        out.append(quantize_power(p, size_log2 - i - 1))
+    i = 0
+    while i < levels - 1:
+        w = p.shape[-1]
+        if w >= 256 and w % 128 == 0:
+            p3 = p.reshape(*lead, w // 128, 128)
+            n = 128
+            while n >= 2 and i < levels - 1:
+                p3 = jax.lax.dot_general(
+                    p3, _PAIR_MATS[n], (((p3.ndim - 1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST)
+                n //= 2
+                i += 1
+                q = quantize_power(p3, size_log2 - i)
+                out.append(q.reshape(*lead, -1))
+            p = p3.reshape(*lead, -1)
+        else:
+            # small-width tail: strided reduce_window pair sum (still the
+            # exact a+b addition; cheap at these sizes)
+            p = jax.lax.reduce_window(p, 0.0, jax.lax.add, win, win,
+                                      "VALID")
+            i += 1
+            out.append(quantize_power(p, size_log2 - i))
     return out
 
 

@@ -1,0 +1,159 @@
+"""Device-side WBFM stereo decoder (19 kHz pilot PLL + L-R demix).
+
+The reference server sends the FM multiplex (MPX) as mono audio and
+leaves stereo to the browser (reference: jsdsp/src/wbfmpll.cpp): an
+18-20 kHz bandpass isolates the pilot, a liquid nco PLL (VCO at
+19 kHz, loop bandwidth 0.001) locks to it, the MPX is mixed down by
+TWICE the pilot phase to bring the 38 kHz DSB L-R subcarrier to
+baseband, the mono path is delayed by the bandpass group delay, and
+L/R = mono +- (L-R).
+
+A TPU server has the compute headroom to decode stereo for every
+listener at once, so here the whole thing runs on device, batched over
+the channel population [C, T], as an opt-in (``[input] stereo =
+true``):
+
+- bandpass = batched conv with the filter tail carried across steps
+  (same streaming pattern as ops/polyphase.py),
+- the per-sample PLL recursion is a lax.scan vectorized over [C]
+  (same pattern as the AM sync PLL, ops/channelizer.py),
+- the mono delay line is a carried tail.
+
+Deviation (improvement) from jsdsp/src/wbfmpll.cpp:60-80: the
+reference mixes the UN-delayed MPX sample with the PLL phase while
+adding the DELAYED mono, so its L-R term carries a constant phase
+error of 2*omega_pilot*D (D = bandpass group delay; ~5.85 rad mod 2pi
+at fs=192k -> a fixed cos(...) ~= 0.91 separation-loss factor plus a
+D-sample mono/LR misalignment).  Here the DELAYED sample feeds the
+mixer too: the PLL phase at step i tracks the pilot at time i-D (it is
+estimated from the group-delayed bandpass output), so mixing x[i-D]
+is phase-aligned exactly and mono/L-R stay time-aligned.  Non-FM rows
+(fm_mask False) pass mono through both outputs (L == R == delayed
+mono).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .polyphase import design_lowpass
+
+# same liquid loop-gain convention as the AM sync PLL
+# (ops/channelizer.py: nco_crcf_pll_set_bandwidth(0.001))
+PLL_BW = 0.001
+PLL_ALPHA = PLL_BW
+PLL_BETA = PLL_BW ** 0.5
+
+PILOT_HZ = 19000.0
+# stereo needs the 38 kHz DSB subcarrier (+15 kHz audio) inside Nyquist
+MIN_STEREO_SPS = 106000
+
+
+class StereoParams(NamedTuple):
+    taps: np.ndarray   # [N] 18-20 kHz bandpass FIR (host numpy; embeds)
+    delay: int         # bandpass group delay (N-1)/2, mono-path delay
+    f_nom: float       # nominal pilot phase increment 2*pi*19k/fs
+
+
+class StereoState(NamedTuple):
+    bp_tail: jnp.ndarray    # [C, N-1] bandpass input history
+    mono_tail: jnp.ndarray  # [C, delay] mono delay-line history
+    phase: jnp.ndarray      # [C] PLL phase (rad)
+    freq: jnp.ndarray       # [C] PLL frequency OFFSET from f_nom
+    #                         (stored as an offset so the all-zeros
+    #                         carry reset of pipeline.audio_from_spectra
+    #                         re-arms the PLL at the nominal 19 kHz)
+
+
+def make_stereo_params(audio_sps: int) -> StereoParams:
+    """Filter/PLL constants for a given audio rate.
+
+    Tap count follows the reference's estimate_req_filter_len(2000/fs,
+    60) | 1 (jsdsp/src/wbfmpll.cpp:22: 2 kHz transition, 60 dB):
+    liquid's Kaiser estimate N ~= As / (22 * df).  The band edges match
+    its firdespm spec (stop <=17 kHz, pass 18-20 kHz, stop >=21 kHz);
+    the response here is a windowed-sinc lowpass difference -- same
+    passband, comparable stopband, dependency-free.
+    """
+    fs = float(audio_sps)
+    df = 2000.0 / fs
+    n = int(60.0 / (22.0 * df)) | 1
+    hi = design_lowpass(n, 2 * 20000.0 / fs)
+    lo = design_lowpass(n, 2 * 18000.0 / fs)
+    return StereoParams(
+        taps=(hi - lo).astype(np.float32),
+        delay=(n - 1) // 2,
+        f_nom=float(2.0 * np.pi * PILOT_HZ / fs),
+    )
+
+
+def init_stereo_state(num_channels: int, params: StereoParams | None
+                      ) -> StereoState:
+    """All-zero carries.  With ``params=None`` (stereo off) the tails
+    are zero-width so the state costs nothing but keeps the pytree
+    structure stable."""
+    c = num_channels
+    nt = params.taps.shape[0] if params is not None else 1
+    d = params.delay if params is not None else 0
+    return StereoState(
+        bp_tail=jnp.zeros((c, nt - 1), jnp.float32),
+        mono_tail=jnp.zeros((c, d), jnp.float32),
+        phase=jnp.zeros((c,), jnp.float32),
+        freq=jnp.zeros((c,), jnp.float32),
+    )
+
+
+def stereo_decode(state: StereoState, params: StereoParams,
+                  x: jnp.ndarray, fm_mask: jnp.ndarray
+                  ) -> tuple[StereoState, jnp.ndarray, jnp.ndarray]:
+    """MPX stream [C, T] -> (state, L [C, T], R [C, T]).
+
+    Streaming-continuous across steps (all history carried in state).
+    T must be >= the bandpass group delay.
+    """
+    c, t = x.shape
+    taps = params.taps
+    nt = taps.shape[0]
+
+    # ---- pilot bandpass (batched conv, tail carried) ----
+    xin = jnp.concatenate([state.bp_tail, x], axis=1)      # [C, nt-1+T]
+    lhs = xin[:, None, :]
+    rhs = jnp.asarray(taps[::-1], jnp.float32)[None, None, :]
+    y = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )[:, 0, :]                                             # [C, T]
+    new_bp_tail = xin[:, t:]
+
+    # ---- mono delay by the bandpass group delay ----
+    xd_full = jnp.concatenate([state.mono_tail, x], axis=1)
+    xd = xd_full[:, :t]                                    # [C, T]
+    new_mono_tail = xd_full[:, t:]
+
+    # ---- PLL + L-R mix (per-sample recursion over T, vector over C) --
+    f_nom = jnp.float32(params.f_nom)
+    two_pi = jnp.float32(2.0 * np.pi)
+
+    def body(carry, inputs):
+        phase, freq = carry
+        yb, xs = inputs                                    # [C] each
+        e = 2.0 * yb * jnp.cos(phase)       # phase detector (wbfmpll:66)
+        freq = freq + jnp.float32(PLL_ALPHA) * e
+        ph_m = phase + jnp.float32(PLL_BETA) * e
+        # mix the (delayed, see module docstring) MPX down by twice the
+        # pilot phase: Re(x * e^{-2j*theta}) = x * cos(2*theta)
+        lr = xs * jnp.cos(2.0 * ph_m)
+        ph_n = jnp.mod(ph_m + f_nom + freq, two_pi)        # nco step
+        return (ph_n, freq), lr
+
+    (phase, freq), lr_t = jax.lax.scan(
+        body, (state.phase, state.freq), (y.T, xd.T))
+    lr = lr_t.T * jnp.where(fm_mask, 1.0, 0.0)[:, None]
+
+    new_state = StereoState(bp_tail=new_bp_tail, mono_tail=new_mono_tail,
+                            phase=phase, freq=freq)
+    return new_state, xd + lr, xd - lr

@@ -4,13 +4,15 @@
 // stream at compression level 5 (reference: src/signal.cpp:17-28,
 // src/audio.cpp:38-52).  This image has no libFLAC, so this is a
 // from-scratch encoder emitting spec-conformant FLAC: fixed predictors
-// (orders 0-4) with Rice-coded residuals, 16-bit mono, streamable
+// (orders 0-4) with Rice-coded residuals, 16-bit mono or independent
+// 2-channel stereo (the device-side WBFM stereo path), streamable
 // subset (sample rate coded in each frame header), fixed blocksize.
 //
 // C ABI (used from Python via ctypes, one encoder per audio client):
-//   void*   phantom_flac_create(int sample_rate, int blocksize)
-//   int     phantom_flac_process(void*, const int16_t*, int n,
-//                                uint8_t* out, int cap)   -> bytes out
+//   void*   phantom_flac_create(int sample_rate, int blocksize,
+//                               int channels /* 1 or 2 */)
+//   int     phantom_flac_process(void*, const int16_t* interleaved,
+//                                int n_total, uint8_t* out, int cap)
 //   int     phantom_flac_finish(void*, uint8_t* out, int cap)
 //   void    phantom_flac_destroy(void*)
 //
@@ -102,9 +104,11 @@ void put_coded_number(BitWriter &bw, uint32_t v) {
 struct FlacEncoder {
     int sample_rate;
     int blocksize;
+    int channels = 1;
     uint32_t frame_number = 0;
     bool header_sent = false;
-    std::vector<int16_t> pending;
+    std::vector<int16_t> pending;   // interleaved when channels == 2
+    std::vector<int16_t> chbuf;     // deinterleave scratch
     std::vector<int64_t> residual;  // scratch
 
     void write_streaminfo(std::vector<uint8_t> &out) {
@@ -120,7 +124,7 @@ struct FlacEncoder {
         bw.put(0, 24);              // min framesize unknown
         bw.put(0, 24);              // max framesize unknown
         bw.put(sample_rate, 20);
-        bw.put(0, 3);               // channels - 1 (mono)
+        bw.put(channels - 1, 3);
         bw.put(15, 5);              // bps - 1 = 15
         bw.put(0, 4);               // total samples high (unknown)
         bw.put(0, 32);              // total samples low
@@ -180,6 +184,30 @@ struct FlacEncoder {
         return std::min(best_k, 14);  // 4-bit rice parameter, 15 = escape
     }
 
+    // fixed-order subframe with a single rice partition
+    void encode_subframe(const int16_t *x, int n, BitWriter &bw) {
+        int order = best_order(x, n);
+        bw.put(0, 1);                          // zero pad
+        bw.put(0x08 | order, 6);               // fixed subframe, order
+        bw.put(0, 1);                          // no wasted bits
+        for (int i = 0; i < order; i++)
+            bw.put((uint16_t)x[i], 16);        // warmup (signed 16)
+        compute_residual(x, n, order);
+        const int64_t *res = residual.data() + order;
+        int nres = n - order;
+        int k = best_rice_param(res, nres);
+        bw.put(0, 2);                          // residual method: rice 4-bit
+        bw.put(0, 4);                          // partition order 0
+        bw.put(k, 4);
+        for (int i = 0; i < nres; i++) {
+            int64_t v = res[i];
+            uint64_t u = (uint64_t)((v << 1) ^ (v >> 63));
+            bw.put_unary((uint32_t)(u >> k));
+            if (k) bw.put((uint32_t)(u & ((1u << k) - 1)), k);
+        }
+    }
+
+    // n = per-channel sample count; x = interleaved frame
     void encode_frame(const int16_t *x, int n, std::vector<uint8_t> &out) {
         BitWriter bw;
         // ---- frame header ----
@@ -201,36 +229,33 @@ struct FlacEncoder {
             bs_code = (n <= 256) ? 6 : 7;  // blocksize-1 at header end
         }
         bw.put(bs_code, 4);
-        bw.put(13, 4);               // sample rate: 16-bit Hz at header end
-        bw.put(0, 4);                // channel assignment: mono
+        // sample rate: 13 = 16-bit Hz; rates past 65535 Hz (the WBFM
+        // 192 kHz profile) need 14 = 16-bit daHz; else 0 = STREAMINFO
+        int sr_code = sample_rate <= 0xFFFF ? 13
+                    : (sample_rate % 10 == 0 && sample_rate / 10 <= 0xFFFF)
+                        ? 14 : 0;
+        bw.put(sr_code, 4);
+        // channel assignment: 0 = mono, 1 = independent L/R stereo
+        bw.put(channels - 1, 4);
         bw.put(4, 3);                // sample size: 16 bps
         bw.put(0, 1);                // reserved
         put_coded_number(bw, frame_number);
         if (bs_code == 6) bw.put(n - 1, 8);
         else if (bs_code == 7) bw.put(n - 1, 16);
-        bw.put(sample_rate, 16);     // rate in Hz (code 13)
+        if (sr_code == 13) bw.put(sample_rate, 16);
+        else if (sr_code == 14) bw.put(sample_rate / 10, 16);
         uint8_t c8 = crc8(bw.buf.data(), bw.buf.size());
         bw.put(c8, 8);
 
-        // ---- subframe (fixed order, single rice partition) ----
-        int order = best_order(x, n);
-        bw.put(0, 1);                          // zero pad
-        bw.put(0x08 | order, 6);               // fixed subframe, order
-        bw.put(0, 1);                          // no wasted bits
-        for (int i = 0; i < order; i++)
-            bw.put((uint16_t)x[i], 16);        // warmup (signed 16)
-        compute_residual(x, n, order);
-        const int64_t *res = residual.data() + order;
-        int nres = n - order;
-        int k = best_rice_param(res, nres);
-        bw.put(0, 2);                          // residual method: rice 4-bit
-        bw.put(0, 4);                          // partition order 0
-        bw.put(k, 4);
-        for (int i = 0; i < nres; i++) {
-            int64_t v = res[i];
-            uint64_t u = (uint64_t)((v << 1) ^ (v >> 63));
-            bw.put_unary((uint32_t)(u >> k));
-            if (k) bw.put((uint32_t)(u & ((1u << k) - 1)), k);
+        // ---- one subframe per channel (x is interleaved) ----
+        for (int ch = 0; ch < channels; ch++) {
+            const int16_t *s = x;
+            if (channels > 1) {
+                chbuf.resize(n);
+                for (int i = 0; i < n; i++) chbuf[i] = x[i * channels + ch];
+                s = chbuf.data();
+            }
+            encode_subframe(s, n, bw);
         }
         bw.align_zero();
         uint16_t c16 = crc16(bw.buf.data(), bw.buf.size());
@@ -248,9 +273,10 @@ struct FlacEncoder {
         }
         pending.insert(pending.end(), samples, samples + n);
         size_t pos = 0;
-        while (pending.size() - pos >= (size_t)blocksize) {
+        size_t need = (size_t)blocksize * channels;
+        while (pending.size() - pos >= need) {
             encode_frame(pending.data() + pos, blocksize, o);
-            pos += blocksize;
+            pos += need;
         }
         pending.erase(pending.begin(), pending.begin() + pos);
         if ((int)o.size() > cap) return -(int)o.size();
@@ -265,7 +291,9 @@ struct FlacEncoder {
             header_sent = true;
         }
         if (!pending.empty()) {
-            encode_frame(pending.data(), (int)pending.size(), o);
+            // drop a trailing partial interleave group, if any
+            int n = (int)(pending.size() / channels);
+            if (n > 0) encode_frame(pending.data(), n, o);
             pending.clear();
         }
         if ((int)o.size() > cap) return -(int)o.size();
@@ -278,10 +306,12 @@ struct FlacEncoder {
 
 extern "C" {
 
-void *phantom_flac_create(int sample_rate, int blocksize) {
+void *phantom_flac_create(int sample_rate, int blocksize, int channels) {
+    if (channels < 1 || channels > 2) return nullptr;
     auto *e = new FlacEncoder();
     e->sample_rate = sample_rate;
     e->blocksize = blocksize;
+    e->channels = channels;
     return e;
 }
 

@@ -57,6 +57,12 @@ class ServerConfig:
     # PLL carrier-synchronous AM detection (the reference's liquid-dsp
     # path, signal.cpp:242-252); false = envelope (its fallback)
     am_sync: bool = False
+    # Device-side WBFM stereo decode (the reference leaves this to the
+    # browser, jsdsp/src/wbfmpll.cpp); audio becomes 2-channel
+    # interleaved for every slot (FM slots get pilot-PLL stereo, other
+    # modes duplicate mono).  Extension: the TPU server has the compute
+    # headroom to decode stereo for every listener at once.
+    stereo: bool = False
     input_format: str = "f32"
     input_driver: str = "stdin"
     # [input.defaults]
@@ -172,6 +178,17 @@ class ServerConfig:
                 f"decimation reaches a legal rate {OPUS_RATES}; use one of "
                 f"those rates (or a multiple) or audio_compression='flac'")
 
+        if self.stereo:
+            from .ops.stereo import MIN_STEREO_SPS
+
+            if self.audio_sps < MIN_STEREO_SPS:
+                # the 38 kHz DSB subcarrier (+15 kHz audio) must sit
+                # inside the audio Nyquist or there is nothing to decode
+                raise ValueError(
+                    f"[input] stereo=true needs audio_sps >= "
+                    f"{MIN_STEREO_SPS} (WBFM multiplex bandwidth); got "
+                    f"{self.audio_sps}")
+
         if not self.register_password:
             self.register_password = secrets.token_hex(16)
         return self
@@ -230,6 +247,12 @@ class ServerConfig:
         """Actual Opus encoder rate after decimation (<=48 kHz)."""
         return min(self.audio_sps // self.opus_decim, 48000)
 
+    @property
+    def audio_channels(self) -> int:
+        """Interleaved audio channels on the wire (2 with device WBFM
+        stereo, else the reference's mono)."""
+        return 2 if self.stereo else 1
+
 
 def load_config(path: str) -> ServerConfig:
     with open(path, "rb") as f:
@@ -260,6 +283,7 @@ def config_from_dict(t: dict) -> ServerConfig:
     c.audio_compression = str(inp.get("audio_compression", "flac")).lower()
     c.waterfall_compression = str(inp.get("waterfall_compression", "zstd")).lower()
     c.am_sync = bool(inp.get("am_sync", False))
+    c.stereo = bool(inp.get("stereo", False))
 
     drv = inp.get("driver", {})
     c.input_driver = str(drv.get("name", "stdin"))

@@ -19,17 +19,32 @@ true``):
   (same pattern as the AM sync PLL, ops/channelizer.py),
 - the mono delay line is a carried tail.
 
-Deviation (improvement) from jsdsp/src/wbfmpll.cpp:60-80: the
-reference mixes the UN-delayed MPX sample with the PLL phase while
-adding the DELAYED mono, so its L-R term carries a constant phase
-error of 2*omega_pilot*D (D = bandpass group delay; ~5.85 rad mod 2pi
-at fs=192k -> a fixed cos(...) ~= 0.91 separation-loss factor plus a
-D-sample mono/LR misalignment).  Here the DELAYED sample feeds the
-mixer too: the PLL phase at step i tracks the pilot at time i-D (it is
-estimated from the group-delayed bandpass output), so mixing x[i-D]
-is phase-aligned exactly and mono/L-R stay time-aligned.  Non-FM rows
-(fm_mask False) pass mono through both outputs (L == R == delayed
-mono).
+Deviations (improvements) from jsdsp/src/wbfmpll.cpp:60-80, both
+measured (tests/test_stereo.py):
+
+1. The reference mixes the UN-delayed MPX sample with the PLL phase
+   while adding the DELAYED mono, so its L-R term carries a constant
+   phase error of 2*omega_pilot*D (D = bandpass group delay; ~5.85 rad
+   mod 2pi at fs=192k -> a fixed separation-loss factor plus a
+   D-sample mono/LR misalignment).  Here the DELAYED sample feeds the
+   mixer too: the PLL phase at step i tracks the pilot at time i-D (it
+   is estimated from the group-delayed bandpass output), so mixing
+   x[i-D] is phase-aligned exactly and mono/L-R stay time-aligned.
+2. The reference's phase detector e = 2*y*cos(theta) has an EVEN
+   error curve around lock (average A*cos(delta)); its equilibrium is
+   in QUADRATURE with the pilot, which mixes the 38 kHz DSB subcarrier
+   by -cos(2*theta_pilot) and decodes 0.25L+0.75R / 0.75L+0.25R --
+   swapped channels at 9.5 dB separation (verified numerically on the
+   reference's exact update).  Here the detector is -2*y*sin(theta)
+   (odd around lock, in-phase equilibrium) and the demix gain is 2, so
+   L lands in L at full separation (>30 dB measured after lock).
+
+The demixed L-R stream keeps its image terms at 2/4x the pilot
+(38/76 kHz) unfiltered -- exactly like the reference, whose post-mix
+lowpasses are commented out (wbfmpll.cpp:73-79); they are ultrasonic
+at WBFM rates and die in the Opus decimation lowpass when that path
+is on.  Non-FM rows (fm_mask False) pass mono through both outputs
+(L == R == delayed mono).
 """
 
 from __future__ import annotations
@@ -141,12 +156,20 @@ def stereo_decode(state: StereoState, params: StereoParams,
     def body(carry, inputs):
         phase, freq = carry
         yb, xs = inputs                                    # [C] each
-        e = 2.0 * yb * jnp.cos(phase)       # phase detector (wbfmpll:66)
+        # Phase detector: -sin locks the VCO IN PHASE with the pilot
+        # (average of -2*A*cos(th_p)*sin(th) = -A*sin(th - th_p), odd
+        # around th = th_p).  The reference uses 2*y*cos(th)
+        # (wbfmpll.cpp:66) whose average A*cos(th_p - th) zeroes in
+        # QUADRATURE, so its subcarrier mix cos(2*th) = -cos(2*th_p)
+        # demixes with flipped sign: measured 0.25L+0.75R / 0.75L+0.25R
+        # (channels swapped, 9.5 dB separation).  See module docstring.
+        e = -2.0 * yb * jnp.sin(phase)
         freq = freq + jnp.float32(PLL_ALPHA) * e
         ph_m = phase + jnp.float32(PLL_BETA) * e
         # mix the (delayed, see module docstring) MPX down by twice the
-        # pilot phase: Re(x * e^{-2j*theta}) = x * cos(2*theta)
-        lr = xs * jnp.cos(2.0 * ph_m)
+        # pilot phase; gain 2 makes the demixed DSB term unity
+        # (s*cos(2th) * 2cos(2th) -> s + s*cos(4th)): full separation.
+        lr = 2.0 * xs * jnp.cos(2.0 * ph_m)
         ph_n = jnp.mod(ph_m + f_nom + freq, two_pi)        # nco step
         return (ph_n, freq), lr
 

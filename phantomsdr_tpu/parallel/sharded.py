@@ -58,6 +58,7 @@ from ..pipeline import (
     HopState, HopOutputs, WaterfallViews, init_audio_state,
     waterfall_from_spectra, gather_waterfall_views, audio_from_spectra,
     pack_outputs, opus_decim_taps, waterfall_due_positions,
+    stereo_params_for,
 )
 from ..ops.fft import forward_spectrum
 
@@ -117,6 +118,7 @@ class ShardedHopPipeline:
             halo=P("d", None),
         )
         self.decim_taps = opus_decim_taps(cfg)
+        self.stereo_params = stereo_params_for(cfg)
         chan_spec = ChannelTable(*(P("d"),) * 5)
         # views are replicated: every time shard gathers ALL clients'
         # views from its local pyramid rows
@@ -241,7 +243,7 @@ class ShardedHopPipeline:
         audio_st, audio16, pwr = audio_from_spectra(
             cfg, self.agc_params, self.dc_delay,
             state.inner.audio, all_spec, chans, state.inner.frame, reset,
-            decim_taps=self.decim_taps,
+            decim_taps=self.decim_taps, stereo_params=self.stereo_params,
         )
         new_inner = HopState(frame=state.inner.frame + cfg.hop_batch,
                              audio=audio_st)
@@ -304,7 +306,8 @@ class ShardedHopPipeline:
 
 def unpack_outputs_sharded(packed: np.ndarray, n: int, b: int, c: int,
                            half: int, w: int, cap: int,
-                           wf_rows_per_shard: int, decim: int = 1):
+                           wf_rows_per_shard: int, decim: int = 1,
+                           nch: int = 1):
     """Host-side inverse of the sharded `packed` buffer.
 
     The sharded packed output is NOT pipeline.unpack_outputs-compatible:
@@ -317,12 +320,12 @@ def unpack_outputs_sharded(packed: np.ndarray, n: int, b: int, c: int,
     cl = c // n
     rows = wf_rows_per_shard
     if decim > 1:
-        la = b * half // decim
+        la = nch * b * half // decim
         na = cl * la * 2
         audio = np.empty((c, la), np.int16)
     else:
-        na = b * cl * half * 2
-        audio = np.empty((b, c, half), np.int16)
+        na = b * cl * nch * half * 2
+        audio = np.empty((b, c, nch * half), np.int16)
     npw = b * cl * 4
     nwf = rows * w * cap
     seg = na + npw + nwf
@@ -336,7 +339,7 @@ def unpack_outputs_sharded(packed: np.ndarray, n: int, b: int, c: int,
                 s[:na].view(np.int16).reshape(cl, la))
         else:
             audio[:, i * cl:(i + 1) * cl] = (
-                s[:na].view(np.int16).reshape(b, cl, half))
+                s[:na].view(np.int16).reshape(b, cl, nch * half))
         pwr[:, i * cl:(i + 1) * cl] = (
             s[na:na + npw].view(np.float32).reshape(b, cl))
         if rows:

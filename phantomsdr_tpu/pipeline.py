@@ -54,6 +54,11 @@ from .ops.agc import (
 from .ops.polyphase import (
     DecimatorState, init_decimator_state, decimator_taps, polyphase_decimate,
 )
+from .ops.stereo import (
+    StereoParams, StereoState, make_stereo_params, init_stereo_state,
+    stereo_decode,
+)
+from .ops.channelizer import MODE_FM
 
 
 class AudioState(NamedTuple):
@@ -62,7 +67,9 @@ class AudioState(NamedTuple):
     chan: ChannelState
     dc: "DCBlockerState"
     agc: "AGCState"
-    dec: "DecimatorState"   # polyphase filter tail ([C, 0] when no decim)
+    dec: "DecimatorState"   # polyphase filter tail ([C, 0] when no decim;
+    #                         [2C, .] rows L0,R0,L1,R1,... with stereo)
+    st: "StereoState"       # WBFM stereo carries (zero-width when off)
 
 
 class HopState(NamedTuple):
@@ -108,16 +115,18 @@ def pack_outputs(audio16: jnp.ndarray, pwr: jnp.ndarray,
 
 
 def unpack_outputs(packed: "np.ndarray", b: int, c: int, half: int,
-                   d: int, w: int, cap: int, decim: int = 1):
+                   d: int, w: int, cap: int, decim: int = 1,
+                   nch: int = 1):
     """Host-side inverse of pack_outputs (zero-copy numpy views).
 
     decim > 1 (device Opus decimation): audio is the per-channel
     continuous decimated stream [C, B*half/decim] instead of the
-    per-hop framing [B, C, half]."""
+    per-hop framing [B, C, half].  nch=2 (device WBFM stereo): the last
+    audio axis is L/R-interleaved and nch-times longer."""
     if decim > 1:
-        ashape: tuple = (c, b * half // decim)
+        ashape: tuple = (c, nch * b * half // decim)
     else:
-        ashape = (b, c, half)
+        ashape = (b, c, nch * half)
     na = int(np.prod(ashape)) * 2
     np_ = b * c * 4
     audio = packed[:na].view(np.int16).reshape(ashape)
@@ -134,15 +143,24 @@ def opus_decim_taps(cfg: ServerConfig) -> np.ndarray | None:
     return decimator_taps(cfg.opus_decim, taps_per_phase=12)
 
 
+def stereo_params_for(cfg: ServerConfig) -> StereoParams | None:
+    return make_stereo_params(cfg.audio_sps) if cfg.stereo else None
+
+
 def init_audio_state(cfg: ServerConfig, num_channels: int,
                      agc_params: AGCParams, dc_delay: int) -> AudioState:
     taps = opus_decim_taps(cfg)
     num_taps = taps.shape[0] if taps is not None else 1
+    sp = stereo_params_for(cfg)
     return AudioState(
         chan=init_channel_state(num_channels, cfg.audio_fft_size),
         dc=init_dc_state(num_channels, dc_delay),
         agc=init_agc_state(num_channels, agc_params.window),
-        dec=init_decimator_state(num_channels, num_taps),
+        # stereo doubles the decimated stream rows (L/R interleaved by
+        # channel: rows 2i, 2i+1)
+        dec=init_decimator_state(num_channels * cfg.audio_channels,
+                                 num_taps),
+        st=init_stereo_state(num_channels, sp),
     )
 
 
@@ -214,6 +232,7 @@ def audio_from_spectra(
     frame0: jnp.ndarray,         # scalar int32: global index of hop 0
     reset: jnp.ndarray | None = None,  # [C] int32 RESET_* mask
     decim_taps: np.ndarray | None = None,  # device Opus decimation
+    stereo_params: StereoParams | None = None,  # device WBFM stereo
 ) -> tuple[AudioState, jnp.ndarray, jnp.ndarray]:
     """Scan the batched demod + DC/AGC/int16 chain over B hops.
 
@@ -228,17 +247,22 @@ def audio_from_spectra(
     a = cfg.audio_fft_size
     b = spec_ext.shape[0]
 
+    nch = 2 if stereo_params is not None else 1
     if reset is not None:
         def zero_rows(x, mask):
             m = mask.reshape((-1,) + (1,) * (x.ndim - 1))
             return jnp.where(m, jnp.zeros((), x.dtype), x)
         full = reset == 1
         agc_too = reset >= 1
+        # decimator rows are per STREAM (2 per channel with stereo)
+        dec_full = jnp.repeat(full, nch) if nch > 1 else full
         audio_state = AudioState(
             chan=jax.tree.map(lambda x: zero_rows(x, full), audio_state.chan),
             dc=jax.tree.map(lambda x: zero_rows(x, full), audio_state.dc),
             agc=jax.tree.map(lambda x: zero_rows(x, agc_too), audio_state.agc),
-            dec=jax.tree.map(lambda x: zero_rows(x, full), audio_state.dec),
+            dec=jax.tree.map(lambda x: zero_rows(x, dec_full),
+                             audio_state.dec),
+            st=jax.tree.map(lambda x: zero_rows(x, full), audio_state.st),
         )
 
     # ---- batched demod: one gather + one batched IFFT for ALL hops;
@@ -261,6 +285,17 @@ def audio_from_spectra(
     dc_st, stream = dc_blocker(audio_state.dc, stream, dc_delay)
     agc_st, stream = agc_process(audio_state.agc, stream, agc_params)
 
+    st_st = audio_state.st
+    if stereo_params is not None:
+        # device WBFM stereo (jsdsp/src/wbfmpll.cpp done server-side,
+        # see ops/stereo.py): the post-AGC stream is exactly what the
+        # reference ships to the browser's stereo decoder.  FM rows get
+        # pilot-PLL stereo; other modes pass mono to both ears.
+        st_st, s_l, s_r = stereo_decode(
+            st_st, stereo_params, stream, chans.mode == MODE_FM)
+        stream = jnp.stack([s_l, s_r], axis=1).reshape(2 * c, b * half)
+
+    nch = 2 if stereo_params is not None else 1
     dec_st = audio_state.dec
     if decim_taps is not None:
         # device Opus decimation (replaces the reference's rate-clamp
@@ -270,11 +305,21 @@ def audio_from_spectra(
         # anyway (src/audio.cpp:63-84's partial-frame queue).
         f = cfg.opus_decim
         dec_st, dec_out = polyphase_decimate(dec_st, stream, decim_taps, f)
-        audio16 = float_to_int16(dec_out)                 # [C, B*half/f]
+        if nch > 1:  # [2C, T/f] -> [C, 2*T/f] interleaved L/R
+            t2 = dec_out.shape[-1]
+            dec_out = dec_out.reshape(c, 2, t2).transpose(0, 2, 1)
+            dec_out = dec_out.reshape(c, 2 * t2)
+        audio16 = float_to_int16(dec_out)             # [C, nch*B*half/f]
+    elif nch > 1:
+        # [2C, B*half] -> [B, C, 2*half] interleaved L/R per hop
+        audio16 = float_to_int16(
+            stream.reshape(c, 2, b, half).transpose(2, 0, 3, 1)
+            .reshape(b, c, 2 * half))
     else:
         audio16 = float_to_int16(
             stream.reshape(c, b, half).transpose(1, 0, 2))  # [B, C, half]
-    return (AudioState(chan=chan_st, dc=dc_st, agc=agc_st, dec=dec_st),
+    return (AudioState(chan=chan_st, dc=dc_st, agc=agc_st, dec=dec_st,
+                       st=st_st),
             audio16, pwr)
 
 
@@ -294,6 +339,13 @@ class HopPipeline:
         self.view_cap = cfg.view_cap
         self.due_cap = waterfall_due_cap(cfg)
         self.decim_taps = opus_decim_taps(cfg)  # host numpy; embeds in jit
+        self.stereo_params = stereo_params_for(cfg)
+        if (self.stereo_params is not None
+                and cfg.hop_batch * (cfg.audio_fft_size // 2)
+                < self.stereo_params.delay):
+            raise ValueError(
+                "stereo: per-step audio block shorter than the pilot "
+                "bandpass group delay; raise hop_batch")
         self._steps = {
             mode: jax.jit(partial(self._step, waterfall=mode),
                           donate_argnums=(0,))
@@ -349,7 +401,7 @@ class HopPipeline:
         audio_st, audio16, pwr = audio_from_spectra(
             cfg, self.agc_params, self.dc_delay,
             state.audio, spec_ext, chans, state.frame, reset,
-            decim_taps=self.decim_taps,
+            decim_taps=self.decim_taps, stereo_params=self.stereo_params,
         )
         new_state = HopState(frame=state.frame + b, audio=audio_st)
         if waterfall == "views":

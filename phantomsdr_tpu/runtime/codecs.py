@@ -45,7 +45,8 @@ def _load_hostlib():
         raise RuntimeError("libphantomhost.so not built (run make -C csrc)")
     lib = ctypes.CDLL(str(so))
     lib.phantom_flac_create.restype = ctypes.c_void_p
-    lib.phantom_flac_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.phantom_flac_create.argtypes = [ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_int]
     lib.phantom_flac_process.restype = ctypes.c_int
     lib.phantom_flac_process.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
@@ -62,14 +63,19 @@ def _load_hostlib():
 
 class FlacEncoder:
     """Streaming FLAC encoder (native).  blocksize 4096 like libFLAC's
-    default at the reference's level-5 settings."""
+    default at the reference's level-5 settings.  channels=2 encodes
+    interleaved L/R (independent-channel stereo subframes) for the
+    device WBFM stereo path."""
 
-    def __init__(self, sample_rate: int, blocksize: int = 4096):
+    def __init__(self, sample_rate: int, blocksize: int = 4096,
+                 channels: int = 1):
         self._lib = _load_hostlib()
-        self._enc = self._lib.phantom_flac_create(sample_rate, blocksize)
+        self._enc = self._lib.phantom_flac_create(sample_rate, blocksize,
+                                                  channels)
         if not self._enc:
             raise RuntimeError(
-                f"phantom_flac_create({sample_rate}, {blocksize}) failed")
+                f"phantom_flac_create({sample_rate}, {blocksize}, "
+                f"{channels}) failed")
         self._cap = 1 << 20
         self._out = ctypes.create_string_buffer(self._cap)
 
@@ -139,10 +145,11 @@ class OpusChunkEncoder:
     clamped, samples not resampled -- a 4x time-stretch); here the
     stream is polyphase-decimated to <=48 kHz first."""
 
-    def __init__(self, sample_rate: int):
+    def __init__(self, sample_rate: int, channels: int = 1):
         from ..config import opus_decim_factor
 
         self._lib = _load_opus()
+        self.channels = channels
         # single source of truth for the factor selection (config.py);
         # e.g. 60000 -> /5 = 12000, NOT /2 = 30000 which Opus rejects
         self._decim = opus_decim_factor(sample_rate)
@@ -151,15 +158,16 @@ class OpusChunkEncoder:
             from ..ops.polyphase import decimator_taps
 
             self._taps = decimator_taps(self._decim, taps_per_phase=12)
-            self._dec_tail = np.zeros(self._taps.shape[0] - 1, np.float32)
-            self._dec_rem = np.zeros(0, np.float32)
+            self._dec_tail = np.zeros((self._taps.shape[0] - 1, channels),
+                                      np.float32)
+            self._dec_rem = np.zeros((0, channels), np.float32)
             sample_rate = sample_rate // self._decim
         # fall back to the reference's bare clamp (src/audio.cpp:59)
         # when no integer factor reaches a legal rate
         self.rate = min(sample_rate, 48000)
         err = ctypes.c_int(0)
         self._enc = self._lib.opus_encoder_create(
-            self.rate, 1, _OPUS_APPLICATION_AUDIO, ctypes.byref(err)
+            self.rate, channels, _OPUS_APPLICATION_AUDIO, ctypes.byref(err)
         )
         if err.value != 0 or not self._enc:
             raise RuntimeError(f"opus_encoder_create failed: {err.value}")
@@ -175,15 +183,20 @@ class OpusChunkEncoder:
 
     def _decimate(self, samples: np.ndarray) -> np.ndarray:
         """Streaming anti-aliased decimation by self._decim (host side;
-        per-hop blocks are small)."""
-        x = np.concatenate([self._dec_rem,
-                            samples.astype(np.float32)])
-        n_use = (x.size // self._decim) * self._decim
+        per-hop blocks are small).  Input/output interleaved when
+        channels > 1; each channel is filtered independently."""
+        ch = self.channels
+        x = samples.astype(np.float32).reshape(-1, ch)
+        x = np.concatenate([self._dec_rem, x], axis=0)
+        n_use = (x.shape[0] // self._decim) * self._decim
         self._dec_rem = x[n_use:]
         x = x[:n_use]
-        y_in = np.concatenate([self._dec_tail, x])
+        y_in = np.concatenate([self._dec_tail, x], axis=0)
         self._dec_tail = y_in[-(self._taps.shape[0] - 1):]
-        y = np.convolve(y_in, self._taps, mode="valid")[::self._decim]
+        y = np.stack(
+            [np.convolve(y_in[:, c], self._taps,
+                         mode="valid")[::self._decim] for c in range(ch)],
+            axis=1).reshape(-1)
         return np.clip(np.round(y), -32768, 32767).astype(np.int16)
 
     def process(self, samples: np.ndarray) -> list[bytes]:
@@ -192,15 +205,17 @@ class OpusChunkEncoder:
             samples = self._decimate(samples)
         self._pending = np.concatenate([self._pending, samples])
         out = []
-        fs = self.frame_size
-        while self._pending.size > fs:  # note: '>' matches audio.cpp:70
-            frame = np.ascontiguousarray(self._pending[:fs])
+        ch = self.channels
+        fs = self.frame_size          # samples PER CHANNEL per frame
+        need = fs * ch
+        while self._pending.size > need:  # note: '>' matches audio.cpp:70
+            frame = np.ascontiguousarray(self._pending[:need])
             n = self._lib.opus_encode(
                 self._enc, frame.ctypes.data, fs, self._buf, 1024
             )
             if n > 1:
                 out.append(self._buf.raw[:n])
-            self._pending = self._pending[fs:]
+            self._pending = self._pending[need:]
         return out
 
     def close(self):

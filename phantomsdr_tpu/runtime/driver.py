@@ -285,6 +285,7 @@ class DSPDriver:
                     packed, cfg.mesh_devices, cfg.hop_batch,
                     self.pipe.num_channels, cfg.audio_fft_size // 2,
                     w, self.pipe.view_cap, rows, decim=decim,
+                    nch=cfg.audio_channels,
                 )
                 if wf is not None:
                     wf = wf[wf_sel]  # padded per-shard rows -> due order
@@ -293,7 +294,7 @@ class DSPDriver:
                 audio, pwr, wf = unpack_outputs(
                     packed, cfg.hop_batch, self.pipe.num_channels,
                     cfg.audio_fft_size // 2, d, w, self.pipe.view_cap,
-                    decim=decim,
+                    decim=decim, nch=cfg.audio_channels,
                 )
             self.metrics.step_seconds.append(time.monotonic() - t0)
             try:

@@ -169,10 +169,12 @@ class AudioConn:
             # with device decimation the stream already arrives at the
             # legal Opus rate; otherwise the encoder host-decimates
             rate = cfg.opus_rate if cfg.device_decim else cfg.audio_sps
-            self.encoder = OpusChunkEncoder(rate)
+            self.encoder = OpusChunkEncoder(rate,
+                                            channels=cfg.audio_channels)
             self.is_opus = True
         else:
-            self.encoder = FlacEncoder(cfg.audio_sps)
+            self.encoder = FlacEncoder(cfg.audio_sps,
+                                       channels=cfg.audio_channels)
             self.is_opus = False
 
     def handle_command(self, msg: str):
@@ -338,6 +340,10 @@ class SpectrumServer:
             },
             "waterfall_compression": cfg.waterfall_compression,
             "audio_compression": cfg.audio_compression,
+            # extension (absent in websocket.cpp:47-64): 2 when the
+            # server decodes WBFM stereo on device ([input] stereo);
+            # the audio payload is then interleaved L/R
+            "audio_channels": cfg.audio_channels,
         })
 
     # -------------------------------------------------------- handlers

@@ -37,9 +37,41 @@ def signed(v: int, bits: int) -> int:
     return v - (1 << bits) if v >= (1 << (bits - 1)) else v
 
 
+def _decode_subframe(br: "BitReader", n: int) -> list[int]:
+    assert br.bits(1) == 0
+    sub = br.bits(6)
+    assert (sub >> 3) == 1, f"not a fixed subframe: {sub:06b}"
+    order = sub & 7
+    assert br.bits(1) == 0  # no wasted bits
+    warm = [signed(br.bits(16), 16) for _ in range(order)]
+    # residual
+    method = br.bits(2)
+    assert method == 0
+    po = br.bits(4)
+    assert po == 0
+    k = br.bits(4)
+    assert k != 15
+    res = []
+    for _ in range(n - order):
+        q = br.unary()
+        low = br.bits(k) if k else 0
+        u = (q << k) | low
+        res.append((u >> 1) ^ -(u & 1))
+    # reconstruct
+    x = list(warm)
+    coef = {
+        0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1],
+    }[order]
+    for i, r in enumerate(res):
+        pred = sum(c * x[order + i - 1 - j] for j, c in enumerate(coef))
+        x.append(r + pred)
+    return x
+
+
 def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
-    """Decode the subset our encoder emits: mono 16-bit fixed subframes,
-    rice partition order 0.  Returns (sample_rate, samples)."""
+    """Decode the subset our encoder emits: 16-bit fixed subframes,
+    rice partition order 0, mono or independent stereo.  Returns
+    (sample_rate, samples) -- stereo interleaved L0 R0 L1 R1 ..."""
     assert data[:4] == b"fLaC"
     pos = 4
     # metadata blocks
@@ -60,7 +92,8 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
         bs_code = br.bits(4)
         sr_code = br.bits(4)
         chan = br.bits(4)
-        assert chan == 0  # mono
+        assert chan in (0, 1)  # mono / independent stereo
+        channels = chan + 1
         bps_code = br.bits(3)
         assert bps_code == 4  # 16 bit
         br.bits(1)
@@ -86,38 +119,15 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
             n = 256 << (bs_code - 8)
         if sr_code == 13:
             sample_rate = br.bits(16)
+        elif sr_code == 14:
+            sample_rate = br.bits(16) * 10
         elif sr_code == 12:
             sample_rate = br.bits(8) * 1000
         br.bits(8)  # crc8 (assume ok; content verified by sample equality)
-        # subframe
-        assert br.bits(1) == 0
-        sub = br.bits(6)
-        assert (sub >> 3) == 1, f"not a fixed subframe: {sub:06b}"
-        order = sub & 7
-        assert br.bits(1) == 0  # no wasted bits
-        warm = [signed(br.bits(16), 16) for _ in range(order)]
-        # residual
-        method = br.bits(2)
-        assert method == 0
-        po = br.bits(4)
-        assert po == 0
-        k = br.bits(4)
-        assert k != 15
-        res = []
-        for _ in range(n - order):
-            q = br.unary()
-            low = br.bits(k) if k else 0
-            u = (q << k) | low
-            res.append((u >> 1) ^ -(u & 1))
-        # reconstruct
-        x = list(warm)
-        coef = {
-            0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1],
-        }[order]
-        for i, r in enumerate(res):
-            pred = sum(c * x[order + i - 1 - j] for j, c in enumerate(coef))
-            x.append(r + pred)
-        out.extend(x)
+        subs = [_decode_subframe(br, n) for _ in range(channels)]
+        for i in range(n):
+            for s in subs:
+                out.append(s[i])
         br.align()
         br.bits(16)  # crc16
         pos += br.pos // 8

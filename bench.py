@@ -82,9 +82,12 @@ def main():
                 "driver": {"format": "u8"},
             },
             # large hop batch amortizes the per-step host round trips;
-            # 18 is a multiple of skip_num=6 at this config, so the
-            # waterfall cadence positions stay static (3 due hops/step)
-            "tpu": {"hop_batch": 18, "max_channels": 128},
+            # multiples of skip_num=6 keep the waterfall cadence
+            # positions static.  36 measured best through the dev relay
+            # (B=18: 116-135 MSPS, B=36: 164-173, B=72: exceeds HBM --
+            # the [B+1 hops, fft] f32 frame buffer alone is 19.6 GB);
+            # serving keeps hop_batch=18 for latency (0.27 s/step)
+            "tpu": {"hop_batch": 36, "max_channels": 128},
         })
     pipe = HopPipeline(cfg)
     c = cfg.max_channels
@@ -142,6 +145,12 @@ def main():
         while time.monotonic() - t0 < secs:
             state, out = pipe.step(state, pool[steps % len(pool)], table,
                                    views, "views")
+            # start this step's D2H immediately (same as the production
+            # driver): the relay transfer overlaps the next dispatch
+            try:
+                out.packed.copy_to_host_async()
+            except Exception:
+                pass
             if pending is not None:
                 _ = np.asarray(pending)
                 steps += 1

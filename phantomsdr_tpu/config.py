@@ -87,6 +87,14 @@ class ServerConfig:
     mesh_devices: int = 1           # >1: run the server on a device mesh
     #                                 (time-sharded FFT + channel-sharded
     #                                 demod, parallel/sharded.py)
+    channel_bucket: int = 32        # active-channel bucketing: when the
+    #                                 highest active slot fits, the step
+    #                                 runs at this table width instead of
+    #                                 max_channels, shrinking output
+    #                                 bytes + demod compute to the live
+    #                                 population.  0 disables.  Single-
+    #                                 device mode only (the mesh shards
+    #                                 the fixed channel axis).
 
     # ------------- derived (filled by finalize) -------------
     fft_result_size: int = field(default=0)
@@ -312,4 +320,5 @@ def config_from_dict(t: dict) -> ServerConfig:
     c.max_channels = int(tpu.get("max_channels", c.max_channels))
     c.fft_strategy = str(tpu.get("fft_strategy", c.fft_strategy))
     c.mesh_devices = int(tpu.get("mesh_devices", c.mesh_devices))
+    c.channel_bucket = int(tpu.get("channel_bucket", c.channel_bucket))
     return c.finalize()

@@ -370,6 +370,43 @@ class HopPipeline:
         return ChannelTable(l=z, r=z, m_idx=z, mode=z,
                             active=jnp.zeros((c,), bool))
 
+    def resize_channel_rows(self, state: HopState, k: int) -> HopState:
+        """Slice (shrink) or zero-pad (grow) every per-channel carry to
+        k rows, on device.
+
+        This is the state half of active-channel bucketing (the driver
+        runs the step at the smallest configured bucket >= the highest
+        active slot, so steady-state output bytes and demod compute
+        scale with the live population, not max_channels).  Carries of
+        retained rows are untouched -- listeners hear no discontinuity
+        across a bucket switch.  Rows dropped by a shrink belong to
+        inactive slots; if such a slot is later reused, the registry's
+        one-shot RESET_FULL mask re-zeroes it anyway (registry.py), so
+        zero-padding on regrow is exact.  Decimator rows are per STREAM
+        (audio_channels per channel, interleaved), hence the separate
+        row multiplier."""
+        nch = self.cfg.audio_channels
+
+        def conv(x, mult):
+            kk = k * mult
+            if x.shape[0] == kk:
+                return x
+            if x.shape[0] > kk:
+                return x[:kk]
+            return jnp.pad(x, [(0, kk - x.shape[0])]
+                           + [(0, 0)] * (x.ndim - 1))
+
+        def mk(st):
+            a = st.audio
+            return HopState(frame=st.frame, audio=AudioState(
+                chan=jax.tree.map(lambda x: conv(x, 1), a.chan),
+                dc=jax.tree.map(lambda x: conv(x, 1), a.dc),
+                agc=jax.tree.map(lambda x: conv(x, 1), a.agc),
+                dec=jax.tree.map(lambda x: conv(x, nch), a.dec),
+                st=jax.tree.map(lambda x: conv(x, 1), a.st),
+            ))
+        return jax.jit(mk)(state)
+
     # ------------------------------------------------------------------
     def _step(self, state: HopState, raw: jnp.ndarray, chans: ChannelTable,
               views: WaterfallViews, reset: jnp.ndarray,
@@ -439,7 +476,9 @@ class HopPipeline:
         if views is None:
             views = self.empty_views()
         if reset is None:
-            reset = jnp.zeros((self.num_channels,), jnp.int32)
+            # width follows the channel table, which may be running at
+            # a smaller active-channel bucket than max_channels
+            reset = jnp.zeros((chans.l.shape[0],), jnp.int32)
         if due_idx is None:
             due_idx = self.default_due_idx()
         return self._steps[waterfall](state, raw, chans, views, reset,

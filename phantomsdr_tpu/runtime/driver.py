@@ -41,6 +41,7 @@ class Metrics:
     eof: bool = False
     device_errors: int = 0
     last_device_error: str = ""
+    channel_rows: int = 0   # table width of the latest step (bucketing)
 
     def snapshot(self, cfg: ServerConfig) -> dict:
         el = max(time.monotonic() - self.start_time, 1e-9)
@@ -62,6 +63,7 @@ class Metrics:
             "eof": self.eof,
             "device_errors": self.device_errors,
             "last_device_error": self.last_device_error,
+            "channel_rows": self.channel_rows,
         }
 
 
@@ -122,6 +124,10 @@ class SampleSource:
 class DSPDriver:
     """Reader thread -> bounded queue -> device-step thread -> consumer."""
 
+    # active-channel bucketing: consecutive steps the population must
+    # stay within the small bucket before the table shrinks back
+    shrink_after = 100
+
     def __init__(self, cfg: ServerConfig, source: SampleSource,
                  channel_registry, consumer: Callable,
                  waterfall_registry=None,
@@ -148,10 +154,12 @@ class DSPDriver:
         self._queue: queue.Queue = queue.Queue(maxsize=3)
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
-        self._table_version = -1
+        self._table_key = (-1, None)
         self._table = None
-        self._views_version = -1
+        self._views_key = (-1, None)
         self._views = None
+        self._np_table = (-1, None)
+        self._np_views = None
         self._wf_meta = None    # (l, r, level) snapshotted with views
         self._audio_meta = None  # (l, r, mid) snapshotted with the table
 
@@ -193,27 +201,56 @@ class DSPDriver:
                 return
 
     def _refresh_table(self):
-        """Refresh device tables; returns the one-shot reset mask (int32
-        RESET_* codes) taken atomically WITH the channel table snapshot,
-        so a fresh slot's reset and its table row reach the device in the
-        same step."""
-        import jax.numpy as jnp
-
+        """Snapshot both registries (host numpy); returns the one-shot
+        reset mask (int32 RESET_* codes) taken atomically WITH the
+        channel table snapshot, so a fresh slot's reset and its table
+        row reach the device in the same step.  Device tables are built
+        lazily per bucket width by _tables_for()."""
         v, arrays, resets, audio_meta = self.registry.snapshot()
         self._audio_meta = audio_meta
-        if v != self._table_version or self._table is None:
-            self._table = channels_from_numpy(*arrays)
-            self._table_version = v
+        self._np_table = (v, arrays)
         if self.wf_registry is not None:
             wv, start, length, meta = self.wf_registry.snapshot()
-            if wv != self._views_version or self._views is None:
+            self._np_views = (wv, start, length)
+            self._wf_meta = meta
+        else:
+            self._np_views = None
+        return resets
+
+    def _high_water(self) -> int:
+        """Highest active slot + 1 across BOTH registries (audio active
+        flags, waterfall view lengths) in the current snapshot -- the
+        lower bound on the bucket width the next step must run at."""
+        active = self._np_table[1][4]
+        hw = int(np.max(np.nonzero(active)[0])) + 1 if active.any() else 0
+        if self._np_views is not None:
+            length = self._np_views[2]
+            nz = np.nonzero(length)[0]
+            if nz.size:
+                hw = max(hw, int(nz[-1]) + 1)
+        return hw
+
+    def _tables_for(self, k: int | None):
+        """Device (ChannelTable, WaterfallViews) at bucket width k
+        (None = full), cached on the snapshot versions + k."""
+        import jax.numpy as jnp
+
+        v, arrays = self._np_table
+        if (v, k) != self._table_key or self._table is None:
+            rows = arrays if k is None else tuple(a[:k] for a in arrays)
+            self._table = channels_from_numpy(*rows)
+            self._table_key = (v, k)
+        if self._np_views is not None:
+            wv, start, length = self._np_views
+            if (wv, k) != self._views_key or self._views is None:
+                if k is not None:
+                    start, length = start[:k], length[:k]
                 self._views = WaterfallViews(
                     start=jnp.asarray(start), length=jnp.asarray(length))
-                self._views_version = wv
-                self._wf_meta = meta
+                self._views_key = (wv, k)
         elif self._views is None:
             self._views = self.pipe.empty_views()
-        return resets
+        return self._table, self._views
 
     def _device_loop(self):
         import jax
@@ -240,20 +277,46 @@ class DSPDriver:
         # can take minutes, and the reference-style "skip FFT when no
         # clients" behavior would otherwise defer that stall to the
         # moment the first listener connects.
+        # active-channel bucketing (single-device only: the mesh shards
+        # the fixed channel axis): run the step at the small table width
+        # whenever every live slot fits, full width otherwise
+        small = (cfg.channel_bucket
+                 if (not self.sharded
+                     and 0 < cfg.channel_bucket < cfg.max_channels)
+                 else 0)
+        k_cur = small or cfg.max_channels
+        if small:
+            state = self.pipe.resize_channel_rows(state, k_cur)
+        shrink_streak = 0
+        SHRINK_AFTER = self.shrink_after  # steps below the small bucket
+        #                                   before shrinking (class attr;
+        #                                   tests lower it)
+
         try:
             t0 = time.monotonic()
             self._refresh_table()
-            warm_state = self.pipe.init_state()
             halo = 0 if self.sharded else self.source.wire_per_hop
             zeros = np.zeros(self.source.block_wire + halo, self.source.dtype)
             raw = prepare_raw(zeros)
-            for m in ("views", "off"):
-                warm_state, out = self.pipe.step(warm_state, raw,
-                                                 self._table, self._views, m)
-                np.asarray(out.packed)
+            # compile every (bucket, waterfall-mode) variant up front --
+            # the reference-style "skip FFT when no clients" behavior
+            # would otherwise defer a minutes-long big-FFT compile to
+            # the moment the first listener connects (or the first
+            # bucket switch); the persistent compile cache makes repeat
+            # launches cheap
+            for k in ([small, None] if small else [None]):
+                warm_state = self.pipe.init_state()
+                if k is not None:
+                    warm_state = self.pipe.resize_channel_rows(warm_state, k)
+                table, views = self._tables_for(k)
+                for m in ("views", "off"):
+                    warm_state, out = self.pipe.step(warm_state, raw,
+                                                     table, views, m)
+                    np.asarray(out.packed)
             del warm_state
             print(f"device pipeline compiled in {time.monotonic()-t0:.1f}s "
-                  f"({'mesh x%d' % cfg.mesh_devices if self.sharded else 'single device'})",
+                  f"({'mesh x%d' % cfg.mesh_devices if self.sharded else 'single device'}"
+                  f"{', bucket %d/%d' % (small, cfg.max_channels) if small else ''})",
                   flush=True)
         except Exception as e:
             self.metrics.device_errors += 1
@@ -266,7 +329,8 @@ class DSPDriver:
             nonlocal pending
             if pending is None:
                 return
-            frame0, packed_dev, due, wf_sel, wf_meta, audio_meta, t0 = pending
+            (frame0, packed_dev, due, wf_sel, wf_meta, audio_meta, kw,
+             t0) = pending
             pending = None
             try:
                 packed = np.asarray(packed_dev)
@@ -274,16 +338,17 @@ class DSPDriver:
                 self.metrics.device_errors += 1
                 self.metrics.last_device_error = repr(e)[:300]
                 return
-            # width of the view table the step actually ran with (the
-            # sharded empty_views default is n rows, not 1)
-            w = int(self._views.start.shape[0])
+            # (channel, view-table) widths the step actually RAN with --
+            # snapshotted at submit (bucketing/table rebuilds may have
+            # changed the current widths since)
+            k, w = kw
             if self.sharded:
                 from ..parallel.sharded import unpack_outputs_sharded
 
                 rows = self.pipe.due_cap_local if due is not None else 0
                 audio, pwr, wf = unpack_outputs_sharded(
                     packed, cfg.mesh_devices, cfg.hop_batch,
-                    self.pipe.num_channels, cfg.audio_fft_size // 2,
+                    k, cfg.audio_fft_size // 2,
                     w, self.pipe.view_cap, rows, decim=decim,
                     nch=cfg.audio_channels,
                 )
@@ -292,7 +357,7 @@ class DSPDriver:
             else:
                 d = self.pipe.due_cap if due is not None else 0
                 audio, pwr, wf = unpack_outputs(
-                    packed, cfg.hop_batch, self.pipe.num_channels,
+                    packed, cfg.hop_batch, k,
                     cfg.audio_fft_size // 2, d, w, self.pipe.view_cap,
                     decim=decim, nch=cfg.audio_channels,
                 )
@@ -335,6 +400,26 @@ class DSPDriver:
                 state = self.pipe.init_state()
             was_idle = False
             resets = self._refresh_table()
+            if small:
+                # bucket decision from THIS snapshot: grow immediately
+                # (a slot above the bucket must demodulate next step),
+                # shrink only after a sustained quiet streak to avoid
+                # recompile/resize thrash around the boundary
+                hw = self._high_water()
+                want = small if hw <= small else cfg.max_channels
+                if want > k_cur or (want < k_cur
+                                    and shrink_streak >= SHRINK_AFTER):
+                    state = self.pipe.resize_channel_rows(state, want)
+                    k_cur = want
+                    shrink_streak = 0
+                elif want < k_cur:
+                    shrink_streak += 1
+                else:
+                    shrink_streak = 0
+                if resets is not None:
+                    resets = resets[:k_cur]
+            self.metrics.channel_rows = k_cur
+            table, views = self._tables_for(k_cur if small else None)
             frame0 = self.metrics.frames
             due = (waterfall_due_positions(cfg, frame0)
                    if self.waterfall_active() else [])
@@ -358,8 +443,8 @@ class DSPDriver:
             audio_meta = self._audio_meta
             try:
                 raw = prepare_raw(block)
-                state, out = self.pipe.step(state, raw, self._table,
-                                            self._views, mode, reset=resets,
+                state, out = self.pipe.step(state, raw, table,
+                                            views, mode, reset=resets,
                                             due_idx=due_idx)
             except Exception as e:
                 # surface device errors instead of silently killing the
@@ -372,6 +457,8 @@ class DSPDriver:
                 traceback.print_exc()
                 pending = None
                 state = self.pipe.init_state()
+                if small and k_cur != cfg.max_channels:
+                    state = self.pipe.resize_channel_rows(state, k_cur)
                 self.metrics.frames += cfg.hop_batch
                 continue
             self.metrics.frames += cfg.hop_batch
@@ -387,7 +474,8 @@ class DSPDriver:
             # after this one is dispatched (overlaps transfer & compute)
             flush_pending()
             pending = (frame0, out.packed, due if due else None, wf_sel,
-                       wf_meta, audio_meta, t0)
+                       wf_meta, audio_meta,
+                       (k_cur, int(views.start.shape[0])), t0)
             if self._queue.empty():
                 # input-paced (realtime SDR slower than the device):
                 # fetch NOW instead of idling until the next block, so

@@ -599,6 +599,10 @@ class SpectrumServer:
             if conn.out.backlogged:
                 continue
             li = slot_id - self.chan_offset  # local row (multi-host)
+            if li >= (audio.shape[0] if decimated else audio.shape[1]):
+                # slot acquired after this step was submitted at a
+                # smaller channel bucket; its audio starts next step
+                continue
             pcm = audio[li] if decimated else audio[:, li]
             if audio_meta is not None:
                 mid = float(audio_meta[2][slot_id])
@@ -616,6 +620,10 @@ class SpectrumServer:
             return
         for cid, conn in list(self.wf_conns.items()):
             if conn.out.backlogged:
+                continue
+            if cid >= wf.shape[1]:
+                # view slot acquired after this step was submitted at a
+                # smaller bucket; its rows start next step
                 continue
             if wf_meta is not None:
                 sl, sr, slev = (int(wf_meta[0][cid]), int(wf_meta[1][cid]),

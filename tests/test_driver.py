@@ -112,3 +112,94 @@ def test_driver_idle_skip_without_clients():
     assert drv.metrics.idle_frames == 3 * cfg.hop_batch
     assert drv.metrics.eof
     assert calls == []
+
+
+def test_channel_bucketing_grow_and_shrink():
+    """Active-channel bucketing: the driver runs the step at the small
+    table width while the population fits, grows immediately when a
+    higher slot activates, and shrinks back after the quiet streak."""
+    cfg = make_cfg(max_channels=8, channel_bucket=2, hop_batch=2)
+    wph = cfg.hop_size * 2
+    nblocks = 40
+    rng = np.random.default_rng(1)
+    data = rng.integers(-20000, 20000, size=wph * cfg.hop_batch * nblocks,
+                        dtype=np.int16)
+    src = SampleSource(cfg, io.BytesIO(data.tobytes()))
+    channels = ChannelRegistry(cfg)
+    s0 = channels.acquire("a")
+    channels.retune(s0, 100, 110.0, 120)  # width <= audio_fft_size (24)
+
+    widths = []
+    grown = threading.Event()
+    done = threading.Event()
+    high = {}
+
+    def consumer(frame0, audio, pwr, wfviews, due, wf_meta, audio_meta):
+        widths.append(audio.shape[1])
+        # grow mid-run: activate slots 1 and 2 (slot 2 >= bucket 2)
+        if len(widths) == 3:
+            for name in ("b", "c"):
+                s = channels.acquire(name)
+                channels.retune(s, 100, 110.0, 120)
+                high[name] = s
+        # release them again: population back inside the bucket
+        if len(widths) == 10:
+            for s in high.values():
+                channels.release(s)
+        if len(widths) >= nblocks - 2:
+            done.set()
+
+    drv = DSPDriver(cfg, src, channels, consumer,
+                    waterfall_active=lambda: False,
+                    audio_active=lambda: channels.count > 0)
+    drv.shrink_after = 3
+    drv.start()
+    assert done.wait(timeout=120), f"only {len(widths)} batches"
+    drv.stop()
+    assert drv.metrics.device_errors == 0
+    assert widths[0] == 2                      # starts at the bucket
+    assert 8 in widths                         # grew for slot 2
+    assert widths[-1] == 2                     # shrank after the streak
+    # growth is immediate: no step ran at width 2 with slot 2 active
+    first8 = widths.index(8)
+    assert all(w == 2 for w in widths[:first8])
+
+
+def test_bucket_resize_preserves_carries():
+    """resize_channel_rows: shrinking then growing back must leave the
+    retained rows' audio bit-identical to a run that never resized."""
+    import jax.numpy as jnp
+
+    from phantomsdr_tpu.pipeline import HopPipeline, channels_from_numpy
+
+    cfg = make_cfg(max_channels=4, hop_batch=2)
+    pipe = HopPipeline(cfg)
+    rng = np.random.default_rng(2)
+    wph = cfg.hop_size * 2
+    blocks = [rng.integers(-20000, 20000, size=(cfg.hop_batch + 1) * wph,
+                           dtype=np.int16) for _ in range(4)]
+
+    def table(k):
+        l = np.full(k, 100)
+        return channels_from_numpy(l=l, r=l + 20, m_idx=l + 10,
+                                   mode=np.arange(k) % 4,
+                                   active=np.ones(k, bool))
+
+    # reference: always full width
+    st = pipe.init_state()
+    ref = []
+    for blk in blocks:
+        st, o = pipe.step(st, jnp.asarray(blk), table(4), waterfall="off")
+        ref.append(np.asarray(o.audio)[:, :2])
+
+    # bucketed: steps 0-1 at k=2, grow to 4, then shrink back to 2
+    st = pipe.resize_channel_rows(pipe.init_state(), 2)
+    got = []
+    for i, blk in enumerate(blocks):
+        k = 4 if i == 2 else 2
+        st = pipe.resize_channel_rows(st, k)
+        st, o = pipe.step(st, jnp.asarray(blk), table(k), waterfall="off")
+        got.append(np.asarray(o.audio)[:, :2])
+
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)

@@ -41,6 +41,8 @@ def main():
                     help="iq: 35 MSPS-class u8 IQ north star (default, "
                          "the driver-recorded headline); real: RX888-"
                          "class 70 MSPS s16 real-input profile")
+    ap.add_argument("--hop-batch", type=int, default=0,
+                    help="override the profile's hop_batch (0 = default)")
     args = ap.parse_args()
 
     import jax
@@ -66,7 +68,10 @@ def main():
                 "signal": "real", "audio_sps": 12000,
                 "waterfall_size": 1024, "driver": {"format": "s16"},
             },
-            "tpu": {"hop_batch": 12, "max_channels": 64},
+            # measured ladder through the dev relay (2026-08-17, with
+            # async D2H): B=12: 157, B=24: 419, B=48: 592, B=96: 798
+            # MSPS; B=192 compile exceeded the 15 min probe budget
+            "tpu": {"hop_batch": 96, "max_channels": 64},
         })
     else:
         sps = 35_000_000
@@ -84,10 +89,24 @@ def main():
             # large hop batch amortizes the per-step host round trips;
             # multiples of skip_num=6 keep the waterfall cadence
             # positions static.  36 measured best through the dev relay
-            # (B=18: 116-135 MSPS, B=36: 164-173, B=72: exceeds HBM --
-            # the [B+1 hops, fft] f32 frame buffer alone is 19.6 GB);
-            # serving keeps hop_batch=18 for latency (0.27 s/step)
+            # (after the MXU de-interleave fix in ops/convert.py:
+            # B=18: 116-135 MSPS, B=36: 224-242, B=72: 144-153 --
+            # superlinear step time from HBM pressure); serving keeps
+            # hop_batch=18 for latency (0.27 s/step)
             "tpu": {"hop_batch": 36, "max_channels": 128},
+        })
+    if args.hop_batch:
+        cfg = config_from_dict({
+            "input": {
+                "sps": cfg.sps, "frequency": cfg.frequency,
+                "fft_size": cfg.fft_size,
+                "signal": "real" if cfg.is_real else "iq",
+                "audio_sps": cfg.audio_sps,
+                "waterfall_size": cfg.waterfall_size,
+                "driver": {"format": cfg.input_format},
+            },
+            "tpu": {"hop_batch": args.hop_batch,
+                    "max_channels": cfg.max_channels},
         })
     pipe = HopPipeline(cfg)
     c = cfg.max_channels

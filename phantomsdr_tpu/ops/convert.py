@@ -98,7 +98,31 @@ def to_float(x: jnp.ndarray, fmt: str) -> jnp.ndarray:
     return x.astype(jnp.float32) * (1.0 / scale)
 
 
+# 0/1 selection matrix for the MXU de-interleave below: even input
+# positions land in columns 0..127 (I), odd in 128..255 (Q)
+_DEINT_SEL = np.zeros((256, 256), np.float32)
+for _i in range(128):
+    _DEINT_SEL[2 * _i, _i] = 1.0
+    _DEINT_SEL[2 * _i + 1, 128 + _i] = 1.0
+
+
 def iq_to_complex(x: jnp.ndarray) -> jnp.ndarray:
-    """Interleaved IQ float stream -> complex64.  x has even length."""
+    """Interleaved IQ float stream -> complex64.  x has even length.
+
+    The naive ``x.reshape(-1, 2)`` costs TPU dearly: XLA materializes
+    the [N, 2] f32 with the minor dim tile-padded 2 -> 128 lanes (64x
+    HBM blowup -- 19.6 GB at hop_batch 72, an OOM; ~10 GB of padding
+    traffic at 36).  Instead, rows of 256 interleaved scalars are
+    de-interleaved by one 0/1-matrix matmul on the MXU (same trick as
+    the waterfall pyramid pair-sums, ops/quantize.py): each output is
+    exactly one input element (precision HIGHEST), measured bit-exact
+    and 3.25x faster (13.4 -> 4.1 ms at [37 hops, 2^19] on v5e)."""
+    if x.shape[0] % 256 == 0:
+        m = x.reshape(-1, 256)
+        y = jax.lax.dot_general(
+            m, jnp.asarray(_DEINT_SEL), (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.complex(y[:, :128].reshape(-1),
+                               y[:, 128:].reshape(-1))
     x2 = x.reshape(-1, 2)
     return jax.lax.complex(x2[:, 0], x2[:, 1])

@@ -63,6 +63,15 @@ class ServerConfig:
     # modes duplicate mono).  Extension: the TPU server has the compute
     # headroom to decode stereo for every listener at once.
     stereo: bool = False
+    # Server-side spectral noise reduction (the reference leaves NR to
+    # the browser, jsdsp/lib/NR_spectral.c); true compiles the device
+    # NR chain (ops/nr.py) and clients opt in per connection with
+    # {"cmd":"nr","enabled":true}.  Extension: the TPU has the compute
+    # headroom to denoise every listener at once.
+    nr: bool = False
+    nr_gain: float = 1.0      # final output gain (NR_S_GAIN)
+    nr_alpha: float = 0.95    # decision-directed SNR smoothing
+    nr_asnr_db: float = 30.0  # active-hypothesis a-priori SNR
     input_format: str = "f32"
     input_driver: str = "stdin"
     # [input.defaults]
@@ -197,6 +206,13 @@ class ServerConfig:
                     f"{MIN_STEREO_SPS} (WBFM multiplex bandwidth); got "
                     f"{self.audio_sps}")
 
+        if self.nr and self.stereo:
+            # NR operates on the mono stream before the stereo demix;
+            # running it per stereo stream would double its cost and
+            # the browser chain never combines the two either
+            raise ValueError("[input] nr=true and stereo=true cannot "
+                             "be combined")
+
         if not self.register_password:
             self.register_password = secrets.token_hex(16)
         return self
@@ -292,6 +308,10 @@ def config_from_dict(t: dict) -> ServerConfig:
     c.waterfall_compression = str(inp.get("waterfall_compression", "zstd")).lower()
     c.am_sync = bool(inp.get("am_sync", False))
     c.stereo = bool(inp.get("stereo", False))
+    c.nr = bool(inp.get("nr", False))
+    c.nr_gain = float(inp.get("nr_gain", c.nr_gain))
+    c.nr_alpha = float(inp.get("nr_alpha", c.nr_alpha))
+    c.nr_asnr_db = float(inp.get("nr_asnr_db", c.nr_asnr_db))
 
     drv = inp.get("driver", {})
     c.input_driver = str(drv.get("name", "stdin"))

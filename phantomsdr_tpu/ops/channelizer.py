@@ -68,6 +68,10 @@ class ChannelTable(NamedTuple):
     m_idx: jnp.ndarray   # [C] int32
     mode: jnp.ndarray    # [C] int32
     active: jnp.ndarray  # [C] bool
+    # per-client spectral noise reduction opt-in (server-side extension;
+    # the reference runs NR in the browser).  None == all off, so table
+    # literals that predate the field keep working.
+    nr: jnp.ndarray | None = None  # [C] bool
 
 
 class ChannelState(NamedTuple):

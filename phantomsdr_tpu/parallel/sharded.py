@@ -58,7 +58,7 @@ from ..pipeline import (
     HopState, HopOutputs, WaterfallViews, init_audio_state,
     waterfall_from_spectra, gather_waterfall_views, audio_from_spectra,
     pack_outputs, opus_decim_taps, waterfall_due_positions,
-    stereo_params_for,
+    stereo_params_for, nr_params_for,
 )
 from ..ops.fft import forward_spectrum
 
@@ -119,7 +119,8 @@ class ShardedHopPipeline:
         )
         self.decim_taps = opus_decim_taps(cfg)
         self.stereo_params = stereo_params_for(cfg)
-        chan_spec = ChannelTable(*(P("d"),) * 5)
+        self.nr_params = nr_params_for(cfg)
+        chan_spec = ChannelTable(*(P("d"),) * 6)
         # views are replicated: every time shard gathers ALL clients'
         # views from its local pyramid rows
         views_spec = WaterfallViews(start=P(), length=P())
@@ -244,6 +245,7 @@ class ShardedHopPipeline:
             cfg, self.agc_params, self.dc_delay,
             state.inner.audio, all_spec, chans, state.inner.frame, reset,
             decim_taps=self.decim_taps, stereo_params=self.stereo_params,
+            nr_params=self.nr_params,
         )
         new_inner = HopState(frame=state.inner.frame + cfg.hop_batch,
                              audio=audio_st)

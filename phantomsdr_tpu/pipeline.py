@@ -58,6 +58,9 @@ from .ops.stereo import (
     StereoParams, StereoState, make_stereo_params, init_stereo_state,
     stereo_decode,
 )
+from .ops.nr import (
+    NRParams, NRState, make_nr_params, init_nr_state, nr_process,
+)
 from .ops.channelizer import MODE_FM
 
 
@@ -70,6 +73,7 @@ class AudioState(NamedTuple):
     dec: "DecimatorState"   # polyphase filter tail ([C, 0] when no decim;
     #                         [2C, .] rows L0,R0,L1,R1,... with stereo)
     st: "StereoState"       # WBFM stereo carries (zero-width when off)
+    nr: "NRState"           # spectral NR carries (zero-width when off)
 
 
 class HopState(NamedTuple):
@@ -147,6 +151,13 @@ def stereo_params_for(cfg: ServerConfig) -> StereoParams | None:
     return make_stereo_params(cfg.audio_sps) if cfg.stereo else None
 
 
+def nr_params_for(cfg: ServerConfig) -> NRParams | None:
+    return (make_nr_params(cfg.audio_fft_size // 2,
+                           final_gain=cfg.nr_gain, alpha=cfg.nr_alpha,
+                           asnr_db=cfg.nr_asnr_db)
+            if cfg.nr else None)
+
+
 def init_audio_state(cfg: ServerConfig, num_channels: int,
                      agc_params: AGCParams, dc_delay: int) -> AudioState:
     taps = opus_decim_taps(cfg)
@@ -161,6 +172,8 @@ def init_audio_state(cfg: ServerConfig, num_channels: int,
         dec=init_decimator_state(num_channels * cfg.audio_channels,
                                  num_taps),
         st=init_stereo_state(num_channels, sp),
+        nr=init_nr_state(num_channels,
+                         cfg.audio_fft_size // 2 if cfg.nr else 0),
     )
 
 
@@ -233,6 +246,7 @@ def audio_from_spectra(
     reset: jnp.ndarray | None = None,  # [C] int32 RESET_* mask
     decim_taps: np.ndarray | None = None,  # device Opus decimation
     stereo_params: StereoParams | None = None,  # device WBFM stereo
+    nr_params: NRParams | None = None,  # device spectral noise reduction
 ) -> tuple[AudioState, jnp.ndarray, jnp.ndarray]:
     """Scan the batched demod + DC/AGC/int16 chain over B hops.
 
@@ -263,6 +277,7 @@ def audio_from_spectra(
             dec=jax.tree.map(lambda x: zero_rows(x, dec_full),
                              audio_state.dec),
             st=jax.tree.map(lambda x: zero_rows(x, full), audio_state.st),
+            nr=jax.tree.map(lambda x: zero_rows(x, full), audio_state.nr),
         )
 
     # ---- batched demod: one gather + one batched IFFT for ALL hops;
@@ -284,6 +299,24 @@ def audio_from_spectra(
     stream = audio_f.transpose(1, 0, 2).reshape(c, b * half)
     dc_st, stream = dc_blocker(audio_state.dc, stream, dc_delay)
     agc_st, stream = agc_process(audio_state.agc, stream, agc_params)
+
+    nr_st = audio_state.nr
+    if nr_params is not None:
+        # device spectral noise reduction (jsdsp/lib/NR_spectral.c done
+        # server-side, see ops/nr.py): the browser applies NR to the
+        # decoded int16-scale audio, so the op runs on the stream
+        # lifted to the int16 domain (scale 65536/4, src/dsp.cpp:152)
+        # where its integer output rounding lands on the same grid;
+        # /scale is exact (power of two), and float_to_int16 below then
+        # reproduces the browser's rounded samples bit-for-bit.  The NR
+        # recursion runs for every channel (its noise track stays warm
+        # across toggles); chans.nr selects per listener.
+        scale = jnp.float32(65536.0 / 4.0)
+        nr_st, den = nr_process(nr_st, nr_params, stream * scale, b)
+        nr_col = (chans.nr if chans.nr is not None
+                  else jnp.zeros((c,), bool))
+        nr_on = (chans.active & nr_col)[:, None]
+        stream = jnp.where(nr_on, den / scale, stream)
 
     st_st = audio_state.st
     if stereo_params is not None:
@@ -319,7 +352,7 @@ def audio_from_spectra(
         audio16 = float_to_int16(
             stream.reshape(c, b, half).transpose(1, 0, 2))  # [B, C, half]
     return (AudioState(chan=chan_st, dc=dc_st, agc=agc_st, dec=dec_st,
-                       st=st_st),
+                       st=st_st, nr=nr_st),
             audio16, pwr)
 
 
@@ -340,6 +373,7 @@ class HopPipeline:
         self.due_cap = waterfall_due_cap(cfg)
         self.decim_taps = opus_decim_taps(cfg)  # host numpy; embeds in jit
         self.stereo_params = stereo_params_for(cfg)
+        self.nr_params = nr_params_for(cfg)
         if (self.stereo_params is not None
                 and cfg.hop_batch * (cfg.audio_fft_size // 2)
                 < self.stereo_params.delay):
@@ -368,7 +402,8 @@ class HopPipeline:
         c = self.num_channels
         z = jnp.zeros((c,), jnp.int32)
         return ChannelTable(l=z, r=z, m_idx=z, mode=z,
-                            active=jnp.zeros((c,), bool))
+                            active=jnp.zeros((c,), bool),
+                            nr=jnp.zeros((c,), bool))
 
     def resize_channel_rows(self, state: HopState, k: int) -> HopState:
         """Slice (shrink) or zero-pad (grow) every per-channel carry to
@@ -404,6 +439,7 @@ class HopPipeline:
                 agc=jax.tree.map(lambda x: conv(x, 1), a.agc),
                 dec=jax.tree.map(lambda x: conv(x, nch), a.dec),
                 st=jax.tree.map(lambda x: conv(x, 1), a.st),
+                nr=jax.tree.map(lambda x: conv(x, 1), a.nr),
             ))
         return jax.jit(mk)(state)
 
@@ -439,6 +475,7 @@ class HopPipeline:
             cfg, self.agc_params, self.dc_delay,
             state.audio, spec_ext, chans, state.frame, reset,
             decim_taps=self.decim_taps, stereo_params=self.stereo_params,
+            nr_params=self.nr_params,
         )
         new_state = HopState(frame=state.frame + b, audio=audio_st)
         if waterfall == "views":
@@ -485,12 +522,15 @@ class HopPipeline:
                                       due_idx)
 
 
-def channels_from_numpy(l, r, m_idx, mode, active) -> ChannelTable:
+def channels_from_numpy(l, r, m_idx, mode, active, nr=None) -> ChannelTable:
     """Host-side helper: build a device ChannelTable from numpy arrays."""
+    if nr is None:
+        nr = np.zeros(np.shape(l), bool)
     return ChannelTable(
         l=jnp.asarray(l, jnp.int32),
         r=jnp.asarray(r, jnp.int32),
         m_idx=jnp.asarray(m_idx, jnp.int32),
         mode=jnp.asarray(mode, jnp.int32),
         active=jnp.asarray(active, bool),
+        nr=jnp.asarray(nr, bool),
     )

@@ -36,6 +36,7 @@ class AudioSlot:
     unique_id: str = ""
     user_id: str = ""
     mute: bool = False
+    nr: bool = False
 
 
 @dataclass
@@ -70,6 +71,7 @@ class ChannelRegistry:
         self.m_idx = np.zeros(c, np.int32)
         self.mode = np.zeros(c, np.int32)
         self.active = np.zeros(c, bool)
+        self.nr = np.zeros(c, bool)   # per-client spectral NR opt-in
         # fractional mid (packet metadata only; the device uses m_idx):
         # snapshotted WITH the table so in-flight steps are labeled with
         # the coordinates they were demodulated at
@@ -96,6 +98,7 @@ class ChannelRegistry:
             if slot.slot in self.slots:
                 del self.slots[slot.slot]
                 self.active[slot.slot] = False
+                self.nr[slot.slot] = False
                 self._fresh.discard(slot.slot)
                 self._agc_fresh.discard(slot.slot)
                 self._free.append(slot.slot)
@@ -149,6 +152,14 @@ class ChannelRegistry:
             self.mode[slot.slot] = MODE_CODES[mode]
             return True
 
+    def set_nr(self, slot: AudioSlot, enabled: bool) -> None:
+        """Per-client spectral NR opt-in ({"cmd":"nr"} extension; only
+        effective when the server runs with [input] nr=true)."""
+        with self._lock:
+            self.nr[slot.slot] = bool(enabled)
+            slot.nr = bool(enabled)
+            self.version += 1
+
     # ------------------------------------------------------------- device
     def snapshot(self) -> tuple[int, tuple[np.ndarray, ...],
                                 np.ndarray | None,
@@ -183,7 +194,7 @@ class ChannelRegistry:
                     mask = None
             return self.version, (
                 self.l.copy(), self.r.copy(), self.m_idx.copy(),
-                self.mode.copy(), self.active.copy(),
+                self.mode.copy(), self.active.copy(), self.nr.copy(),
             ), mask, (self.l.copy(), self.r.copy(), self.mid.copy())
 
     @property
@@ -216,7 +227,8 @@ class ChannelRegistry:
             return o, n, (self.l[sl].copy(), self.r[sl].copy(),
                           self.m_idx[sl].copy(), self.mode[sl].copy(),
                           self.active[sl].copy(),
-                          self.mid[sl].copy()), mask
+                          self.mid[sl].copy(),
+                          self.nr[sl].copy()), mask
 
     def merge_rows(self, offset: int, arrays: tuple[np.ndarray, ...],
                    resets: np.ndarray | None) -> None:
@@ -229,6 +241,8 @@ class ChannelRegistry:
             self.m_idx[sl], self.mode[sl] = arrays[2], arrays[3]
             self.active[sl] = arrays[4]
             self.mid[sl] = arrays[5]
+            if len(arrays) > 6:
+                self.nr[sl] = arrays[6]
             if resets is not None:
                 for i in np.nonzero(resets)[0]:
                     s = offset + int(i)

@@ -214,6 +214,14 @@ class AudioConn:
                 self.slot.user_id = uid[:32]
         elif name == "mute":
             self.slot.mute = bool(cmd.get("mute", False))
+        elif name == "nr":
+            # extension: server-side spectral noise reduction opt-in
+            # (ops/nr.py); a no-op unless the server runs [input] nr=true
+            # (the device NR chain is compiled in).  The reference's
+            # protocol has no such command -- its NR is browser-local.
+            if self.server.cfg.nr:
+                self.server.channels.set_nr(
+                    self.slot, bool(cmd.get("enabled", False)))
 
 
 class WaterfallConn:
@@ -344,6 +352,9 @@ class SpectrumServer:
             # server decodes WBFM stereo on device ([input] stereo);
             # the audio payload is then interleaved L/R
             "audio_channels": cfg.audio_channels,
+            # extension: server-side spectral NR available; clients may
+            # send {"cmd":"nr","enabled":true}
+            "nr_available": cfg.nr,
         })
 
     # -------------------------------------------------------- handlers

@@ -69,9 +69,18 @@ class ServerConfig:
     # {"cmd":"nr","enabled":true}.  Extension: the TPU has the compute
     # headroom to denoise every listener at once.
     nr: bool = False
-    nr_gain: float = 1.0      # final output gain (NR_S_GAIN)
-    nr_alpha: float = 0.95    # decision-directed SNR smoothing
-    nr_asnr_db: float = 30.0  # active-hypothesis a-priori SNR
+    # which reducer [input] nr=true compiles (ops/nr.py vs ops/anr.py):
+    # "spectral" = MMSE spectral subtraction (jsdsp/lib/NR_spectral.c),
+    # "lms" = wdsp variable-leak LMS NR, "notch" = the same adaptive
+    # filter as an auto-notch (jsdsp/lib/ANR.c)
+    nr_algo: str = "spectral"
+    nr_gain: float = 1.0      # spectral: final output gain (NR_S_GAIN)
+    nr_alpha: float = 0.95    # spectral: decision-directed SNR smoothing
+    nr_asnr_db: float = 30.0  # spectral: active-hypothesis a-priori SNR
+    nr_taps: int = 64         # lms/notch: adaptive filter length
+    nr_delay: int = 8         # lms/notch: prediction lag
+    nr_two_mu: float = 1e-4   # lms/notch: adaptation gain
+    nr_leakage: float = 0.1   # lms/notch: leak gamma
     input_format: str = "f32"
     input_driver: str = "stdin"
     # [input.defaults]
@@ -206,6 +215,10 @@ class ServerConfig:
                     f"{MIN_STEREO_SPS} (WBFM multiplex bandwidth); got "
                     f"{self.audio_sps}")
 
+        if self.nr and self.nr_algo not in ("spectral", "lms", "notch"):
+            raise ValueError(
+                f"[input] nr_algo must be spectral/lms/notch, got "
+                f"{self.nr_algo!r}")
         if self.nr and self.stereo:
             # NR operates on the mono stream before the stereo demix;
             # running it per stereo stream would double its cost and
@@ -309,9 +322,14 @@ def config_from_dict(t: dict) -> ServerConfig:
     c.am_sync = bool(inp.get("am_sync", False))
     c.stereo = bool(inp.get("stereo", False))
     c.nr = bool(inp.get("nr", False))
+    c.nr_algo = str(inp.get("nr_algo", c.nr_algo)).lower()
     c.nr_gain = float(inp.get("nr_gain", c.nr_gain))
     c.nr_alpha = float(inp.get("nr_alpha", c.nr_alpha))
     c.nr_asnr_db = float(inp.get("nr_asnr_db", c.nr_asnr_db))
+    c.nr_taps = int(inp.get("nr_taps", c.nr_taps))
+    c.nr_delay = int(inp.get("nr_delay", c.nr_delay))
+    c.nr_two_mu = float(inp.get("nr_two_mu", c.nr_two_mu))
+    c.nr_leakage = float(inp.get("nr_leakage", c.nr_leakage))
 
     drv = inp.get("driver", {})
     c.input_driver = str(drv.get("name", "stdin"))

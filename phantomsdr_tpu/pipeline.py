@@ -61,6 +61,9 @@ from .ops.stereo import (
 from .ops.nr import (
     NRParams, NRState, make_nr_params, init_nr_state, nr_process,
 )
+from .ops.anr import (
+    ANRParams, make_anr_params, init_anr_state, anr_process,
+)
 from .ops.channelizer import MODE_FM
 
 
@@ -73,7 +76,8 @@ class AudioState(NamedTuple):
     dec: "DecimatorState"   # polyphase filter tail ([C, 0] when no decim;
     #                         [2C, .] rows L0,R0,L1,R1,... with stereo)
     st: "StereoState"       # WBFM stereo carries (zero-width when off)
-    nr: "NRState"           # spectral NR carries (zero-width when off)
+    nr: "NRState"           # noise-reduction carries: NRState (spectral)
+    #                         or ANRState (lms/notch); zero-width when off
 
 
 class HopState(NamedTuple):
@@ -151,11 +155,19 @@ def stereo_params_for(cfg: ServerConfig) -> StereoParams | None:
     return make_stereo_params(cfg.audio_sps) if cfg.stereo else None
 
 
-def nr_params_for(cfg: ServerConfig) -> NRParams | None:
-    return (make_nr_params(cfg.audio_fft_size // 2,
-                           final_gain=cfg.nr_gain, alpha=cfg.nr_alpha,
-                           asnr_db=cfg.nr_asnr_db)
-            if cfg.nr else None)
+def nr_params_for(cfg: ServerConfig) -> NRParams | ANRParams | None:
+    """The configured reducer's constants: NRParams (spectral, the
+    default) or ANRParams (wdsp LMS / auto-notch)."""
+    if not cfg.nr:
+        return None
+    if cfg.nr_algo in ("lms", "notch"):
+        return make_anr_params(notch=cfg.nr_algo == "notch",
+                               taps=cfg.nr_taps, delay=cfg.nr_delay,
+                               two_mu=cfg.nr_two_mu,
+                               gamma=cfg.nr_leakage)
+    return make_nr_params(cfg.audio_fft_size // 2,
+                          final_gain=cfg.nr_gain, alpha=cfg.nr_alpha,
+                          asnr_db=cfg.nr_asnr_db)
 
 
 def init_audio_state(cfg: ServerConfig, num_channels: int,
@@ -172,8 +184,10 @@ def init_audio_state(cfg: ServerConfig, num_channels: int,
         dec=init_decimator_state(num_channels * cfg.audio_channels,
                                  num_taps),
         st=init_stereo_state(num_channels, sp),
-        nr=init_nr_state(num_channels,
-                         cfg.audio_fft_size // 2 if cfg.nr else 0),
+        nr=(init_anr_state(num_channels, nr_params_for(cfg))
+            if cfg.nr and cfg.nr_algo in ("lms", "notch")
+            else init_nr_state(num_channels,
+                               cfg.audio_fft_size // 2 if cfg.nr else 0)),
     )
 
 
@@ -301,7 +315,17 @@ def audio_from_spectra(
     agc_st, stream = agc_process(audio_state.agc, stream, agc_params)
 
     nr_st = audio_state.nr
-    if nr_params is not None:
+    if isinstance(nr_params, ANRParams):
+        # wdsp LMS NR / auto-notch (jsdsp/lib/ANR.c server-side, see
+        # ops/anr.py) -- same int16-domain convention as the spectral
+        # path below, though the LMS filter itself is scale-invariant
+        scale = jnp.float32(65536.0 / 4.0)
+        nr_st, den = anr_process(nr_st, nr_params, stream * scale)
+        nr_col = (chans.nr if chans.nr is not None
+                  else jnp.zeros((c,), bool))
+        nr_on = (chans.active & nr_col)[:, None]
+        stream = jnp.where(nr_on, den / scale, stream)
+    elif nr_params is not None:
         # device spectral noise reduction (jsdsp/lib/NR_spectral.c done
         # server-side, see ops/nr.py): the browser applies NR to the
         # decoded int16-scale audio, so the op runs on the stream

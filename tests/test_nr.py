@@ -182,3 +182,120 @@ def test_nr_registry_command():
     assert arrays[5][s.slot]  # nr column rides the same snapshot
     reg.release(s)
     assert not reg.nr[s.slot]
+
+
+# ---------------------------------------------------------------- ANR (LMS)
+
+def test_anr_matches_oracle_chunked():
+    """ops/anr.py vs the straight-line ANR.c oracle, both modes,
+    chunked streaming (delay line + weights + leak carried)."""
+    from phantomsdr_tpu.ops.anr import (
+        anr_process, init_anr_state, make_anr_params,
+    )
+    from tests.oracle_anr import ANROracle
+
+    rng = np.random.default_rng(0)
+    T = 4000
+    t = np.arange(T) / FS
+    x = (5000 * np.sin(2 * np.pi * 800 * t)
+         + 1000 * rng.standard_normal(T)).astype(np.float32)
+    for notch in (False, True):
+        o = ANROracle(0 if notch else 1, 64, 8, 1e-4, 0.1)
+        want = o.process(x.astype(np.float64))
+        p = make_anr_params(notch=notch)
+        st = init_anr_state(1, p)
+        outs = []
+        for i in range(0, T, 1000):
+            st, y = anr_process(st, p, jnp.asarray(x[None, i:i + 1000]))
+            outs.append(np.asarray(y)[0])
+        got = np.concatenate(outs)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-4  # f32 vs f64
+
+
+def test_anr_nr_improves_tone_to_noise():
+    """LMS NR keeps the predictable tone and drops broadband noise."""
+    from phantomsdr_tpu.ops.anr import (
+        anr_process, init_anr_state, make_anr_params,
+    )
+
+    rng = np.random.default_rng(1)
+    T = 24000
+    t = np.arange(T) / FS
+    x = (5000 * np.sin(2 * np.pi * 800 * t)
+         + 1000 * rng.standard_normal(T)).astype(np.float32)
+    p = make_anr_params(notch=False)
+    st = init_anr_state(1, p)
+    _, y = anr_process(st, p, jnp.asarray(x[None]))
+    y = np.asarray(y)[0]
+    q = 3 * T // 4
+
+    def snr(v):
+        ph = np.exp(-2j * np.pi * 800 * np.arange(q, T) / FS)
+        a = np.abs(np.sum(v[q:] * ph)) * 2 / (T - q)
+        return a, a * a / 2 / max((v[q:] ** 2).mean() - a * a / 2, 1.0)
+
+    _, s_in = snr(x)
+    _, s_out = snr(y)
+    assert 10 * np.log10(s_out / s_in) > 8.0
+
+
+def test_anr_notch_kills_tone():
+    """Auto-notch: the steady carrier is removed, the noise passes."""
+    from phantomsdr_tpu.ops.anr import (
+        anr_process, init_anr_state, make_anr_params,
+    )
+
+    rng = np.random.default_rng(2)
+    T = 24000
+    t = np.arange(T) / FS
+    tone = 5000 * np.sin(2 * np.pi * 800 * t)
+    x = (tone + 500 * rng.standard_normal(T)).astype(np.float32)
+    p = make_anr_params(notch=True, two_mu=1e-3)
+    st = init_anr_state(1, p)
+    _, y = anr_process(st, p, jnp.asarray(x[None]))
+    y = np.asarray(y)[0]
+    q = 3 * T // 4
+    ph = np.exp(-2j * np.pi * 800 * np.arange(q, T) / FS)
+    a_out = np.abs(np.sum(y[q:] * ph)) * 2 / (T - q)
+    assert a_out < 0.05 * 5000  # >26 dB carrier rejection
+
+
+def test_anr_pipeline_smoke():
+    """nr_algo='lms' compiles into the hop pipeline and gates per
+    channel exactly like the spectral path."""
+    from phantomsdr_tpu.pipeline import HopPipeline, channels_from_numpy
+
+    cfg = config_from_dict({
+        "input": {
+            "sps": 192000, "frequency": 7000000, "fft_size": 2048,
+            "signal": "iq", "audio_sps": 12000, "waterfall_size": 256,
+            "nr": True, "nr_algo": "lms", "driver": {"format": "s16"},
+        },
+        "tpu": {"hop_batch": 4, "max_channels": 2},
+    })
+    pipe = HopPipeline(cfg)
+    l = np.full(2, 100)
+    table = channels_from_numpy(l=l, r=l + 20, m_idx=l + 10, mode=[2, 2],
+                                active=np.ones(2, bool), nr=[True, False])
+    rng = np.random.default_rng(0)
+    n = cfg.hop_size * (cfg.hop_batch + 1) * 2
+    state = pipe.init_state()
+    for _ in range(3):
+        raw = rng.integers(-20000, 20000, n, dtype=np.int16)
+        state, out = pipe.step(state, jnp.asarray(raw), table,
+                               waterfall="off")
+    assert np.isfinite(np.asarray(out.avg_power)).all()
+
+
+def test_nr_algo_validation():
+    with pytest.raises(ValueError, match="nr_algo"):
+        config_from_dict({
+            "input": {
+                "sps": 192000, "frequency": 7000000, "fft_size": 2048,
+                "signal": "iq", "audio_sps": 12000,
+                "waterfall_size": 256, "nr": True, "nr_algo": "bogus",
+                "driver": {"format": "s16"},
+            },
+            "tpu": {"hop_batch": 4, "max_channels": 2},
+        })

@@ -69,10 +69,12 @@ class ServerConfig:
     # {"cmd":"nr","enabled":true}.  Extension: the TPU has the compute
     # headroom to denoise every listener at once.
     nr: bool = False
-    # which reducer [input] nr=true compiles (ops/nr.py vs ops/anr.py):
-    # "spectral" = MMSE spectral subtraction (jsdsp/lib/NR_spectral.c),
+    # which processor [input] nr=true compiles:
+    # "spectral" = MMSE spectral subtraction (jsdsp/lib/NR_spectral.c,
+    #              ops/nr.py),
     # "lms" = wdsp variable-leak LMS NR, "notch" = the same adaptive
-    # filter as an auto-notch (jsdsp/lib/ANR.c)
+    #         filter as an auto-notch (jsdsp/lib/ANR.c, ops/anr.py),
+    # "nb" = Wild impulse noise blanker (jsdsp/lib/NB.c, ops/nb.py)
     nr_algo: str = "spectral"
     nr_gain: float = 1.0      # spectral: final output gain (NR_S_GAIN)
     nr_alpha: float = 0.95    # spectral: decision-directed SNR smoothing
@@ -81,6 +83,9 @@ class ServerConfig:
     nr_delay: int = 8         # lms/notch: prediction lag
     nr_two_mu: float = 1e-4   # lms/notch: adaptation gain
     nr_leakage: float = 0.1   # lms/notch: leak gamma
+    nb_thresh: float = 5.0    # nb: detection level (residual sigmas)
+    nb_taps: int = 32         # nb: LPC order (<= 40)
+    nb_samples: int = 11      # nb: samples replaced per impulse (odd)
     input_format: str = "f32"
     input_driver: str = "stdin"
     # [input.defaults]
@@ -215,9 +220,10 @@ class ServerConfig:
                     f"{MIN_STEREO_SPS} (WBFM multiplex bandwidth); got "
                     f"{self.audio_sps}")
 
-        if self.nr and self.nr_algo not in ("spectral", "lms", "notch"):
+        if self.nr and self.nr_algo not in ("spectral", "lms", "notch",
+                                            "nb"):
             raise ValueError(
-                f"[input] nr_algo must be spectral/lms/notch, got "
+                f"[input] nr_algo must be spectral/lms/notch/nb, got "
                 f"{self.nr_algo!r}")
         if self.nr and self.stereo:
             # NR operates on the mono stream before the stereo demix;
@@ -330,6 +336,9 @@ def config_from_dict(t: dict) -> ServerConfig:
     c.nr_delay = int(inp.get("nr_delay", c.nr_delay))
     c.nr_two_mu = float(inp.get("nr_two_mu", c.nr_two_mu))
     c.nr_leakage = float(inp.get("nr_leakage", c.nr_leakage))
+    c.nb_thresh = float(inp.get("nb_thresh", c.nb_thresh))
+    c.nb_taps = int(inp.get("nb_taps", c.nb_taps))
+    c.nb_samples = int(inp.get("nb_samples", c.nb_samples))
 
     drv = inp.get("driver", {})
     c.input_driver = str(drv.get("name", "stdin"))

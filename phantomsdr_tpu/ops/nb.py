@@ -1,0 +1,183 @@
+"""Device-side Wild noise blanker (impulse localization + LPC repair).
+
+The reference runs this in the BROWSER (jsdsp/lib/NB.c, the
+Teensy-ConvolutionSDR "Wild" blanker): per frame it fits an LPC model
+of the voice via Levinson-Durbin on the frame's autocorrelation,
+inverse-filters to whiten the speech, matched-filters to sharpen
+impulses, thresholds against the residual variance to locate up to 20
+impulse positions, and replaces +-PL samples around each with a
+linear crossfade of forward and backward LPC predictions.
+
+Server-side equivalent, batched [C, T] over the channel population as
+an opt-in (``[input] nr = true`` with ``nr_algo = "nb"``):
+
+- autocorrelation lags and the Levinson-Durbin recursion unroll over
+  the static order (taps), every step vectorized over [C],
+- the two FIR passes are one grouped conv each (per-channel
+  coefficients, feature_group_count = C); arm_fir's per-call zero
+  state (NB.c:156,167) is reproduced by zero left-padding,
+- the sequential impulse search (skip-ahead by PL on detection,
+  20-impulse cap) is a lax.scan over positions,
+- repairs unroll over the 20 impulse slots, masked by the per-channel
+  impulse count, sequentially -- a later impulse's prediction basis
+  can include an earlier repair, exactly like the C's in-place writes.
+
+Faithful-to-the-C quirks reproduced (oracle: tests/oracle_nb.py):
+the R[0] * (1+1e-9) inflation, lpc_power summing only lpcs[0..order-1]
+(NB.c:177 passes `order`), unbiased variance (arm_var_f32), and the
+frame being whatever chunk the caller passes (the browser passes its
+audio-buffer length; here one frame = one hop-batch stream, so the
+threshold statistics adapt per step).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+N_IMPULSE_COUNT = 20
+
+
+class NBParams(NamedTuple):
+    thresh: float    # detection level in residual sigmas (~3..10)
+    taps: int        # LPC order (<= 40, NB.c:19)
+    impulse_len: int # samples replaced around an impulse (odd)
+
+
+class NBState(NamedTuple):
+    tail: jnp.ndarray   # [C, 2*order + 2*PL] previous frame's tail
+
+
+def make_nb_params(thresh: float = 5.0, taps: int = 32,
+                   samples: int = 11) -> NBParams:
+    il = int(samples) | 1
+    return NBParams(thresh=float(thresh), taps=int(taps), impulse_len=il)
+
+
+def init_nb_state(num_channels: int, params: NBParams | None) -> NBState:
+    order = params.taps if params is not None else 0
+    pl = (params.impulse_len - 1) // 2 if params is not None else 0
+    return NBState(tail=jnp.zeros((num_channels, 2 * order + 2 * pl),
+                                  jnp.float32))
+
+
+def _levinson(r: jnp.ndarray, order: int) -> jnp.ndarray:
+    """Batched Levinson-Durbin exactly as transcribed (NB.c:120-148).
+    r: [C, order+1] autocorrelation -> lpcs [C, order+1], lpcs[:,0]=1."""
+    c = r.shape[0]
+    r = r.at[:, 0].multiply(1.0 + 1.0e-9)
+    lpcs = jnp.concatenate([jnp.ones((c, 1), jnp.float32),
+                            jnp.zeros((c, order), jnp.float32)], axis=1)
+    alfa = r[:, 0]
+    for m in range(1, order + 1):
+        s = jnp.zeros((c,), jnp.float32)
+        for u in range(1, m):
+            s = s + lpcs[:, u] * r[:, m - u]
+        k = -(r[:, m] + s) / alfa
+        if m > 1:
+            upd = lpcs[:, 1:m] + k[:, None] * lpcs[:, 1:m][:, ::-1]
+            lpcs = lpcs.at[:, 1:m].set(upd)
+        lpcs = lpcs.at[:, m].set(k)
+        alfa = alfa * (1.0 - k * k)
+    return lpcs
+
+
+def _fir_fresh(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """arm_fir_f32 with per-call zero state, per-channel coefficients.
+    coeffs [C, NT] in CMSIS order (applied time-reversed):
+    y[n] = sum_k coeffs[NT-1-k] * x[n-k].  x [C, T] -> [C, T]."""
+    c, nt = coeffs.shape
+    xp = jnp.pad(x, ((0, 0), (nt - 1, 0)))
+    # conv correlates rhs over lhs: out[n] = sum_j rhs[j] * lhs[n+j]
+    # with VALID padding; out[n] = sum_j rhs[j] x[n-(NT-1)+j], so
+    # rhs = coeffs gives sum_k coeffs[NT-1-k] x[n-k] directly
+    return jax.lax.conv_general_dilated(
+        xp[None], coeffs[:, None, :], window_strides=(1,),
+        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=c,
+    )[0]
+
+
+def nb_process(state: NBState, params: NBParams, x: jnp.ndarray
+               ) -> tuple[NBState, jnp.ndarray]:
+    """Blank impulses in the stream x [C, T] -> same shape (streaming:
+    the 2*order+2*PL tail is carried across calls)."""
+    c, t = x.shape
+    order = params.taps
+    il = params.impulse_len
+    pl = (il - 1) // 2
+
+    wb = jnp.concatenate([state.tail, x], axis=1)   # [C, 2PL+2o+T]
+    base = wb[:, order + pl: order + pl + t]
+
+    # ---- autocorrelation lags (static unroll over order+1) ----
+    r = jnp.stack([jnp.sum(base[:, : t - i] * base[:, i: t], axis=1)
+                   for i in range(order + 1)], axis=1)
+    lpcs = _levinson(r, order)
+    rev = lpcs[:, ::-1]
+
+    # ---- whiten + matched filter (fresh state per frame) ----
+    temp = _fir_fresh(rev, base)
+    temp = _fir_fresh(lpcs, temp)
+
+    mean = jnp.mean(temp, axis=1, keepdims=True)
+    sigma2 = jnp.sum((temp - mean) ** 2, axis=1) / jnp.float32(t - 1)
+    lpc_power = jnp.sum(lpcs[:, :order] ** 2, axis=1)  # excl. lpcs[order]
+    thr = jnp.float32(params.thresh) * jnp.sqrt(sigma2 * lpc_power)
+
+    # ---- sequential impulse search with skip-ahead ----
+    def search(carry, pos):
+        nxt, count, positions = carry
+        det = ((jnp.abs(temp[:, pos]) > thr)
+               & (pos >= nxt) & (count < N_IMPULSE_COUNT))
+        onehot = (jnp.arange(N_IMPULSE_COUNT)[None, :]
+                  == count[:, None]) & det[:, None]
+        positions = jnp.where(onehot, pos - order, positions)
+        nxt = jnp.where(det, pos + pl + 1, nxt)
+        count = count + det.astype(jnp.int32)
+        return (nxt, count, positions), None
+
+    init = (jnp.full((c,), order + pl, jnp.int32),
+            jnp.zeros((c,), jnp.int32),
+            jnp.zeros((c, N_IMPULSE_COUNT), jnp.int32))
+    (nxt, count, positions), _ = jax.lax.scan(
+        search, init, jnp.arange(order + pl, t, dtype=jnp.int32))
+
+    # ---- prediction transfer functions (negated, NB.c:218-219) ----
+    fwd = -rev[:, :order]          # [lpc_order .. lpc_1] negated
+    bwd = -lpcs[:, 1: order + 1]   # [lpc_1 .. lpc_order] negated
+
+    wbw = jnp.asarray(np.arange(il, dtype=np.float32) / (il - 1))
+    wfw = wbw[::-1]
+    rows = jnp.arange(c)[:, None]
+
+    # ---- sequential masked repairs over the 20 impulse slots ----
+    for j in range(N_IMPULSE_COUNT):
+        pos = positions[:, j]                        # [C]
+        valid = j < count                            # [C]
+        kk = jnp.arange(order)[None, :]
+        rfw = jnp.take_along_axis(wb, pos[:, None] + kk, axis=1)
+        rbw = jnp.take_along_axis(
+            wb, (order + pl + pos + pl + 1)[:, None] + kk, axis=1)
+        # forward: grow rfw by il predicted samples (scan over i)
+        def fstep(buf, _):
+            p = jnp.sum(fwd * buf, axis=1)
+            return jnp.concatenate([buf[:, 1:], p[:, None]], axis=1), p
+        _, fpred = jax.lax.scan(fstep, rfw, None, length=il)   # [il, C]
+        # backward: predict il samples before rbw (scan over i)
+        def bstep(buf, _):
+            p = jnp.sum(bwd * buf, axis=1)
+            return jnp.concatenate([p[:, None], buf[:, :-1]], axis=1), p
+        _, bpred = jax.lax.scan(bstep, rbw, None, length=il)   # [il, C]
+        # bpred[i] is the sample at rbw-relative index il-1-i
+        patch = (wfw[None, :] * fpred.T
+                 + wbw[None, :] * bpred.T[:, ::-1])            # [C, il]
+        idx = (order + pos)[:, None] + jnp.arange(il)[None, :]
+        old = jnp.take_along_axis(wb, idx, axis=1)
+        wb = wb.at[rows, idx].set(jnp.where(valid[:, None], patch, old))
+
+    out = wb[:, order + pl: order + pl + t]
+    return NBState(tail=wb[:, t: t + 2 * order + 2 * pl]), out

@@ -64,6 +64,9 @@ from .ops.nr import (
 from .ops.anr import (
     ANRParams, make_anr_params, init_anr_state, anr_process,
 )
+from .ops.nb import (
+    NBParams, make_nb_params, init_nb_state, nb_process,
+)
 from .ops.channelizer import MODE_FM
 
 
@@ -155,11 +158,16 @@ def stereo_params_for(cfg: ServerConfig) -> StereoParams | None:
     return make_stereo_params(cfg.audio_sps) if cfg.stereo else None
 
 
-def nr_params_for(cfg: ServerConfig) -> NRParams | ANRParams | None:
-    """The configured reducer's constants: NRParams (spectral, the
-    default) or ANRParams (wdsp LMS / auto-notch)."""
+def nr_params_for(cfg: ServerConfig
+                  ) -> NRParams | ANRParams | NBParams | None:
+    """The configured processor's constants: NRParams (spectral, the
+    default), ANRParams (wdsp LMS / auto-notch), or NBParams (Wild
+    noise blanker)."""
     if not cfg.nr:
         return None
+    if cfg.nr_algo == "nb":
+        return make_nb_params(thresh=cfg.nb_thresh, taps=cfg.nb_taps,
+                              samples=cfg.nb_samples)
     if cfg.nr_algo in ("lms", "notch"):
         return make_anr_params(notch=cfg.nr_algo == "notch",
                                taps=cfg.nr_taps, delay=cfg.nr_delay,
@@ -184,7 +192,9 @@ def init_audio_state(cfg: ServerConfig, num_channels: int,
         dec=init_decimator_state(num_channels * cfg.audio_channels,
                                  num_taps),
         st=init_stereo_state(num_channels, sp),
-        nr=(init_anr_state(num_channels, nr_params_for(cfg))
+        nr=(init_nb_state(num_channels, nr_params_for(cfg))
+            if cfg.nr and cfg.nr_algo == "nb"
+            else init_anr_state(num_channels, nr_params_for(cfg))
             if cfg.nr and cfg.nr_algo in ("lms", "notch")
             else init_nr_state(num_channels,
                                cfg.audio_fft_size // 2 if cfg.nr else 0)),
@@ -315,7 +325,18 @@ def audio_from_spectra(
     agc_st, stream = agc_process(audio_state.agc, stream, agc_params)
 
     nr_st = audio_state.nr
-    if isinstance(nr_params, ANRParams):
+    if isinstance(nr_params, NBParams):
+        # Wild impulse blanker (jsdsp/lib/NB.c server-side, ops/nb.py);
+        # int16-domain convention like the other processors (the
+        # threshold statistics are scale-invariant, the domain only
+        # matters for bit-parity with the browser)
+        scale = jnp.float32(65536.0 / 4.0)
+        nr_st, den = nb_process(nr_st, nr_params, stream * scale)
+        nr_col = (chans.nr if chans.nr is not None
+                  else jnp.zeros((c,), bool))
+        nr_on = (chans.active & nr_col)[:, None]
+        stream = jnp.where(nr_on, den / scale, stream)
+    elif isinstance(nr_params, ANRParams):
         # wdsp LMS NR / auto-notch (jsdsp/lib/ANR.c server-side, see
         # ops/anr.py) -- same int16-domain convention as the spectral
         # path below, though the LMS filter itself is scale-invariant

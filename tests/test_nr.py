@@ -299,3 +299,66 @@ def test_nr_algo_validation():
             },
             "tpu": {"hop_batch": 4, "max_channels": 2},
         })
+
+
+# --------------------------------------------------------- noise blanker
+
+def test_nb_matches_oracle_chunked():
+    """ops/nb.py vs the straight-line NB.c oracle: chunked streaming
+    (working-buffer tail carried), impulses repaired identically."""
+    from phantomsdr_tpu.ops.nb import (
+        init_nb_state, make_nb_params, nb_process,
+    )
+    from tests.oracle_nb import WildNBOracle
+
+    rng = np.random.default_rng(0)
+    T = 2000
+    t = np.arange(3 * T) / FS
+    sig = 4000 * np.sin(2 * np.pi * 600 * t) \
+        + 300 * rng.standard_normal(3 * T)
+    impulses = [700, 1900, 2500, 4100, 5200]
+    for p_ in impulses:
+        sig[p_] += 25000
+    sig = sig.astype(np.float32)
+
+    o = WildNBOracle(5.0, 32, 11)
+    want = np.concatenate([o.process(sig[i * T:(i + 1) * T]
+                                     .astype(np.float64))
+                           for i in range(3)])
+    p = make_nb_params(5.0, 32, 11)
+    st = init_nb_state(1, p)
+    outs = []
+    for i in range(3):
+        st, y = nb_process(st, p, jnp.asarray(sig[None, i * T:(i + 1) * T]))
+        outs.append(np.asarray(y)[0])
+    got = np.concatenate(outs)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+    # every injected impulse repaired to near the underlying signal
+    for p_ in impulses:
+        assert abs(got[p_]) < 6000 < abs(sig[p_])
+
+
+def test_nb_pipeline_smoke():
+    """nr_algo='nb' compiles into the hop pipeline."""
+    from phantomsdr_tpu.pipeline import HopPipeline, channels_from_numpy
+
+    cfg = config_from_dict({
+        "input": {
+            "sps": 192000, "frequency": 7000000, "fft_size": 2048,
+            "signal": "iq", "audio_sps": 12000, "waterfall_size": 256,
+            "nr": True, "nr_algo": "nb", "driver": {"format": "s16"},
+        },
+        "tpu": {"hop_batch": 4, "max_channels": 2},
+    })
+    pipe = HopPipeline(cfg)
+    l = np.full(2, 100)
+    table = channels_from_numpy(l=l, r=l + 20, m_idx=l + 10, mode=[2, 2],
+                                active=np.ones(2, bool), nr=[True, False])
+    rng = np.random.default_rng(0)
+    n = cfg.hop_size * (cfg.hop_batch + 1) * 2
+    state = pipe.init_state()
+    for _ in range(3):
+        raw = rng.integers(-20000, 20000, n, dtype=np.int16)
+        state, out = pipe.step(state, jnp.asarray(raw), table,
+                               waterfall="off")
+    assert np.isfinite(np.asarray(out.avg_power)).all()

@@ -86,6 +86,12 @@ class ServerConfig:
     nb_thresh: float = 5.0    # nb: detection level (residual sigmas)
     nb_taps: int = 32         # nb: LPC order (<= 40)
     nb_samples: int = 11      # nb: samples replaced per impulse (odd)
+    # Server-side FM-RDS decoding (the reference leaves RDS to the
+    # browser's redsea WASM build, jsdsp/redsea.js): true compiles the
+    # device 57 kHz subcarrier demod (ops/rds.py) for every channel;
+    # clients opt in per connection with {"cmd":"rds","enabled":true}
+    # and receive {"type":"rds",...} JSON text frames (runtime/rds.py).
+    rds: bool = False
     input_format: str = "f32"
     input_driver: str = "stdin"
     # [input.defaults]
@@ -232,6 +238,31 @@ class ServerConfig:
             raise ValueError("[input] nr=true and stereo=true cannot "
                              "be combined")
 
+        if self.rds:
+            from .ops.rds import (
+                MIN_BASEBAND_SPS, MAX_BASEBAND_SPS, rds_decim_for,
+            )
+
+            # the 57 kHz subcarrier (+2.4 kHz data lobe) must sit inside
+            # the audio Nyquist
+            min_sps = int(2 * (57000 + 2400))
+            if self.audio_sps < min_sps:
+                raise ValueError(
+                    f"[input] rds=true needs audio_sps >= {min_sps} "
+                    f"(57 kHz subcarrier bandwidth); got {self.audio_sps}")
+            d = rds_decim_for(self.audio_sps, self.audio_fft_size // 2)
+            if self.audio_sps / d > MAX_BASEBAND_SPS:
+                # the decimation factor must divide the per-hop audio
+                # block; a pathological audio_fft_size would ship
+                # near-raw-rate baseband over the link
+                raise ValueError(
+                    f"[input] rds=true: the audio block "
+                    f"(audio_fft_size/2 = {self.audio_fft_size // 2}) "
+                    f"only allows decimation by {d} "
+                    f"({self.audio_sps / d:.0f} S/s baseband > "
+                    f"{MAX_BASEBAND_SPS:.0f}); pick an fft_size whose "
+                    f"audio block has a larger power-of-two factor")
+
         if not self.register_password:
             self.register_password = secrets.token_hex(16)
         return self
@@ -339,6 +370,7 @@ def config_from_dict(t: dict) -> ServerConfig:
     c.nb_thresh = float(inp.get("nb_thresh", c.nb_thresh))
     c.nb_taps = int(inp.get("nb_taps", c.nb_taps))
     c.nb_samples = int(inp.get("nb_samples", c.nb_samples))
+    c.rds = bool(inp.get("rds", False))
 
     drv = inp.get("driver", {})
     c.input_driver = str(drv.get("name", "stdin"))

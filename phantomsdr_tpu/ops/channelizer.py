@@ -72,6 +72,9 @@ class ChannelTable(NamedTuple):
     # the reference runs NR in the browser).  None == all off, so table
     # literals that predate the field keep working.
     nr: jnp.ndarray | None = None  # [C] bool
+    # per-client FM-RDS opt-in (server-side extension; the reference
+    # decodes RDS in the browser via the redsea WASM build).
+    rds: jnp.ndarray | None = None  # [C] bool
 
 
 class ChannelState(NamedTuple):

@@ -178,10 +178,11 @@ def pack_control(table_arrays, mid, views, wf_meta, reset
     """Step control block: (channel table, packet-metadata mids,
     waterfall views, wf coordinate meta, reset mask) -> (header, blob).
     Inverse: unpack_control (keep the two in lockstep)."""
-    l, r, m_idx, mode, active, nr = table_arrays
+    l, r, m_idx, mode, active, nr, rds = table_arrays
     specs = [(a, np.int32) for a in (l, r, m_idx, mode)]
     specs.append((active, np.int8))
     specs.append((nr, np.int8))
+    specs.append((rds, np.int8))
     specs.append((mid, np.float64))
     specs += [(views[0], np.int32), (views[1], np.int32)]
     specs += [(a, np.int32) for a in wf_meta]
@@ -198,22 +199,24 @@ def unpack_control(meta: dict, blob: bytes):
     l, r, m_idx, mode = (take(c, np.int32) for _ in range(4))
     active = take(c, np.int8).astype(bool)
     nr = take(c, np.int8).astype(bool)
+    rds = take(c, np.int8).astype(bool)
     mid = take(c, np.float64)
     views = (take(w, np.int32), take(w, np.int32))
     wf_meta = tuple(take(w, np.int32) for _ in range(3))
     reset = take(c, np.int32) if meta["reset"] else None
-    return (l, r, m_idx, mode, active, nr), mid, views, wf_meta, reset
+    return (l, r, m_idx, mode, active, nr, rds), mid, views, wf_meta, reset
 
 
 def pack_host_update(chan_offset, chan_count, ctbl, cresets,
                      wf_offset, wf_count, wrows) -> tuple[dict, bytes]:
-    """Follower->ingest registry sync: the channel range's 6 table
-    arrays (incl. mid), optional reset mask, and the waterfall range's
-    5 view arrays.  Inverse: unpack_host_update."""
+    """Follower->ingest registry sync: the channel range's table arrays
+    (l, r, m_idx, mode, active, mid, nr, rds), optional reset mask, and
+    the waterfall range's 5 view arrays.  Inverse: unpack_host_update."""
     specs = [(a, np.int32) for a in ctbl[:4]]
     specs.append((ctbl[4], np.int8))
     specs.append((ctbl[5], np.float64))
     specs.append((ctbl[6], np.int8))
+    specs.append((ctbl[7], np.int8))
     if cresets is not None:
         specs.append((cresets, np.int32))
     specs += [(a, np.int32) for a in wrows]
@@ -236,6 +239,7 @@ def unpack_host_update(hdr: dict, blob: bytes):
     take = _Taker(blob)
     tbl = ([take(c, np.int32) for _ in range(4)]
            + [take(c, np.int8).astype(bool), take(c, np.float64),
+              take(c, np.int8).astype(bool),
               take(c, np.int8).astype(bool)])
     resets = take(c, np.int32) if hdr["reset"] else None
     wrows = tuple(take(w, np.int32) for _ in range(5))
@@ -312,6 +316,16 @@ class MultihostRuntime:
         if out.wf.shape[0] == 0:
             return None
         return np.asarray(out.wf.addressable_shards[0].data)
+
+    def local_rds(self, out) -> np.ndarray | None:
+        """This host's channel-shard RDS baseband [C_local, 2, T] (None
+        when [input] rds is off) -- local device fetches, same
+        partition as local_audio."""
+        if out.rds.shape[-1] == 0:
+            return None
+        shards = sorted(out.rds.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 # ------------------------------------------------------------- driver
@@ -669,7 +683,8 @@ class MultihostDriver:
         try:
             audio_meta = (tbl_arrays[0], tbl_arrays[1], mids)
             self.server.dispatch_threadsafe(frame0, audio, pwr, wf,
-                                            due, wf_meta, audio_meta)
+                                            due, wf_meta, audio_meta,
+                                            rt.local_rds(out))
         except Exception:
             import traceback
 

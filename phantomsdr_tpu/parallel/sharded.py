@@ -58,7 +58,7 @@ from ..pipeline import (
     HopState, HopOutputs, WaterfallViews, init_audio_state,
     waterfall_from_spectra, gather_waterfall_views, audio_from_spectra,
     pack_outputs, opus_decim_taps, waterfall_due_positions,
-    stereo_params_for, nr_params_for,
+    stereo_params_for, nr_params_for, rds_params_for,
 )
 from ..ops.fft import forward_spectrum
 
@@ -120,7 +120,12 @@ class ShardedHopPipeline:
         self.decim_taps = opus_decim_taps(cfg)
         self.stereo_params = stereo_params_for(cfg)
         self.nr_params = nr_params_for(cfg)
-        chan_spec = ChannelTable(*(P("d"),) * 6)
+        self.rds_params = rds_params_for(cfg)
+        # RDS baseband samples per channel per step (0 when off)
+        self.rds_t = (cfg.hop_batch * (cfg.audio_fft_size // 2)
+                      // self.rds_params.decim
+                      if self.rds_params is not None else 0)
+        chan_spec = ChannelTable(*(P("d"),) * 7)
         # views are replicated: every time shard gathers ALL clients'
         # views from its local pyramid rows
         views_spec = WaterfallViews(start=P(), length=P())
@@ -131,7 +136,8 @@ class ShardedHopPipeline:
         wf_spec = P(None, None, None) if gather_wf else P("d", None, None)
         out_spec = HopOutputs(
             audio=audio_spec, avg_power=P(None, "d"),
-            wf=wf_spec, pyramid=P("d", None), packed=P("d"),
+            wf=wf_spec, pyramid=P("d", None), rds=P("d", None, None),
+            packed=P("d"),
         )
         self._steps = {}
         for mode in ("views", "full", "off"):
@@ -241,11 +247,11 @@ class ShardedHopPipeline:
 
         # ---- gather all hops' spectra (ICI) and demod my channel shard
         all_spec = jax.lax.all_gather(spec_ext, "d", axis=0, tiled=True)
-        audio_st, audio16, pwr = audio_from_spectra(
+        audio_st, audio16, pwr, rds8 = audio_from_spectra(
             cfg, self.agc_params, self.dc_delay,
             state.inner.audio, all_spec, chans, state.inner.frame, reset,
             decim_taps=self.decim_taps, stereo_params=self.stereo_params,
-            nr_params=self.nr_params,
+            nr_params=self.nr_params, rds_params=self.rds_params,
         )
         new_inner = HopState(frame=state.inner.frame + cfg.hop_batch,
                              audio=audio_st)
@@ -254,11 +260,11 @@ class ShardedHopPipeline:
         # copies)
         packed = pack_outputs(audio16, pwr,
                               wf if not self.gather_wf
-                              else jnp.zeros((0,), jnp.int8))
+                              else jnp.zeros((0,), jnp.int8), rds8)
         return (
             ShardedHopState(inner=new_inner, halo=new_halo[None, :]),
             HopOutputs(audio=audio16, avg_power=pwr, wf=wf, pyramid=pyr,
-                       packed=packed),
+                       rds=rds8, packed=packed),
         )
 
     # ------------------------------------------------------------------
@@ -309,14 +315,15 @@ class ShardedHopPipeline:
 def unpack_outputs_sharded(packed: np.ndarray, n: int, b: int, c: int,
                            half: int, w: int, cap: int,
                            wf_rows_per_shard: int, decim: int = 1,
-                           nch: int = 1):
+                           nch: int = 1, rds_t: int = 0):
     """Host-side inverse of the sharded `packed` buffer.
 
     The sharded packed output is NOT pipeline.unpack_outputs-compatible:
     it is a per-shard concatenation (out spec P('d')), shard i holding
-    audio [B, C/n, half] | pwr [B, C/n] | wf [rows, W, cap] for ITS
-    channel shard / time shard.  Returns global (audio [B, C, half],
-    pwr [B, C], wf [n*rows, W, cap] or None); map wf rows to hops with
+    audio [B, C/n, half] | pwr [B, C/n] | wf [rows, W, cap] |
+    rds [C/n, 2, rds_t] for ITS channel shard / time shard.  Returns
+    global (audio [B, C, half], pwr [B, C], wf [n*rows, W, cap] or None,
+    rds [C, 2, rds_t] or None); map wf rows to hops with
     ShardedHopPipeline.due_layout.  With device Opus decimation
     (decim > 1) audio is [C, B*half/decim] continuous streams."""
     cl = c // n
@@ -330,10 +337,12 @@ def unpack_outputs_sharded(packed: np.ndarray, n: int, b: int, c: int,
         audio = np.empty((b, c, nch * half), np.int16)
     npw = b * cl * 4
     nwf = rows * w * cap
-    seg = na + npw + nwf
+    nrds = cl * 2 * rds_t
+    seg = na + npw + nwf + nrds
     assert packed.size == n * seg, (packed.size, n, seg)
     pwr = np.empty((b, c), np.float32)
     wf = np.empty((n * rows, w, cap), np.int8) if rows else None
+    rds = np.empty((c, 2, rds_t), np.int8) if rds_t else None
     for i in range(n):
         s = packed[i * seg:(i + 1) * seg]
         if decim > 1:
@@ -346,5 +355,9 @@ def unpack_outputs_sharded(packed: np.ndarray, n: int, b: int, c: int,
             s[na:na + npw].view(np.float32).reshape(b, cl))
         if rows:
             wf[i * rows:(i + 1) * rows] = (
-                s[na + npw:].view(np.int8).reshape(rows, w, cap))
-    return audio, pwr, wf
+                s[na + npw:na + npw + nwf].view(np.int8)
+                .reshape(rows, w, cap))
+        if rds_t:
+            rds[i * cl:(i + 1) * cl] = (
+                s[na + npw + nwf:].view(np.int8).reshape(cl, 2, rds_t))
+    return audio, pwr, wf, rds

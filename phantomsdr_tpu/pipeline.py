@@ -67,6 +67,9 @@ from .ops.anr import (
 from .ops.nb import (
     NBParams, make_nb_params, init_nb_state, nb_process,
 )
+from .ops.rds import (
+    RDSParams, RDSState, make_rds_params, init_rds_state, rds_process,
+)
 from .ops.channelizer import MODE_FM
 
 
@@ -81,6 +84,7 @@ class AudioState(NamedTuple):
     st: "StereoState"       # WBFM stereo carries (zero-width when off)
     nr: "NRState"           # noise-reduction carries: NRState (spectral)
     #                         or ANRState (lms/notch); zero-width when off
+    rds: "RDSState"         # FM-RDS subcarrier carries (zero-width when off)
 
 
 class HopState(NamedTuple):
@@ -111,39 +115,51 @@ class HopOutputs(NamedTuple):
     wf: jnp.ndarray          # [D, W, view_cap] int8 client waterfall views
     #                          (D = due_cap gather rows; [0,...] when off)
     pyramid: jnp.ndarray     # [B, P] full int8 pyramid ('full' mode only)
-    packed: jnp.ndarray      # [X] int8: audio|avg_power|wf bitcast-packed
-    #                          into ONE buffer -- the serving loop fetches
-    #                          only this (one device->host transfer/step;
-    #                          the remote-tunnel RTT makes per-leaf
+    rds: jnp.ndarray         # [C, 2, T/decim] int8 RDS complex baseband
+    #                          ([C, 2, 0] when [input] rds is off)
+    packed: jnp.ndarray      # [X] int8: audio|avg_power|wf|rds
+    #                          bitcast-packed into ONE buffer -- the
+    #                          serving loop fetches only this (one
+    #                          device->host transfer/step; the
+    #                          remote-tunnel RTT makes per-leaf
     #                          fetches the dominant cost otherwise)
 
 
 def pack_outputs(audio16: jnp.ndarray, pwr: jnp.ndarray,
-                 wf: jnp.ndarray) -> jnp.ndarray:
+                 wf: jnp.ndarray,
+                 rds: jnp.ndarray | None = None) -> jnp.ndarray:
     a8 = jax.lax.bitcast_convert_type(audio16, jnp.int8).reshape(-1)
     p8 = jax.lax.bitcast_convert_type(pwr, jnp.int8).reshape(-1)
-    return jnp.concatenate([a8, p8, wf.reshape(-1)])
+    parts = [a8, p8, wf.reshape(-1)]
+    if rds is not None and rds.size:
+        parts.append(rds.reshape(-1))
+    return jnp.concatenate(parts)
 
 
 def unpack_outputs(packed: "np.ndarray", b: int, c: int, half: int,
                    d: int, w: int, cap: int, decim: int = 1,
-                   nch: int = 1):
+                   nch: int = 1, rds_t: int = 0):
     """Host-side inverse of pack_outputs (zero-copy numpy views).
 
     decim > 1 (device Opus decimation): audio is the per-channel
     continuous decimated stream [C, B*half/decim] instead of the
     per-hop framing [B, C, half].  nch=2 (device WBFM stereo): the last
-    audio axis is L/R-interleaved and nch-times longer."""
+    audio axis is L/R-interleaved and nch-times longer.  rds_t > 0
+    ([input] rds): a trailing [C, 2, rds_t] int8 RDS baseband block
+    (returned as the 4th element, else None)."""
     if decim > 1:
         ashape: tuple = (c, nch * b * half // decim)
     else:
         ashape = (b, c, nch * half)
     na = int(np.prod(ashape)) * 2
     np_ = b * c * 4
+    nwf = d * w * cap
     audio = packed[:na].view(np.int16).reshape(ashape)
     pwr = packed[na:na + np_].view(np.float32).reshape(b, c)
-    wf = packed[na + np_:].view(np.int8).reshape(d, w, cap)
-    return audio, pwr, wf
+    wf = packed[na + np_:na + np_ + nwf].view(np.int8).reshape(d, w, cap)
+    rds = (packed[na + np_ + nwf:].view(np.int8).reshape(c, 2, rds_t)
+           if rds_t else None)
+    return audio, pwr, wf, rds
 
 
 def opus_decim_taps(cfg: ServerConfig) -> np.ndarray | None:
@@ -156,6 +172,11 @@ def opus_decim_taps(cfg: ServerConfig) -> np.ndarray | None:
 
 def stereo_params_for(cfg: ServerConfig) -> StereoParams | None:
     return make_stereo_params(cfg.audio_sps) if cfg.stereo else None
+
+
+def rds_params_for(cfg: ServerConfig) -> RDSParams | None:
+    return (make_rds_params(cfg.audio_sps, cfg.audio_fft_size // 2)
+            if cfg.rds else None)
 
 
 def nr_params_for(cfg: ServerConfig
@@ -198,6 +219,7 @@ def init_audio_state(cfg: ServerConfig, num_channels: int,
             if cfg.nr and cfg.nr_algo in ("lms", "notch")
             else init_nr_state(num_channels,
                                cfg.audio_fft_size // 2 if cfg.nr else 0)),
+        rds=init_rds_state(num_channels, rds_params_for(cfg)),
     )
 
 
@@ -271,8 +293,13 @@ def audio_from_spectra(
     decim_taps: np.ndarray | None = None,  # device Opus decimation
     stereo_params: StereoParams | None = None,  # device WBFM stereo
     nr_params: NRParams | None = None,  # device spectral noise reduction
-) -> tuple[AudioState, jnp.ndarray, jnp.ndarray]:
+    rds_params: RDSParams | None = None,  # device FM-RDS subcarrier demod
+) -> tuple[AudioState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Scan the batched demod + DC/AGC/int16 chain over B hops.
+
+    Returns (state, audio16, avg_power, rds8) -- rds8 is the int8
+    complex RDS baseband [C, 2, B*half/rds_decim] ([C, 2, 0] when
+    rds_params is None).
 
     ``reset`` (int32 per runtime.registry.RESET_*): 1 = zero ALL of the
     slot's carries -- a slot newly (re)assigned to a listener; the
@@ -302,6 +329,7 @@ def audio_from_spectra(
                              audio_state.dec),
             st=jax.tree.map(lambda x: zero_rows(x, full), audio_state.st),
             nr=jax.tree.map(lambda x: zero_rows(x, full), audio_state.nr),
+            rds=jax.tree.map(lambda x: zero_rows(x, full), audio_state.rds),
         )
 
     # ---- batched demod: one gather + one batched IFFT for ALL hops;
@@ -323,6 +351,22 @@ def audio_from_spectra(
     stream = audio_f.transpose(1, 0, 2).reshape(c, b * half)
     dc_st, stream = dc_blocker(audio_state.dc, stream, dc_delay)
     agc_st, stream = agc_process(audio_state.agc, stream, agc_params)
+
+    rds_st = audio_state.rds
+    if rds_params is not None:
+        # FM-RDS subcarrier demod (the reference leaves this to the
+        # browser's redsea WASM build, jsdsp/redsea.js): tap the
+        # post-AGC MPX -- exactly the stream the reference ships to the
+        # browser decoder -- BEFORE the optional noise processors,
+        # whose spectral shaping would eat the 57 kHz subcarrier.  Only
+        # FM listeners that sent {"cmd":"rds"} produce baseband; other
+        # rows are zeroed on device.
+        rds_col = (chans.rds if chans.rds is not None
+                   else jnp.zeros((c,), bool))
+        rds_on = chans.active & rds_col & (chans.mode == MODE_FM)
+        rds_st, rds8 = rds_process(rds_st, rds_params, stream, rds_on)
+    else:
+        rds8 = jnp.zeros((c, 2, 0), jnp.int8)
 
     nr_st = audio_state.nr
     if isinstance(nr_params, NBParams):
@@ -397,8 +441,8 @@ def audio_from_spectra(
         audio16 = float_to_int16(
             stream.reshape(c, b, half).transpose(1, 0, 2))  # [B, C, half]
     return (AudioState(chan=chan_st, dc=dc_st, agc=agc_st, dec=dec_st,
-                       st=st_st, nr=nr_st),
-            audio16, pwr)
+                       st=st_st, nr=nr_st, rds=rds_st),
+            audio16, pwr, rds8)
 
 
 class HopPipeline:
@@ -419,6 +463,11 @@ class HopPipeline:
         self.decim_taps = opus_decim_taps(cfg)  # host numpy; embeds in jit
         self.stereo_params = stereo_params_for(cfg)
         self.nr_params = nr_params_for(cfg)
+        self.rds_params = rds_params_for(cfg)
+        # RDS baseband samples per channel per step (0 when off)
+        self.rds_t = (cfg.hop_batch * (cfg.audio_fft_size // 2)
+                      // self.rds_params.decim
+                      if self.rds_params is not None else 0)
         if (self.stereo_params is not None
                 and cfg.hop_batch * (cfg.audio_fft_size // 2)
                 < self.stereo_params.delay):
@@ -448,7 +497,8 @@ class HopPipeline:
         z = jnp.zeros((c,), jnp.int32)
         return ChannelTable(l=z, r=z, m_idx=z, mode=z,
                             active=jnp.zeros((c,), bool),
-                            nr=jnp.zeros((c,), bool))
+                            nr=jnp.zeros((c,), bool),
+                            rds=jnp.zeros((c,), bool))
 
     def resize_channel_rows(self, state: HopState, k: int) -> HopState:
         """Slice (shrink) or zero-pad (grow) every per-channel carry to
@@ -485,6 +535,7 @@ class HopPipeline:
                 dec=jax.tree.map(lambda x: conv(x, nch), a.dec),
                 st=jax.tree.map(lambda x: conv(x, 1), a.st),
                 nr=jax.tree.map(lambda x: conv(x, 1), a.nr),
+                rds=jax.tree.map(lambda x: conv(x, 1), a.rds),
             ))
         return jax.jit(mk)(state)
 
@@ -516,20 +567,21 @@ class HopPipeline:
                 wf = gather_waterfall_views(due, views, self.view_cap)
 
         spec_ext = extend_spectrum(spec, cfg.is_real, r, a)
-        audio_st, audio16, pwr = audio_from_spectra(
+        audio_st, audio16, pwr, rds8 = audio_from_spectra(
             cfg, self.agc_params, self.dc_delay,
             state.audio, spec_ext, chans, state.frame, reset,
             decim_taps=self.decim_taps, stereo_params=self.stereo_params,
-            nr_params=self.nr_params,
+            nr_params=self.nr_params, rds_params=self.rds_params,
         )
         new_state = HopState(frame=state.frame + b, audio=audio_st)
         if waterfall == "views":
-            packed = pack_outputs(audio16, pwr, wf)
+            packed = pack_outputs(audio16, pwr, wf, rds8)
         else:
             packed = pack_outputs(audio16, pwr,
-                                  jnp.zeros((0,), jnp.int8))
+                                  jnp.zeros((0,), jnp.int8), rds8)
         return new_state, HopOutputs(audio=audio16, avg_power=pwr,
-                                     wf=wf, pyramid=pyr, packed=packed)
+                                     wf=wf, pyramid=pyr, rds=rds8,
+                                     packed=packed)
 
     # ------------------------------------------------------------------
     def empty_views(self, num: int = 0) -> WaterfallViews:
@@ -567,10 +619,13 @@ class HopPipeline:
                                       due_idx)
 
 
-def channels_from_numpy(l, r, m_idx, mode, active, nr=None) -> ChannelTable:
+def channels_from_numpy(l, r, m_idx, mode, active, nr=None,
+                        rds=None) -> ChannelTable:
     """Host-side helper: build a device ChannelTable from numpy arrays."""
     if nr is None:
         nr = np.zeros(np.shape(l), bool)
+    if rds is None:
+        rds = np.zeros(np.shape(l), bool)
     return ChannelTable(
         l=jnp.asarray(l, jnp.int32),
         r=jnp.asarray(r, jnp.int32),
@@ -578,4 +633,5 @@ def channels_from_numpy(l, r, m_idx, mode, active, nr=None) -> ChannelTable:
         mode=jnp.asarray(mode, jnp.int32),
         active=jnp.asarray(active, bool),
         nr=jnp.asarray(nr, bool),
+        rds=jnp.asarray(rds, bool),
     )

@@ -346,27 +346,28 @@ class DSPDriver:
                 from ..parallel.sharded import unpack_outputs_sharded
 
                 rows = self.pipe.due_cap_local if due is not None else 0
-                audio, pwr, wf = unpack_outputs_sharded(
+                audio, pwr, wf, rds = unpack_outputs_sharded(
                     packed, cfg.mesh_devices, cfg.hop_batch,
                     k, cfg.audio_fft_size // 2,
                     w, self.pipe.view_cap, rows, decim=decim,
-                    nch=cfg.audio_channels,
+                    nch=cfg.audio_channels, rds_t=self.pipe.rds_t,
                 )
                 if wf is not None:
                     wf = wf[wf_sel]  # padded per-shard rows -> due order
             else:
                 d = self.pipe.due_cap if due is not None else 0
-                audio, pwr, wf = unpack_outputs(
+                audio, pwr, wf, rds = unpack_outputs(
                     packed, cfg.hop_batch, k,
                     cfg.audio_fft_size // 2, d, w, self.pipe.view_cap,
                     decim=decim, nch=cfg.audio_channels,
+                    rds_t=self.pipe.rds_t,
                 )
             self.metrics.step_seconds.append(time.monotonic() - t0)
             try:
                 self.consumer(frame0, audio, pwr,
                               wf if due is not None else None,
                               due if due is not None else [],
-                              wf_meta, audio_meta)
+                              wf_meta, audio_meta, rds)
             except Exception:
                 import traceback
 

@@ -37,6 +37,7 @@ class AudioSlot:
     user_id: str = ""
     mute: bool = False
     nr: bool = False
+    rds: bool = False
 
 
 @dataclass
@@ -72,6 +73,7 @@ class ChannelRegistry:
         self.mode = np.zeros(c, np.int32)
         self.active = np.zeros(c, bool)
         self.nr = np.zeros(c, bool)   # per-client spectral NR opt-in
+        self.rds = np.zeros(c, bool)  # per-client FM-RDS opt-in
         # fractional mid (packet metadata only; the device uses m_idx):
         # snapshotted WITH the table so in-flight steps are labeled with
         # the coordinates they were demodulated at
@@ -99,6 +101,7 @@ class ChannelRegistry:
                 del self.slots[slot.slot]
                 self.active[slot.slot] = False
                 self.nr[slot.slot] = False
+                self.rds[slot.slot] = False
                 self._fresh.discard(slot.slot)
                 self._agc_fresh.discard(slot.slot)
                 self._free.append(slot.slot)
@@ -160,6 +163,14 @@ class ChannelRegistry:
             slot.nr = bool(enabled)
             self.version += 1
 
+    def set_rds(self, slot: AudioSlot, enabled: bool) -> None:
+        """Per-client FM-RDS opt-in ({"cmd":"rds"} extension; only
+        effective when the server runs with [input] rds=true)."""
+        with self._lock:
+            self.rds[slot.slot] = bool(enabled)
+            slot.rds = bool(enabled)
+            self.version += 1
+
     # ------------------------------------------------------------- device
     def snapshot(self) -> tuple[int, tuple[np.ndarray, ...],
                                 np.ndarray | None,
@@ -195,6 +206,7 @@ class ChannelRegistry:
             return self.version, (
                 self.l.copy(), self.r.copy(), self.m_idx.copy(),
                 self.mode.copy(), self.active.copy(), self.nr.copy(),
+                self.rds.copy(),
             ), mask, (self.l.copy(), self.r.copy(), self.mid.copy())
 
     @property
@@ -228,7 +240,8 @@ class ChannelRegistry:
                           self.m_idx[sl].copy(), self.mode[sl].copy(),
                           self.active[sl].copy(),
                           self.mid[sl].copy(),
-                          self.nr[sl].copy()), mask
+                          self.nr[sl].copy(),
+                          self.rds[sl].copy()), mask
 
     def merge_rows(self, offset: int, arrays: tuple[np.ndarray, ...],
                    resets: np.ndarray | None) -> None:
@@ -243,6 +256,8 @@ class ChannelRegistry:
             self.mid[sl] = arrays[5]
             if len(arrays) > 6:
                 self.nr[sl] = arrays[6]
+            if len(arrays) > 7:
+                self.rds[sl] = arrays[7]
             if resets is not None:
                 for i in np.nonzero(resets)[0]:
                     s = offset + int(i)

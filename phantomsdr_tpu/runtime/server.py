@@ -176,6 +176,9 @@ class AudioConn:
             self.encoder = FlacEncoder(cfg.audio_sps,
                                        channels=cfg.audio_channels)
             self.is_opus = False
+        # per-listener RDS protocol decoder ({"cmd":"rds"}); only read
+        # by this conn's affine encode worker, so no locking
+        self.rds_decoder = None
 
     def handle_command(self, msg: str):
         try:
@@ -222,6 +225,28 @@ class AudioConn:
             if self.server.cfg.nr:
                 self.server.channels.set_nr(
                     self.slot, bool(cmd.get("enabled", False)))
+        elif name == "rds":
+            # extension: server-side FM-RDS decoding opt-in (ops/rds.py
+            # + runtime/rds.py); a no-op unless the server runs
+            # [input] rds=true.  The reference decodes RDS browser-side
+            # (jsdsp/redsea.js).  Re-enabling makes a fresh decoder, so
+            # a retune to another station starts from clean sync.
+            if self.server.cfg.rds:
+                enabled = bool(cmd.get("enabled", False))
+                # build the decoder BEFORE the registry flips the column:
+                # dispatch() runs on this same event loop, so the device
+                # baseband can never arrive at a conn without a decoder
+                if enabled:
+                    from ..ops.rds import rds_decim_for
+                    from .rds import RDSDecoder
+
+                    cfg = self.server.cfg
+                    d = rds_decim_for(cfg.audio_sps,
+                                      cfg.audio_fft_size // 2)
+                    self.rds_decoder = RDSDecoder(cfg.audio_sps / d)
+                else:
+                    self.rds_decoder = None
+                self.server.channels.set_rds(self.slot, enabled)
 
 
 class WaterfallConn:
@@ -355,6 +380,10 @@ class SpectrumServer:
             # extension: server-side spectral NR available; clients may
             # send {"cmd":"nr","enabled":true}
             "nr_available": cfg.nr,
+            # extension: server-side FM-RDS decoding available; clients
+            # may send {"cmd":"rds","enabled":true} and receive
+            # {"type":"rds", pi/ps/rt/pty/...} JSON text frames
+            "rds_available": cfg.rds,
         })
 
     # -------------------------------------------------------- handlers
@@ -588,10 +617,11 @@ class SpectrumServer:
     # -------------------------------------------------------- dispatch
     def dispatch(self, frame0: int, audio: np.ndarray, pwr: np.ndarray,
                  wf: np.ndarray | None, due_positions: list[int],
-                 wf_meta=None, audio_meta=None):
+                 wf_meta=None, audio_meta=None, rds: np.ndarray | None = None):
         """Called (via call_soon_threadsafe) with one device batch:
         audio [B, C, A/2] int16, pwr [B, C], wf [D, W, view_cap] int8
-        client waterfall views for the batch's due hop positions.
+        client waterfall views for the batch's due hop positions,
+        rds [C, 2, T] int8 RDS baseband (None unless [input] rds).
         wf_meta: (l, r, level) per-cid arrays; audio_meta: (l, r, mid)
         per-slot arrays -- both snapshotted when the step was SUBMITTED:
         packets must be labeled with the coordinates the data was
@@ -625,6 +655,13 @@ class SpectrumServer:
                                     self._encode_audio_job(
                                         c, frame0, b, mid, width, p, pw,
                                         decimated))
+            if (rds is not None and s.rds and li < rds.shape[0]
+                    and conn.rds_decoder is not None):
+                # RDS protocol decode on the SAME affine worker (keeps
+                # the per-listener bitstream ordered with zero locks)
+                self.encode_pool.submit(
+                    slot_id, lambda c=conn, z=rds[li]:
+                    self._decode_rds_job(c, z))
         # ---- waterfall ----
         if wf is None or wf.shape[0] == 0:
             self._dispatch_seconds.append(time.perf_counter() - t_start)
@@ -694,6 +731,18 @@ class SpectrumServer:
         if pkts and self.loop is not None:
             self._post_threadsafe(conn, pkts)
 
+    def _decode_rds_job(self, conn: AudioConn, z: np.ndarray):
+        """Feed one step's int8 baseband [2, T] to the listener's RDS
+        decoder; post a {"type":"rds",...} JSON text frame when a
+        displayed field (PI/PS/RadioText/PTY) changed."""
+        dec = conn.rds_decoder
+        if dec is None:  # disabled between submit and decode
+            return
+        upd = dec.feed(z)
+        if upd is not None and self.loop is not None:
+            upd["type"] = "rds"
+            self._post_threadsafe(conn, [json.dumps(upd)])
+
     def _encode_waterfall_job(self, conn: WaterfallConn, entries: list,
                               sl: int, sr: int, slev: int):
         pkts = []
@@ -712,12 +761,12 @@ class SpectrumServer:
             self._post_threadsafe(conn, pkts)
 
     def dispatch_threadsafe(self, frame0, audio, pwr, wf, due_positions,
-                            wf_meta=None, audio_meta=None):
+                            wf_meta=None, audio_meta=None, rds=None):
         if self.loop is None:
             return
         self.loop.call_soon_threadsafe(
             self.dispatch, frame0, audio, pwr, wf, due_positions, wf_meta,
-            audio_meta,
+            audio_meta, rds,
         )
 
     # ---------------------------------------------------------- state

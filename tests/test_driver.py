@@ -61,7 +61,8 @@ def test_driver_end_to_end_with_consumer():
     got = []
     done = threading.Event()
 
-    def consumer(frame0, audio, pwr, wfviews, due, wf_meta, audio_meta):
+    def consumer(frame0, audio, pwr, wfviews, due, wf_meta, audio_meta,
+                 rds=None):
         got.append((frame0, audio.shape, None if wfviews is None
                     else wfviews.shape, list(due)))
         if len(got) >= nblocks:
@@ -134,7 +135,8 @@ def test_channel_bucketing_grow_and_shrink():
     done = threading.Event()
     high = {}
 
-    def consumer(frame0, audio, pwr, wfviews, due, wf_meta, audio_meta):
+    def consumer(frame0, audio, pwr, wfviews, due, wf_meta, audio_meta,
+                 rds=None):
         widths.append(audio.shape[1])
         # grow mid-run: activate slots 1 and 2 (slot 2 >= bucket 2)
         if len(widths) == 3:

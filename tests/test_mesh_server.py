@@ -45,7 +45,8 @@ def run_driver(cfg, data, nblocks):
     got = []
     done = threading.Event()
 
-    def consumer(frame0, audio, pwr, wfviews, due, wf_meta, audio_meta):
+    def consumer(frame0, audio, pwr, wfviews, due, wf_meta, audio_meta,
+                 rds=None):
         got.append((frame0, audio.copy(), pwr.copy(),
                     None if wfviews is None else wfviews.copy(), list(due)))
         if len(got) >= nblocks:

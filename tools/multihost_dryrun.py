@@ -67,7 +67,8 @@ def base_table(cfg):
     c = cfg.max_channels
     l = np.linspace(10, cfg.fft_result_size - 200, c).astype(np.int32)
     return [l, l + 64, l + 32, np.arange(c, dtype=np.int32) % 4,
-            np.ones(c, bool), np.zeros(c, bool)]  # active, nr
+            np.ones(c, bool), np.zeros(c, bool),
+            np.zeros(c, bool)]  # active, nr, rds
 
 
 def retuned_row():

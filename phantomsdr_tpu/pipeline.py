@@ -360,11 +360,28 @@ def audio_from_spectra(
         # browser decoder -- BEFORE the optional noise processors,
         # whose spectral shaping would eat the 57 kHz subcarrier.  Only
         # FM listeners that sent {"cmd":"rds"} produce baseband; other
-        # rows are zeroed on device.
+        # rows are zeroed on device.  With no RDS listener at all the
+        # whole stage (a per-sample PLL lax.scan, the most serial op in
+        # the step) is skipped via lax.cond; the carries then go stale
+        # exactly like the reference's no-client FFT skip -- the next
+        # listener's decoder resyncs from the stream, and a freshly
+        # (re)used slot is zeroed by the RESET_FULL mask anyway.
         rds_col = (chans.rds if chans.rds is not None
                    else jnp.zeros((c,), bool))
         rds_on = chans.active & rds_col & (chans.mode == MODE_FM)
-        rds_st, rds8 = rds_process(rds_st, rds_params, stream, rds_on)
+        t_out = stream.shape[-1] // rds_params.decim
+
+        def _rds_run(st):
+            return rds_process(st, rds_params, stream, rds_on)
+
+        def _rds_skip(st):
+            # zeros derived from the (mesh-varying) stream so both cond
+            # branches agree on the varying-axis type under shard_map
+            z = jnp.zeros_like(stream[:, :1])[:, None, :]     # [C, 1, 1]
+            return st, jnp.broadcast_to(z, (c, 2, t_out)).astype(jnp.int8)
+
+        rds_st, rds8 = jax.lax.cond(jnp.any(rds_on), _rds_run, _rds_skip,
+                                    rds_st)
     else:
         rds8 = jnp.zeros((c, 2, 0), jnp.int8)
 

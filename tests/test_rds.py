@@ -299,6 +299,35 @@ def test_rds_sharded_matches_single_device():
     assert not np.any(np.asarray(o1.rds)[1])   # non-opted row zeroed
 
 
+def test_rds_stage_skipped_without_listeners():
+    """With [input] rds=true but no opted-in listener, the whole device
+    stage is skipped (lax.cond): output rows are zero and the RDS
+    carries do not advance (the PLL phase would move every step if the
+    scan ran).  Opting in engages the stage."""
+    cfg = _pipe_cfg()
+    pipe = HopPipeline(cfg)
+    half = cfg.audio_fft_size // 2
+    mid = cfg.fft_result_size // 2
+
+    def tbl(rds_flags):
+        return channels_from_numpy(
+            l=[mid - half // 2] * 2, r=[mid + half // 2] * 2,
+            m_idx=[mid] * 2, mode=[3, 3], active=[True, True],
+            rds=rds_flags)
+
+    rng = np.random.default_rng(1)
+    n = cfg.hop_size * (cfg.hop_batch + 1) * 2
+    state = pipe.init_state()
+    raw = rng.integers(-20000, 20000, n, dtype=np.int16)
+    state, out = pipe.step(state, jnp.asarray(raw), tbl([False, False]),
+                           waterfall="off")
+    assert not np.any(np.asarray(out.rds))
+    np.testing.assert_array_equal(np.asarray(state.audio.rds.phase), 0.0)
+    state, _ = pipe.step(state, jnp.asarray(raw), tbl([True, False]),
+                         waterfall="off")
+    assert np.any(np.asarray(state.audio.rds.phase) != 0.0)
+
+
 def test_rds_server_protocol():
     """Serving edge: basic_info advertises rds_available, the
     {"cmd":"rds"} opt-in flips the registry column, dispatch routes the

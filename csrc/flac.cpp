@@ -324,6 +324,29 @@ int phantom_flac_finish(void *enc, uint8_t *out, int cap) {
     return ((FlacEncoder *)enc)->finish(out, cap);
 }
 
+// Encode `nchunks` consecutive chunks of `chunk_len` interleaved
+// samples in ONE call, recording the bytes emitted per chunk into
+// sizes[].  Bit-identical to nchunks separate process() calls (same
+// encoder state stream, split at the same points); exists because the
+// serving edge makes one call per listener per step instead of one
+// per hop (the reference posts a per-hop job per client,
+// websocket.cpp:180-182 -- here the hop loop runs native).  Returns
+// total bytes, or -1 when `out` overflows.
+int phantom_flac_process_chunks(void *enc, const int16_t *samples,
+                                int nchunks, int chunk_len,
+                                uint8_t *out, int cap, int *sizes) {
+    auto *e = (FlacEncoder *)enc;
+    int total = 0;
+    for (int i = 0; i < nchunks; i++) {
+        int n = e->process(samples + (size_t)i * chunk_len, chunk_len,
+                           out + total, cap - total);
+        if (n < 0) return -1;
+        sizes[i] = n;
+        total += n;
+    }
+    return total;
+}
+
 void phantom_flac_destroy(void *enc) { delete (FlacEncoder *)enc; }
 
 }  // extern "C"

@@ -56,6 +56,11 @@ def _load_hostlib():
     lib.phantom_flac_finish.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
     ]
+    lib.phantom_flac_process_chunks.restype = ctypes.c_int
+    lib.phantom_flac_process_chunks.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+    ]
     lib.phantom_flac_destroy.argtypes = [ctypes.c_void_p]
     _hostlib = lib
     return lib
@@ -87,13 +92,36 @@ class FlacEncoder:
         )
         if n < 0:
             raise RuntimeError("flac output buffer too small")
-        return self._out.raw[:n]
+        # string_at, NOT ._out.raw[:n] -- .raw copies the whole 1 MB
+        # buffer per call (~50 us), which dominated the encode cost
+        return ctypes.string_at(self._out, n)
+
+    def process_chunks(self, chunks: np.ndarray) -> list[bytes]:
+        """chunks: int16 [nchunks, chunk_len] -> per-chunk encoded
+        bytes (entries may be empty).  Bit-identical to nchunks
+        process() calls but ONE native call: the serving edge encodes a
+        listener's whole hop batch per call instead of per hop (5-6x
+        less Python/ctypes overhead per client per step)."""
+        chunks = np.ascontiguousarray(chunks, dtype=np.int16)
+        nch, clen = chunks.shape
+        sizes = (ctypes.c_int * nch)()
+        n = self._lib.phantom_flac_process_chunks(
+            self._enc, chunks.ctypes.data, nch, clen, self._out,
+            self._cap, sizes)
+        if n < 0:
+            raise RuntimeError("flac output buffer too small")
+        buf = ctypes.string_at(self._out, n)
+        out, off = [], 0
+        for i in range(nch):
+            out.append(buf[off:off + sizes[i]])
+            off += sizes[i]
+        return out
 
     def finish(self) -> bytes:
         n = self._lib.phantom_flac_finish(self._enc, self._out, self._cap)
         if n < 0:
             raise RuntimeError("flac finish failed")
-        return self._out.raw[:n]
+        return ctypes.string_at(self._out, n)
 
     def close(self):
         if self._enc:
@@ -214,7 +242,7 @@ class OpusChunkEncoder:
                 self._enc, frame.ctypes.data, fs, self._buf, 1024
             )
             if n > 1:
-                out.append(self._buf.raw[:n])
+                out.append(ctypes.string_at(self._buf, n))
             self._pending = self._pending[need:]
         return out
 

@@ -716,14 +716,17 @@ class SpectrumServer:
                 h = (j * b) // k
                 pkts.append(cbor.audio_packet(
                     frame0 + h, 0, mid, width, float(pw[h]), payload))
-        else:
+        elif conn.is_opus:
             for h in range(b):
-                if conn.is_opus:
-                    payloads = conn.encoder.process(pcm[h])
-                else:
-                    d = conn.encoder.process(pcm[h])
-                    payloads = [d] if d else []
-                for payload in payloads:
+                for payload in conn.encoder.process(pcm[h]):
+                    pkts.append(cbor.audio_packet(
+                        frame0 + h, 0, mid, width, float(pw[h]), payload))
+        else:
+            # one native call per step: the hop loop runs in C
+            # (phantom_flac_process_chunks), per-hop packets and bytes
+            # bit-identical to per-hop process() calls
+            for h, payload in enumerate(conn.encoder.process_chunks(pcm)):
+                if payload:
                     # l is slice-relative (always 0), m is the absolute
                     # mid, r is the slice width
                     pkts.append(cbor.audio_packet(

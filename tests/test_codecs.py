@@ -155,6 +155,27 @@ def test_flac_roundtrip_tonal():
     assert len(data) < 2 * x.size  # better than raw int16
 
 
+def test_flac_process_chunks_bit_identical():
+    """process_chunks (one native call per step, per-hop splits) emits
+    exactly the bytes of per-hop process() calls -- the serving edge
+    swaps the Python hop loop for the C one with an unchanged wire
+    stream.  Covers blocksize-straddling chunks and stereo."""
+    r = np.random.default_rng(3)
+    for channels, clen in ((1, 128), (2, 256), (1, 4096 + 64)):
+        e1 = FlacEncoder(12000, channels=channels)
+        e2 = FlacEncoder(12000, channels=channels)
+        for _ in range(30):
+            p = (r.standard_normal((7, clen)) * 9000).astype(np.int16)
+            per_hop = [e1.process(p[h]) for h in range(7)]
+            assert per_hop == e2.process_chunks(p)
+    # and the concatenation still decodes
+    e3 = FlacEncoder(12000, blocksize=512)
+    x = (r.standard_normal((4, 700)) * 8000).astype(np.int16)
+    data = b"".join(e3.process_chunks(x)) + e3.finish()
+    sr, got = decode_flac(data)
+    np.testing.assert_array_equal(got, x.reshape(-1).astype(np.int32))
+
+
 def test_opus_smoke():
     enc = OpusChunkEncoder(12000)
     assert enc.frame_size == 240

@@ -89,6 +89,10 @@ def main():
     ap.add_argument("--kbig", type=int, default=256)
     ap.add_argument("--out", default="PROFILE.json")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--optin", action="store_true",
+                    help="also profile the opt-in stages (WBFM stereo, "
+                         "the three noise processors, RDS) at the "
+                         "192 kHz WBFM-profile block shape")
     args = ap.parse_args()
 
     import jax
@@ -218,6 +222,72 @@ def main():
 
     t = slope(s_dcagc, lambda y: jnp.sum(y), audio_blk, args.kbig)
     results["stages_ms"]["dc_agc"] = round(t * 1e3, 3)
+
+    # ---- opt-in stages (device side of stereo / nr / rds) ----
+    if args.optin:
+        from phantomsdr_tpu.ops.stereo import (
+            make_stereo_params, init_stereo_state, stereo_decode,
+        )
+        from phantomsdr_tpu.ops.nr import (
+            make_nr_params, init_nr_state, nr_process,
+        )
+        from phantomsdr_tpu.ops.anr import (
+            make_anr_params, init_anr_state, anr_process,
+        )
+        from phantomsdr_tpu.ops.nb import (
+            make_nb_params, init_nb_state, nb_process,
+        )
+        from phantomsdr_tpu.ops.rds import (
+            make_rds_params, init_rds_state, rds_process,
+        )
+
+        fs = 192000
+        t_len = b * 2048          # WBFM-profile-class audio block
+        kb = min(32, args.kbig)   # per-sample scans: keep runs bounded
+
+        def host_state(mk):
+            """All-zero HOST-numpy state (device-resident closure
+            constants hang axon lowering -- CLAUDE.md gotcha)."""
+            return jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
+                                jax.eval_shape(mk))
+
+        stream = jax.jit(lambda k: jax.random.normal(k, (c, t_len)))(
+            jax.random.PRNGKey(3))
+        jax.block_until_ready(stream)
+        fm_mask = np.ones(c, bool)
+        results["optin_config"] = {"fs": fs, "block": [c, t_len],
+                                   "kbig": kb}
+        results["optin_stages_ms"] = {}
+
+        sp = make_stereo_params(fs)
+        st0 = host_state(lambda: init_stereo_state(c, sp))
+        t = slope(lambda x: stereo_decode(st0, sp, x, fm_mask)[1],
+                  lambda y: jnp.sum(y), stream, kb)
+        results["optin_stages_ms"]["stereo_decode"] = round(t * 1e3, 3)
+
+        nrp = make_nr_params(2048)
+        nst0 = host_state(lambda: init_nr_state(c, 2048))
+        t = slope(lambda x: nr_process(nst0, nrp, x, b)[1],
+                  lambda y: jnp.sum(y), stream, kb)
+        results["optin_stages_ms"]["nr_spectral"] = round(t * 1e3, 3)
+
+        ap_ = make_anr_params(notch=False)
+        ast0 = host_state(lambda: init_anr_state(c, ap_))
+        t = slope(lambda x: anr_process(ast0, ap_, x)[1],
+                  lambda y: jnp.sum(y), stream, kb)
+        results["optin_stages_ms"]["nr_lms"] = round(t * 1e3, 3)
+
+        nbp = make_nb_params()
+        bst0 = host_state(lambda: init_nb_state(c, nbp))
+        t = slope(lambda x: nb_process(bst0, nbp, x)[1],
+                  lambda y: jnp.sum(y), stream, kb)
+        results["optin_stages_ms"]["nb_blanker"] = round(t * 1e3, 3)
+
+        rp = make_rds_params(fs, 2048)
+        rst0 = host_state(lambda: init_rds_state(c, rp))
+        t = slope(lambda x: rds_process(rst0, rp, x, fm_mask)[1],
+                  lambda y: jnp.sum(y.astype(jnp.float32)), stream, kb)
+        results["optin_stages_ms"]["rds_downmix"] = round(t * 1e3, 3)
 
     # ---- end-to-end step (normal path, packed fetch per step) ----
     pipe = HopPipeline(cfg)

@@ -128,10 +128,16 @@ def nb_process(state: NBState, params: NBParams, x: jnp.ndarray
     lpc_power = jnp.sum(lpcs[:, :order] ** 2, axis=1)  # excl. lpcs[order]
     thr = jnp.float32(params.thresh) * jnp.sqrt(sigma2 * lpc_power)
 
-    # ---- sequential impulse search with skip-ahead ----
-    def search(carry, pos):
+    # ---- sequential impulse search with skip-ahead.  The scanned-over
+    # xs carry each position's residual COLUMN [C] directly: a
+    # `temp[:, pos]` dynamic gather inside the body costs ~2.5 us per
+    # iteration on TPU (~91 ms for the whole search at T=36864) where
+    # the xs-sliced form costs ~0.25 us -- the same lesson as the PLL
+    # scans (PERF.md opt-in table)
+    def search(carry, inp):
+        pos, col = inp
         nxt, count, positions = carry
-        det = ((jnp.abs(temp[:, pos]) > thr)
+        det = ((jnp.abs(col) > thr)
                & (pos >= nxt) & (count < N_IMPULSE_COUNT))
         onehot = (jnp.arange(N_IMPULSE_COUNT)[None, :]
                   == count[:, None]) & det[:, None]
@@ -144,7 +150,9 @@ def nb_process(state: NBState, params: NBParams, x: jnp.ndarray
             jnp.zeros((c,), jnp.int32),
             jnp.zeros((c, N_IMPULSE_COUNT), jnp.int32))
     (nxt, count, positions), _ = jax.lax.scan(
-        search, init, jnp.arange(order + pl, t, dtype=jnp.int32))
+        search, init,
+        (jnp.arange(order + pl, t, dtype=jnp.int32),
+         temp[:, order + pl:].T))
 
     # ---- prediction transfer functions (negated, NB.c:218-219) ----
     fwd = -rev[:, :order]          # [lpc_order .. lpc_1] negated

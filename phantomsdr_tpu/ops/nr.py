@@ -119,8 +119,14 @@ def init_nr_state(num_channels: int, half: int) -> NRState:
 
 def _gain_frame(p: NRParams, st: NRState, x_pow: jnp.ndarray):
     """One frame of the noise/SNR/gain recursion.  x_pow: [C, F]
-    squared magnitudes.  Returns (new carries, G [C, F])."""
-    c, f = x_pow.shape
+    squared magnitudes.  Returns (new carries, unsmoothed G [C, F],
+    running mask [C, 1]).
+
+    Only the RECURSION lives here (it must run frame-sequentially);
+    the musical-noise smoothing depends solely on this frame's gains
+    and powers -- the hk carry uses the PRE-smoothing gain
+    (NR_spectral.c:253 before :257) -- so it is applied batched over
+    all frames afterwards (_smooth_gains)."""
     fresh = (st.stage == 0)[:, None]
     pslp = jnp.where(fresh, jnp.float32(PSINI), st.pslp)
     hk_old = jnp.where(fresh, 1.0, st.hk_old)
@@ -154,29 +160,6 @@ def _gain_frame(p: NRParams, st: NRState, x_pow: jnp.ndarray):
                         GAIN_LIMIT)
     hk_new = snr_post * g_run * g_run
 
-    # ---- musical-noise smoothing (bins [1, F), NR_spectral.c:257) ----
-    bins = jnp.arange(f)
-    band = (bins >= 1)[None, :]
-    pre = jnp.sum(jnp.where(band, x_pow, 0.0), axis=1)
-    post = jnp.sum(jnp.where(band, g_run * g_run * x_pow, 0.0), axis=1)
-    pr = post / (pre + 1e-30)
-    nn = jnp.where(pr > POWER_THRESHOLD, 1,
-                   1 + 2 * jnp.floor(0.5 + NR_WIDTH *
-                                     (1.0 - pr / POWER_THRESHOLD))
-                   .astype(jnp.int32))
-    h = (nn // 2)[:, None]                                    # [C, 1]
-    cs = jnp.concatenate(
-        [jnp.zeros((c, 1), jnp.float32), jnp.cumsum(g_run, axis=1)],
-        axis=1)                                               # [C, F+1]
-    hi = jnp.clip(bins[None, :] + h + 1, 0, f)
-    lo = jnp.clip(bins[None, :] - h, 0, f)
-    sm = (jnp.take_along_axis(cs, hi, axis=1)
-          - jnp.take_along_axis(cs, lo, axis=1)) / nn[:, None]
-    centre = (bins[None, :] >= 1 + h) & (bins[None, :] < f - h)
-    g_run = jnp.where(centre, sm, g_run)
-
-    # ---- combine stages: pre-run frames pass through at G = 1 ----
-    g = jnp.where(running, g_run, 1.0)
     new = NRState(
         stage=stage,
         last_in=st.last_in, last_ifft=st.last_ifft,  # caller updates
@@ -185,35 +168,94 @@ def _gain_frame(p: NRParams, st: NRState, x_pow: jnp.ndarray):
         pslp=jnp.where(running, pslp_r, pslp),
         hk_old=jnp.where(running, hk_new, hk_old),
     )
-    return new, g
+    return new, g_run, running
+
+
+def _smooth_gains(g_run: jnp.ndarray, x_pow: jnp.ndarray,
+                  running: jnp.ndarray) -> jnp.ndarray:
+    """Musical-noise smoothing (bins [1, F), NR_spectral.c:257-314),
+    batched over any leading dims; pre-run frames pass G = 1.
+
+    The window width nn is data-dependent per (frame, channel) but can
+    only take the values {1, 3, 5, 7, 9} (NR_WIDTH = 4): the moving
+    average is computed for ALL five widths with STATIC index shifts of
+    one shared cumsum and the per-row width selects among them -- a
+    data-dependent take_along_axis gather along the bin axis measures
+    ~120 ms on TPU for the same block where this form costs <1 ms
+    (arbitrary lane-axis gathers are the slowest op class on the VPU;
+    same lesson as the pyramid's strided slicing, PERF.md)."""
+    f = g_run.shape[-1]
+    bins = jnp.arange(f)
+    band = bins >= 1
+    pre = jnp.sum(jnp.where(band, x_pow, 0.0), axis=-1)
+    post = jnp.sum(jnp.where(band, g_run * g_run * x_pow, 0.0), axis=-1)
+    pr = post / (pre + 1e-30)
+    nn = jnp.where(pr > POWER_THRESHOLD, 1,
+                   1 + 2 * jnp.floor(0.5 + NR_WIDTH *
+                                     (1.0 - pr / POWER_THRESHOLD))
+                   .astype(jnp.int32))
+    h_sel = (nn // 2)[..., None]                              # [..., 1]
+    cs = jnp.concatenate(
+        [jnp.zeros(g_run.shape[:-1] + (1,), jnp.float32),
+         jnp.cumsum(g_run, axis=-1)], axis=-1)                # [..., F+1]
+    g = g_run
+    for h in range(1, NR_WIDTH + 1):
+        # cs[b+h+1] - cs[b-h] via static slices + edge pads (the pads
+        # land only on bins the centre mask excludes)
+        hi_v = jnp.concatenate(
+            [cs[..., h + 1:],
+             jnp.repeat(cs[..., -1:], h, axis=-1)], axis=-1)  # [..., F]
+        lo_v = jnp.concatenate(
+            [jnp.repeat(cs[..., :1], h, axis=-1),
+             cs[..., :f - h]], axis=-1)                       # [..., F]
+        sm = (hi_v - lo_v) / jnp.float32(2 * h + 1)
+        centre = (bins >= 1 + h) & (bins < f - h)
+        g = jnp.where((h_sel == h) & centre, sm, g)
+    return jnp.where(running, g, 1.0)
 
 
 def nr_process(state: NRState, params: NRParams, x: jnp.ndarray,
                num_frames: int) -> tuple[NRState, jnp.ndarray]:
     """Denoise the int16-domain stream x [C, num_frames*F] -> same
-    shape.  Streaming-continuous: all history is carried in `state`."""
+    shape.  Streaming-continuous: all history is carried in `state`.
+
+    TPU structure (the demodulate_batch trick, PERF.md): ONLY the
+    cheap elementwise noise/SNR recursion runs in the frame scan; the
+    forward FFTs of all frames are batched before it (each frame's
+    input is the previous+current half-frame, all present in x up to
+    the state.last_in seed), and the gain smoothing, spectral
+    weighting, IFFTs and overlap-add run batched after it (the OLA is
+    an in-batch shift seeded by state.last_ifft).  Measured on TPU at
+    [128 ch, 18 frames of 2048]: 99.9 -> a few ms (tools/profile.py
+    --optin)."""
     c, t = x.shape
-    f = t // num_frames
-    win = jnp.asarray(params.window)                         # [2F]
-    frames = x.reshape(c, num_frames, f).transpose(1, 0, 2)  # [N, C, F]
+    n = num_frames
+    f = t // n
+    win = jnp.asarray(params.window)                          # [2F]
+    cur = x.reshape(c, n, f).transpose(1, 0, 2)               # [N, C, F]
+    prev = jnp.concatenate([state.last_in[None], cur[:-1]])   # [N, C, F]
+    buf = jnp.concatenate([prev, cur], axis=2) * win[None, None, :]
+    z = jnp.fft.fft(buf.astype(jnp.complex64), axis=2)        # [N, C, 2F]
+    x_pow = z[..., :f].real ** 2 + z[..., :f].imag ** 2       # [N, C, F]
 
-    def body(st, cur):
-        buf = jnp.concatenate([st.last_in, cur], axis=1) * win[None, :]
-        z = jnp.fft.fft(buf.astype(jnp.complex64), axis=1)   # [C, 2F]
-        x_pow = (z[:, :f].real ** 2 + z[:, :f].imag ** 2)
-        st2, g = _gain_frame(params, st, x_pow)
-        # spectral weighting with the reference's 2F-1-b conjugate quirk:
-        # bins 1..F-1 get G[b]; bins F..2F-2 get G[2F-1-ai] = G[b] via
-        # the reversed tail; bin 0 and bin 2F-1 stay unscaled
-        gful = jnp.concatenate(
-            [jnp.ones((c, 1), jnp.float32), g[:, 1:],        # 0..F-1
-             g[:, 1:][:, ::-1],                              # F..2F-2
-             jnp.ones((c, 1), jnp.float32)], axis=1)         # 2F-1
-        y = jnp.fft.ifft(z * gful, axis=1).real * win[None, :]
-        out = jnp.round((y[:, :f] + st2.last_ifft)
-                        * jnp.float32(params.final_gain))
-        new = st2._replace(last_in=cur, last_ifft=y[:, f:])
-        return new, out
+    def body(st, xp):
+        st2, g_run, running = _gain_frame(params, st, xp)
+        return st2, (g_run, running)
 
-    state, outs = jax.lax.scan(body, state, frames)          # [N, C, F]
+    state, (g_run, running) = jax.lax.scan(body, state, x_pow)
+    g = _smooth_gains(g_run, x_pow, running)                  # [N, C, F]
+
+    # spectral weighting with the reference's 2F-1-b conjugate quirk:
+    # bins 1..F-1 get G[b]; bins F..2F-2 get G[2F-1-ai] = G[b] via
+    # the reversed tail; bin 0 and bin 2F-1 stay unscaled
+    one = jnp.ones((n, c, 1), jnp.float32)
+    gful = jnp.concatenate(
+        [one, g[..., 1:], g[..., 1:][..., ::-1], one], axis=2)
+    y = jnp.fft.ifft(z * gful, axis=2).real * win[None, None, :]
+    # overlap-add: frame i's first half + frame i-1's second half
+    # (seeded by the carried previous-step tail)
+    tails = jnp.concatenate([state.last_ifft[None], y[:-1, :, f:]])
+    outs = jnp.round((y[..., :f] + tails)
+                     * jnp.float32(params.final_gain))        # [N, C, F]
+    state = state._replace(last_in=cur[-1], last_ifft=y[-1, :, f:])
     return state, outs.transpose(1, 0, 2).reshape(c, t)

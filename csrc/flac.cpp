@@ -13,7 +13,13 @@
 //                               int channels /* 1 or 2 */)
 //   int     phantom_flac_process(void*, const int16_t* interleaved,
 //                                int n_total, uint8_t* out, int cap)
+//   int     phantom_flac_process_chunks(void*, const int16_t*, int
+//                                nchunks, int chunk_len, uint8_t* out,
+//                                int cap, int* sizes)
 //   int     phantom_flac_finish(void*, uint8_t* out, int cap)
+//   int     phantom_flac_take(void*, uint8_t* out, int cap)
+//     (process*/finish return -(needed) when `out` is too small; the
+//      encoded bytes stay stashed and take() retrieves them)
 //   void    phantom_flac_destroy(void*)
 //
 // Build: make -C csrc   (produces libphantomhost.so)
@@ -110,6 +116,10 @@ struct FlacEncoder {
     std::vector<int16_t> pending;   // interleaved when channels == 2
     std::vector<int16_t> chbuf;     // deinterleave scratch
     std::vector<int64_t> residual;  // scratch
+    std::vector<uint8_t> stash;     // encoded bytes awaiting pickup when
+    //                                 the caller's buffer was too small
+    //                                 (input is consumed before the size
+    //                                 is known; see phantom_flac_take)
 
     void write_streaminfo(std::vector<uint8_t> &out) {
         out.insert(out.end(), {'f', 'L', 'a', 'C'});
@@ -265,8 +275,12 @@ struct FlacEncoder {
         frame_number++;
     }
 
-    int process(const int16_t *samples, int n, uint8_t *out, int cap) {
-        std::vector<uint8_t> o;
+    // Encode into `o` (appending).  The input IS consumed here, so the
+    // size-vs-cap decision must happen on a buffer the encoder keeps --
+    // returning "too small" after dropping the bytes would corrupt the
+    // client's FLAC stream.
+    void process_vec(const int16_t *samples, int n,
+                     std::vector<uint8_t> &o) {
         if (!header_sent) {
             write_streaminfo(o);
             header_sent = true;
@@ -279,26 +293,37 @@ struct FlacEncoder {
             pos += need;
         }
         pending.erase(pending.begin(), pending.begin() + pos);
-        if ((int)o.size() > cap) return -(int)o.size();
-        memcpy(out, o.data(), o.size());
-        return (int)o.size();
+    }
+
+    // Copy stash to out, or return -(needed) with the stash KEPT so the
+    // caller can retry with a bigger buffer (phantom_flac_take).
+    int drain(uint8_t *out, int cap) {
+        if ((int)stash.size() > cap) return -(int)stash.size();
+        memcpy(out, stash.data(), stash.size());
+        int n = (int)stash.size();
+        stash.clear();
+        return n;
+    }
+
+    int process(const int16_t *samples, int n, uint8_t *out, int cap) {
+        stash.clear();
+        process_vec(samples, n, stash);
+        return drain(out, cap);
     }
 
     int finish(uint8_t *out, int cap) {
-        std::vector<uint8_t> o;
+        stash.clear();
         if (!header_sent) {
-            write_streaminfo(o);
+            write_streaminfo(stash);
             header_sent = true;
         }
         if (!pending.empty()) {
             // drop a trailing partial interleave group, if any
             int n = (int)(pending.size() / channels);
-            if (n > 0) encode_frame(pending.data(), n, o);
+            if (n > 0) encode_frame(pending.data(), n, stash);
             pending.clear();
         }
-        if ((int)o.size() > cap) return -(int)o.size();
-        memcpy(out, o.data(), o.size());
-        return (int)o.size();
+        return drain(out, cap);
     }
 };
 
@@ -331,20 +356,28 @@ int phantom_flac_finish(void *enc, uint8_t *out, int cap) {
 // serving edge makes one call per listener per step instead of one
 // per hop (the reference posts a per-hop job per client,
 // websocket.cpp:180-182 -- here the hop loop runs native).  Returns
-// total bytes, or -1 when `out` overflows.
+// total bytes, or -(needed) when `out` is too small -- the encoded
+// bytes are then retained and phantom_flac_take retrieves them (the
+// input is already consumed, so dropping them would corrupt the
+// stream).
 int phantom_flac_process_chunks(void *enc, const int16_t *samples,
                                 int nchunks, int chunk_len,
                                 uint8_t *out, int cap, int *sizes) {
     auto *e = (FlacEncoder *)enc;
-    int total = 0;
+    e->stash.clear();
     for (int i = 0; i < nchunks; i++) {
-        int n = e->process(samples + (size_t)i * chunk_len, chunk_len,
-                           out + total, cap - total);
-        if (n < 0) return -1;
-        sizes[i] = n;
-        total += n;
+        size_t before = e->stash.size();
+        e->process_vec(samples + (size_t)i * chunk_len, chunk_len,
+                       e->stash);
+        sizes[i] = (int)(e->stash.size() - before);
     }
-    return total;
+    return e->drain(out, cap);
+}
+
+// Retry pickup after a -(needed) return from process/process_chunks/
+// finish, with a buffer of at least `needed` bytes.
+int phantom_flac_take(void *enc, uint8_t *out, int cap) {
+    return ((FlacEncoder *)enc)->drain(out, cap);
 }
 
 void phantom_flac_destroy(void *enc) { delete (FlacEncoder *)enc; }

@@ -61,6 +61,10 @@ def _load_hostlib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
     ]
+    lib.phantom_flac_take.restype = ctypes.c_int
+    lib.phantom_flac_take.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ]
     lib.phantom_flac_destroy.argtypes = [ctypes.c_void_p]
     _hostlib = lib
     return lib
@@ -84,6 +88,18 @@ class FlacEncoder:
         self._cap = 1 << 20
         self._out = ctypes.create_string_buffer(self._cap)
 
+    def _retake(self, n: int) -> int:
+        """n < 0 = -(bytes needed): the C side consumed the input and
+        stashed the encoded bytes; grow the buffer and pick them up (a
+        pathological signal can exceed any fixed bound -- there is no
+        verbatim-subframe fallback, the Rice escape is not used)."""
+        self._cap = max(-n, 2 * self._cap)
+        self._out = ctypes.create_string_buffer(self._cap)
+        m = self._lib.phantom_flac_take(self._enc, self._out, self._cap)
+        if m < 0:
+            raise RuntimeError("flac take failed after grow")
+        return m
+
     def process(self, samples: np.ndarray) -> bytes:
         """samples: int16 numpy array -> encoded bytes (may be empty)."""
         samples = np.ascontiguousarray(samples, dtype=np.int16)
@@ -91,7 +107,7 @@ class FlacEncoder:
             self._enc, samples.ctypes.data, samples.size, self._out, self._cap
         )
         if n < 0:
-            raise RuntimeError("flac output buffer too small")
+            n = self._retake(n)
         # string_at, NOT ._out.raw[:n] -- .raw copies the whole 1 MB
         # buffer per call (~50 us), which dominated the encode cost
         return ctypes.string_at(self._out, n)
@@ -109,7 +125,7 @@ class FlacEncoder:
             self._enc, chunks.ctypes.data, nch, clen, self._out,
             self._cap, sizes)
         if n < 0:
-            raise RuntimeError("flac output buffer too small")
+            n = self._retake(n)
         buf = ctypes.string_at(self._out, n)
         out, off = [], 0
         for i in range(nch):
@@ -120,7 +136,7 @@ class FlacEncoder:
     def finish(self) -> bytes:
         n = self._lib.phantom_flac_finish(self._enc, self._out, self._cap)
         if n < 0:
-            raise RuntimeError("flac finish failed")
+            n = self._retake(n)
         return ctypes.string_at(self._out, n)
 
     def close(self):

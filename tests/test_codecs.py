@@ -176,6 +176,29 @@ def test_flac_process_chunks_bit_identical():
     np.testing.assert_array_equal(got, x.reshape(-1).astype(np.int32))
 
 
+def test_flac_output_buffer_grow():
+    """The C side consumes input before the output size is known; when
+    the pickup buffer is too small the bytes must be STASHED and
+    retrieved via phantom_flac_take (dropping them would corrupt the
+    stream).  Force the path with a tiny buffer and check the full
+    stream still decodes sample-exact."""
+    import ctypes
+
+    r = np.random.default_rng(9)
+    x = (r.standard_normal((6, 700)) * 8000).astype(np.int16)
+    enc = FlacEncoder(12000, blocksize=512)
+    enc._cap = 16                      # far below any frame
+    enc._out = ctypes.create_string_buffer(enc._cap)
+    data = b"".join(enc.process_chunks(x[:3]))
+    assert enc._cap > 16               # grew
+    enc._cap = 16
+    enc._out = ctypes.create_string_buffer(enc._cap)
+    data += enc.process(x[3:].reshape(-1))
+    data += enc.finish()
+    sr, got = decode_flac(data)
+    np.testing.assert_array_equal(got, x.reshape(-1).astype(np.int32))
+
+
 def test_opus_smoke():
     enc = OpusChunkEncoder(12000)
     assert enc.frame_size == 240

@@ -144,16 +144,18 @@ def test_rds_full_chain(phase_off):
     symbol/block/group decode recovers PI, PS and RadioText with zero
     block errors -- at both subcarrier phase conventions (the host's
     squaring carrier estimator resolves the constant)."""
+    import jax
+
     p = make_rds_params(FS, half=4096)
     assert FS / p.decim >= MIN_BASEBAND_SPS
     chunk = 12288
     n = int(FS * 4.5) // chunk * chunk
     x = _mpx(n, phase_off=phase_off)
     st = init_rds_state(1, p)
+    proc = jax.jit(lambda s, xx: rds_process(s, p, xx, jnp.array([True])))
     dec = RDSDecoder(FS / p.decim)
     for i in range(0, n, chunk):
-        st, bb = rds_process(st, p, jnp.asarray(x[None, i:i + chunk]),
-                             jnp.array([True]))
+        st, bb = proc(st, jnp.asarray(x[None, i:i + chunk]))
         dec.feed(np.asarray(bb)[0])
     s = dec.group.status()
     assert s["synced"] and s["block_errors"] == 0
@@ -360,18 +362,21 @@ def test_rds_server_protocol():
         assert conn.rds_decoder is not None
 
         # device-op baseband for a synthetic MPX, dispatched in chunks
+        import jax
+
         p = make_rds_params(cfg.audio_sps, cfg.audio_fft_size // 2)
         n = int(cfg.audio_sps * 3.0)
         x = _mpx(n, fs=cfg.audio_sps)
         st = init_rds_state(1, p)
+        proc = jax.jit(
+            lambda s, xx: rds_process(s, p, xx, jnp.array([True])))
         b, c = cfg.hop_batch, cfg.max_channels
         half = cfg.audio_fft_size // 2
         audio = np.zeros((b, c, half), np.int16)
         pwr = np.zeros((b, c), np.float32)
         chunk = b * half
         for i in range(0, n - chunk, chunk):
-            st, bb = rds_process(st, p, jnp.asarray(x[None, i:i + chunk]),
-                                 jnp.array([True]))
+            st, bb = proc(st, jnp.asarray(x[None, i:i + chunk]))
             rds = np.zeros((c, 2, bb.shape[-1]), np.int8)
             rds[slot_id] = np.asarray(bb)[0]
             server.dispatch(0, audio, pwr, None, [], rds=rds)

@@ -15,10 +15,14 @@ import time
 import aiohttp
 
 
-async def audio_client(session, url, idx, stats, stop, churn_secs=0.0):
+async def audio_client(session, url, idx, stats, stop, churn_secs=0.0,
+                       rds=False, same_window=False):
     """One audio listener; churn_secs > 0 makes it live-cycle: connect,
     listen, retune mid-life, disconnect, reconnect -- exercising slot
-    reuse, one-shot resets, AGC resets and the events stream under load."""
+    reuse, one-shot resets, AGC resets and the events stream under load.
+    rds=True opts every client into server-side RDS (FM mode, shared
+    default window so all listeners sit on the modulated carrier) and
+    counts the {"type":"rds"} text frames."""
     import random
 
     rng = random.Random(idx)
@@ -31,12 +35,18 @@ async def audio_client(session, url, idx, stats, stop, churn_secs=0.0):
                 a = info["audio_max_fft"]
                 l = (idx * 131) % max(rsize - a - 1, 1)
                 width = min(a, 300)
+                if same_window:
+                    l, width = (rsize - a) // 2, a
                 await ws.send_str(json.dumps({
                     "cmd": "window", "l": l, "m": l + width / 2,
                     "r": l + width}))
                 await ws.send_str(json.dumps({
                     "cmd": "demodulation",
-                    "demodulation": ["USB", "LSB", "AM", "FM"][idx % 4]}))
+                    "demodulation": "FM" if rds else
+                    ["USB", "LSB", "AM", "FM"][idx % 4]}))
+                if rds:
+                    await ws.send_str(json.dumps({"cmd": "rds",
+                                                  "enabled": True}))
                 deadline = (time.monotonic()
                             + rng.uniform(0.5, 2.0) * churn_secs
                             if churn_secs else None)
@@ -56,6 +66,12 @@ async def audio_client(session, url, idx, stats, stop, churn_secs=0.0):
                     if msg.type == aiohttp.WSMsgType.BINARY:
                         stats["audio_pkts"] += 1
                         stats["audio_bytes"] += len(msg.data)
+                    elif msg.type == aiohttp.WSMsgType.TEXT:
+                        d = json.loads(msg.data)
+                        if d.get("type") == "rds":
+                            stats["rds_frames"] += 1
+                            if d.get("synced"):
+                                stats["rds_synced"] += 1
                     elif msg.type in (aiohttp.WSMsgType.CLOSE,
                                       aiohttp.WSMsgType.CLOSED,
                                       aiohttp.WSMsgType.ERROR):
@@ -105,16 +121,20 @@ async def main():
     ap.add_argument("--churn", type=float, default=0.0,
                     help="audio clients reconnect every ~N s and retune "
                          "randomly (slot-reuse/reset/AGC churn)")
+    ap.add_argument("--rds", action="store_true",
+                    help="every audio client tunes FM on the default "
+                         "window and opts into server-side RDS")
     args = ap.parse_args()
 
     stats = dict(audio_pkts=0, audio_bytes=0, wf_pkts=0, wf_bytes=0,
                  audio_errors=0, wf_errors=0, audio_closed=0, wf_closed=0,
-                 retunes=0, reconnects=0)
+                 retunes=0, reconnects=0, rds_frames=0, rds_synced=0)
     stop = asyncio.Event()
     async with aiohttp.ClientSession(
             connector=aiohttp.TCPConnector(limit=0)) as session:
-        tasks = [asyncio.create_task(audio_client(session, args.url, i,
-                                                  stats, stop, args.churn))
+        tasks = [asyncio.create_task(audio_client(
+            session, args.url, i, stats, stop, args.churn,
+            rds=args.rds, same_window=args.rds))
                  for i in range(args.audio)]
         tasks += [asyncio.create_task(wf_client(session, args.url, i, stats, stop))
                   for i in range(args.wf)]
@@ -137,6 +157,8 @@ async def main():
         "wf_pkts_per_s": round(stats["wf_pkts"] / dt, 1),
         "wf_MBps": round(stats["wf_bytes"] / dt / 1e6, 2),
         "errors": stats["audio_errors"] + stats["wf_errors"],
+        "rds_frames": stats["rds_frames"],
+        "rds_synced": stats["rds_synced"],
         "retunes": stats["retunes"],
         "reconnects": stats["reconnects"],
         "closed": stats["audio_closed"] + stats["wf_closed"],

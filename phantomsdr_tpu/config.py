@@ -238,6 +238,15 @@ class ServerConfig:
             raise ValueError("[input] nr=true and stereo=true cannot "
                              "be combined")
 
+        if self.nr and self.nr_algo == "nb":
+            if not 3 <= self.nb_samples <= 201:
+                # impulse_len 1 would divide by zero in the crossfade
+                # weights (ops/nb.py) and NaN every repair
+                raise ValueError("[input] nb_samples must be in [3, 201]")
+            if not 1 <= self.nb_taps <= 40:
+                raise ValueError("[input] nb_taps must be in [1, 40] "
+                                 "(NB.c:19 max_lpc_order)")
+
         if self.rds:
             from .ops.rds import (
                 MIN_BASEBAND_SPS, MAX_BASEBAND_SPS, rds_decim_for,

@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from .polyphase import (
     DecimatorState, polyphase_decimate, design_lowpass,
 )
-from .stereo import make_stereo_params, PLL_ALPHA, PLL_BETA
+from .stereo import make_stereo_params, pilot_front_end, pilot_track
 
 # minimum symbol-timing oversampling the host decoder needs: the
 # baseband rate fs/decim must stay >= 2 samples per 2375 Hz biphase
@@ -140,40 +140,14 @@ def rds_process(state: RDSState, params: RDSParams, x: jnp.ndarray,
     across steps.  Non-FM rows are zeroed.
     """
     c, t = x.shape
-    taps = params.bp_taps
-    nt = taps.shape[0]
 
-    # ---- pilot bandpass (identical front end to ops/stereo.py) ----
-    xin = jnp.concatenate([state.bp_tail, x], axis=1)
-    lhs = xin[:, None, :]
-    rhs = jnp.asarray(taps[::-1], jnp.float32)[None, None, :]
-    y = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )[:, 0, :]                                             # [C, T]
-    new_bp_tail = xin[:, t:]
-
-    # ---- MPX delay by the bandpass group delay (phase alignment with
-    # the PLL's pilot estimate; see ops/stereo.py docstring pt. 1) ----
-    xd_full = jnp.concatenate([state.mpx_tail, x], axis=1)
-    xd = xd_full[:, :t]
-    new_mpx_tail = xd_full[:, t:]
-
-    # ---- pilot PLL (same recursion/constants as stereo_decode),
-    # emitting the per-sample phase used for the 3x mix ----
-    f_nom = jnp.float32(params.f_nom)
-    two_pi = jnp.float32(2.0 * np.pi)
-
-    def body(carry, yb):
-        phase, freq = carry
-        e = -2.0 * yb * jnp.sin(phase)
-        freq = freq + jnp.float32(PLL_ALPHA) * e
-        ph_m = phase + jnp.float32(PLL_BETA) * e
-        ph_n = jnp.mod(ph_m + f_nom + freq, two_pi)
-        return (ph_n, freq), ph_m
-
-    (phase, freq), ph_t = jax.lax.scan(body, (state.phase, state.freq), y.T)
-    ph = ph_t.T                                            # [C, T]
+    # ---- shared pilot front end + tracking loop (ops/stereo.py:
+    # pilot_front_end / pilot_track -- ONE implementation of the
+    # bandpass/delay/PLL conventions for both subcarrier consumers) ----
+    new_bp_tail, new_mpx_tail, y, xd = pilot_front_end(
+        state.bp_tail, state.mpx_tail, params.bp_taps, x)
+    phase, freq, ph = pilot_track(state.phase, state.freq,
+                                  params.f_nom, y)
 
     # ---- 57 kHz complex downmix: z = 2 * x_d * exp(-3j * theta) ----
     zi = 2.0 * xd * jnp.cos(3.0 * ph)

@@ -122,6 +122,60 @@ def init_stereo_state(num_channels: int, params: StereoParams | None
     )
 
 
+def pilot_front_end(bp_tail: jnp.ndarray, delay_tail: jnp.ndarray,
+                    taps: np.ndarray, x: jnp.ndarray):
+    """Shared pilot front end (stereo AND RDS, ops/rds.py): bandpass
+    the 19 kHz pilot with the filter tail carried, and group-delay the
+    MPX so the per-sample mix is phase-aligned with the PLL's pilot
+    estimate (module docstring pt. 1).
+
+    Returns (new_bp_tail, new_delay_tail, y [C, T], x_delayed [C, T]).
+    """
+    t = x.shape[1]
+    xin = jnp.concatenate([bp_tail, x], axis=1)            # [C, nt-1+T]
+    lhs = xin[:, None, :]
+    rhs = jnp.asarray(taps[::-1], jnp.float32)[None, None, :]
+    y = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )[:, 0, :]                                             # [C, T]
+    xd_full = jnp.concatenate([delay_tail, x], axis=1)
+    return xin[:, t:], xd_full[:, t:], y, xd_full[:, :t]
+
+
+def pilot_track(phase: jnp.ndarray, freq: jnp.ndarray, f_nom: float,
+                y: jnp.ndarray):
+    """Per-sample pilot PLL over the bandpassed pilot y [C, T] -- the
+    single tracking loop both subcarrier consumers mix against (stereo
+    at 2x the phase, RDS at 3x; the transmitter derives both from the
+    same pilot).
+
+    Phase detector: -sin locks the VCO IN PHASE with the pilot (average
+    of -2*A*cos(th_p)*sin(th) = -A*sin(th - th_p), odd around
+    th = th_p).  The reference uses 2*y*cos(th) (wbfmpll.cpp:66) whose
+    average A*cos(th_p - th) zeroes in QUADRATURE, so its subcarrier
+    mix cos(2*th) = -cos(2*th_p) demixes with flipped sign: measured
+    0.25L+0.75R / 0.75L+0.25R (channels swapped, 9.5 dB separation).
+    See module docstring.
+
+    Returns (new_phase, new_freq, ph [C, T]) where ph[:, i] is the
+    loop-updated phase the mixers use at sample i.
+    """
+    f_nom = jnp.float32(f_nom)
+    two_pi = jnp.float32(2.0 * np.pi)
+
+    def body(carry, yb):
+        phase, freq = carry
+        e = -2.0 * yb * jnp.sin(phase)
+        freq = freq + jnp.float32(PLL_ALPHA) * e
+        ph_m = phase + jnp.float32(PLL_BETA) * e
+        ph_n = jnp.mod(ph_m + f_nom + freq, two_pi)        # nco step
+        return (ph_n, freq), ph_m
+
+    (phase, freq), ph_t = jax.lax.scan(body, (phase, freq), y.T)
+    return phase, freq, ph_t.T
+
+
 def stereo_decode(state: StereoState, params: StereoParams,
                   x: jnp.ndarray, fm_mask: jnp.ndarray
                   ) -> tuple[StereoState, jnp.ndarray, jnp.ndarray]:
@@ -130,52 +184,15 @@ def stereo_decode(state: StereoState, params: StereoParams,
     Streaming-continuous across steps (all history carried in state).
     T must be >= the bandpass group delay.
     """
-    c, t = x.shape
-    taps = params.taps
-    nt = taps.shape[0]
-
-    # ---- pilot bandpass (batched conv, tail carried) ----
-    xin = jnp.concatenate([state.bp_tail, x], axis=1)      # [C, nt-1+T]
-    lhs = xin[:, None, :]
-    rhs = jnp.asarray(taps[::-1], jnp.float32)[None, None, :]
-    y = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )[:, 0, :]                                             # [C, T]
-    new_bp_tail = xin[:, t:]
-
-    # ---- mono delay by the bandpass group delay ----
-    xd_full = jnp.concatenate([state.mono_tail, x], axis=1)
-    xd = xd_full[:, :t]                                    # [C, T]
-    new_mono_tail = xd_full[:, t:]
-
-    # ---- PLL + L-R mix (per-sample recursion over T, vector over C) --
-    f_nom = jnp.float32(params.f_nom)
-    two_pi = jnp.float32(2.0 * np.pi)
-
-    def body(carry, inputs):
-        phase, freq = carry
-        yb, xs = inputs                                    # [C] each
-        # Phase detector: -sin locks the VCO IN PHASE with the pilot
-        # (average of -2*A*cos(th_p)*sin(th) = -A*sin(th - th_p), odd
-        # around th = th_p).  The reference uses 2*y*cos(th)
-        # (wbfmpll.cpp:66) whose average A*cos(th_p - th) zeroes in
-        # QUADRATURE, so its subcarrier mix cos(2*th) = -cos(2*th_p)
-        # demixes with flipped sign: measured 0.25L+0.75R / 0.75L+0.25R
-        # (channels swapped, 9.5 dB separation).  See module docstring.
-        e = -2.0 * yb * jnp.sin(phase)
-        freq = freq + jnp.float32(PLL_ALPHA) * e
-        ph_m = phase + jnp.float32(PLL_BETA) * e
-        # mix the (delayed, see module docstring) MPX down by twice the
-        # pilot phase; gain 2 makes the demixed DSB term unity
-        # (s*cos(2th) * 2cos(2th) -> s + s*cos(4th)): full separation.
-        lr = 2.0 * xs * jnp.cos(2.0 * ph_m)
-        ph_n = jnp.mod(ph_m + f_nom + freq, two_pi)        # nco step
-        return (ph_n, freq), lr
-
-    (phase, freq), lr_t = jax.lax.scan(
-        body, (state.phase, state.freq), (y.T, xd.T))
-    lr = lr_t.T * jnp.where(fm_mask, 1.0, 0.0)[:, None]
+    new_bp_tail, new_mono_tail, y, xd = pilot_front_end(
+        state.bp_tail, state.mono_tail, params.taps, x)
+    phase, freq, ph = pilot_track(state.phase, state.freq,
+                                  params.f_nom, y)
+    # mix the (delayed, see module docstring) MPX down by twice the
+    # pilot phase; gain 2 makes the demixed DSB term unity
+    # (s*cos(2th) * 2cos(2th) -> s + s*cos(4th)): full separation.
+    lr = 2.0 * xd * jnp.cos(2.0 * ph)
+    lr = lr * jnp.where(fm_mask, 1.0, 0.0)[:, None]
 
     new_state = StereoState(bp_tail=new_bp_tail, mono_tail=new_mono_tail,
                             phase=phase, freq=freq)

@@ -188,7 +188,6 @@ class RDSGroupDecoder:
         self.expect = 0         # next block index 0..3
         self.bad = 0
         self.blocks: list[int | None] = [None] * 4
-        self.version_b = False
         # acquisition: recent (bit_position, block_index) syndrome hits
         self._cands: list[tuple[int, int]] = []
         # decoded state
@@ -222,10 +221,8 @@ class RDSGroupDecoder:
         ok = s == want or (self.expect == 2 and s == OFFSET_CP)
         if ok:
             self.bad = 0
-            if self.expect == 2 and s == OFFSET_CP:
-                self.version_b = True
-            elif self.expect == 2:
-                self.version_b = False
+            # (the group version comes from block B's version bit in
+            # _parse_group; the C/C' offset distinction only gates sync)
             self.blocks[self.expect] = data
             if self.expect == 3:
                 self._parse_group()
@@ -256,8 +253,6 @@ class RDSGroupDecoder:
                 self.nbits = 0
                 self.blocks = [None] * 4
                 self.blocks[idx] = (self.reg >> 10) & 0xFFFF
-                if idx == 2:
-                    self.version_b = s == OFFSET_CP
                 if idx == 3:
                     self.blocks = [None] * 4
                 self.expect = (idx + 1) % 4

@@ -202,6 +202,7 @@ class AudioConn:
                 return
             reg = self.server.channels
             reg.retune(self.slot, l, m, r)
+            self._reset_rds_decoder()  # new station: no stale PS/RT
             self.server.broadcast_signal_change(
                 self.slot.unique_id, self.slot.l, self.slot.mid, self.slot.r
             )
@@ -211,6 +212,7 @@ class AudioConn:
                 # also queues a one-shot device-side AGC reset, exactly
                 # like the reference's agc.reset() (src/signal.cpp:327)
                 self.server.channels.set_mode(self.slot, mode)
+                self._reset_rds_decoder()
         elif name == "userid":
             uid = cmd.get("userid")
             if isinstance(uid, str):
@@ -247,6 +249,18 @@ class AudioConn:
                 else:
                     self.rds_decoder = None
                 self.server.channels.set_rds(self.slot, enabled)
+
+    def _reset_rds_decoder(self):
+        """Fresh protocol decoder on retune/demodulation change: the
+        persistent group state (PI/PS/RadioText) belongs to the OLD
+        station and must not be reported as the new one's."""
+        if self.rds_decoder is not None:
+            from ..ops.rds import rds_decim_for
+            from .rds import RDSDecoder
+
+            cfg = self.server.cfg
+            d = rds_decim_for(cfg.audio_sps, cfg.audio_fft_size // 2)
+            self.rds_decoder = RDSDecoder(cfg.audio_sps / d)
 
 
 class WaterfallConn:
@@ -655,10 +669,14 @@ class SpectrumServer:
                                     self._encode_audio_job(
                                         c, frame0, b, mid, width, p, pw,
                                         decimated))
-            if (rds is not None and s.rds and li < rds.shape[0]
+            if (rds is not None and s.rds and s.mode == "FM"
+                    and li < rds.shape[0]
                     and conn.rds_decoder is not None):
                 # RDS protocol decode on the SAME affine worker (keeps
-                # the per-listener bitstream ordered with zero locks)
+                # the per-listener bitstream ordered with zero locks).
+                # Gated on FM: a non-FM listener's baseband row is
+                # zeroed on device, so decoding it would just burn the
+                # worker on silence every step.
                 self.encode_pool.submit(
                     slot_id, lambda c=conn, z=rds[li]:
                     self._decode_rds_job(c, z))

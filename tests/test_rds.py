@@ -179,6 +179,25 @@ def test_rds_masked_rows_zero():
 
 # -------------------------------------------------------- config
 
+def test_nb_config_validation():
+    """nb_samples=1 would make the repair crossfade divide by zero
+    (ops/nb.py weights use il-1) and NaN every NB listener's audio;
+    the config must reject it, and out-of-range LPC orders too."""
+    base = {
+        "input": {
+            "sps": 192000, "frequency": 7000000, "fft_size": 2048,
+            "signal": "iq", "audio_sps": 12000, "waterfall_size": 256,
+            "nr": True, "nr_algo": "nb", "driver": {"format": "s16"},
+        },
+        "tpu": {"hop_batch": 2, "max_channels": 2},
+    }
+    config_from_dict({**base})  # defaults fine
+    for bad in ({"nb_samples": 1}, {"nb_taps": 0}, {"nb_taps": 41}):
+        with pytest.raises(ValueError, match="nb_"):
+            config_from_dict(
+                {**base, "input": {**base["input"], **bad}})
+
+
 def test_rds_config_validation():
     base = {
         "input": {
@@ -393,6 +412,16 @@ def test_rds_server_protocol():
         assert got is not None
         assert got["pi"] == f"{PI:04X}"
         assert got["synced"] and got["block_errors"] == 0
+
+        # retune: the protocol decoder must be replaced (stale PI/PS/RT
+        # must not be reported as the new station's data)
+        old_dec = conn.rds_decoder
+        mid2 = cfg.fft_result_size // 2
+        await ws.send_str(json.dumps({
+            "cmd": "window", "l": mid2 - 100, "m": mid2,
+            "r": mid2 + 100}))
+        await asyncio.sleep(0.1)
+        assert conn.rds_decoder is not old_dec
 
         # opt back out: decoder dropped, column cleared
         await ws.send_str(json.dumps({"cmd": "rds", "enabled": False}))

@@ -45,3 +45,15 @@ def test_build_shortwave_db(tmp_path):
     # frequencies ascend and are in Hz (the reference emits khz*1000)
     fs = [r["f"] for r in rows]
     assert fs == sorted(fs)
+
+
+def test_multispace_legend_names_not_indented(tmp_path):
+    """HFCC legends separate code and name with column-aligned runs of
+    spaces; the name must come out unindented (the reference's
+    split(' ', 1) keeps the padding glued to the name)."""
+    sched = tmp_path / "s.txt"
+    sched.write_text(_rec(9580, "ABC") + "\n")
+    leg = tmp_path / "b.txt"
+    leg.write_text("ABC    Australian Broadcasting Corp.\n")
+    rows = build(str(sched), str(leg))
+    assert rows[0]["d"] == "Australian Broadcasting Corp."

@@ -14,7 +14,10 @@ are the two public HFCC season files:
   (reference :7-10); ``;`` starts a comment in both.
 
 Stations sharing a frequency are joined newline-separated in sorted
-order, matching the reference output byte-for-byte on the same inputs.
+order, matching the reference output on the same inputs -- except that
+multi-space code/name separators in the legend are collapsed
+(split(None, 1)); the reference's split(" ", 1) keeps the extra spaces
+glued to the name, which indents the UI label and perturbs the sort.
 
 Usage:
   python tools/generate_stations.py SCHEDULE.TXT broadcas.txt \
@@ -34,7 +37,7 @@ def parse_broadcasters(path: str) -> dict[str, str]:
         for line in fh:
             if not line or line[0] == ";":
                 continue
-            parts = line.rstrip().split(" ", 1)
+            parts = line.rstrip().split(None, 1)
             if len(parts) == 2:
                 out[parts[0]] = parts[1]
     return out

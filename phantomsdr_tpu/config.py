@@ -86,6 +86,12 @@ class ServerConfig:
     nb_thresh: float = 5.0    # nb: detection level (residual sigmas)
     nb_taps: int = 32         # nb: LPC order (<= 40)
     nb_samples: int = 11      # nb: samples replaced per impulse (odd)
+    # FM de-emphasis time constant in MICROSECONDS (0 = off, the
+    # reference behavior: raw discriminator audio, de-emphasis left to
+    # the browser).  75 = Americas/Korea, 50 = rest of world.  Applied
+    # on device to FM rows after the stereo demix / RDS tap
+    # (ops/deemph.py).
+    deemphasis: float = 0.0
     # Server-side FM-RDS decoding (the reference leaves RDS to the
     # browser's redsea WASM build, jsdsp/redsea.js): true compiles the
     # device 57 kHz subcarrier demod (ops/rds.py) for every channel;
@@ -238,6 +244,9 @@ class ServerConfig:
             raise ValueError("[input] nr=true and stereo=true cannot "
                              "be combined")
 
+        if self.deemphasis < 0 or self.deemphasis > 1000:
+            raise ValueError("[input] deemphasis must be 0..1000 us")
+
         if self.nr and self.nr_algo == "nb":
             if not 3 <= self.nb_samples <= 201:
                 # impulse_len 1 would divide by zero in the crossfade
@@ -380,6 +389,7 @@ def config_from_dict(t: dict) -> ServerConfig:
     c.nb_taps = int(inp.get("nb_taps", c.nb_taps))
     c.nb_samples = int(inp.get("nb_samples", c.nb_samples))
     c.rds = bool(inp.get("rds", False))
+    c.deemphasis = float(inp.get("deemphasis", 0.0))
 
     drv = inp.get("driver", {})
     c.input_driver = str(drv.get("name", "stdin"))

@@ -58,7 +58,7 @@ from ..pipeline import (
     HopState, HopOutputs, WaterfallViews, init_audio_state,
     waterfall_from_spectra, gather_waterfall_views, audio_from_spectra,
     pack_outputs, opus_decim_taps, waterfall_due_positions,
-    stereo_params_for, nr_params_for, rds_params_for,
+    stereo_params_for, nr_params_for, rds_params_for, deemph_alpha_for,
 )
 from ..ops.fft import forward_spectrum
 
@@ -121,6 +121,7 @@ class ShardedHopPipeline:
         self.stereo_params = stereo_params_for(cfg)
         self.nr_params = nr_params_for(cfg)
         self.rds_params = rds_params_for(cfg)
+        self.deemph_a = deemph_alpha_for(cfg)
         # RDS baseband samples per channel per step (0 when off)
         self.rds_t = (cfg.hop_batch * (cfg.audio_fft_size // 2)
                       // self.rds_params.decim
@@ -252,6 +253,7 @@ class ShardedHopPipeline:
             state.inner.audio, all_spec, chans, state.inner.frame, reset,
             decim_taps=self.decim_taps, stereo_params=self.stereo_params,
             nr_params=self.nr_params, rds_params=self.rds_params,
+            deemph_a=self.deemph_a,
         )
         new_inner = HopState(frame=state.inner.frame + cfg.hop_batch,
                              audio=audio_st)

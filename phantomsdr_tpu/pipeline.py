@@ -70,6 +70,7 @@ from .ops.nb import (
 from .ops.rds import (
     RDSParams, RDSState, make_rds_params, init_rds_state, rds_process,
 )
+from .ops.deemph import deemph_alpha, deemph_process
 from .ops.channelizer import MODE_FM
 
 
@@ -85,6 +86,8 @@ class AudioState(NamedTuple):
     nr: "NRState"           # noise-reduction carries: NRState (spectral)
     #                         or ANRState (lms/notch); zero-width when off
     rds: "RDSState"         # FM-RDS subcarrier carries (zero-width when off)
+    de: jnp.ndarray         # [C*nch] FM de-emphasis IIR carry (y[-1] per
+    #                         stream row; zeros at rest either way)
 
 
 class HopState(NamedTuple):
@@ -179,6 +182,11 @@ def rds_params_for(cfg: ServerConfig) -> RDSParams | None:
             if cfg.rds else None)
 
 
+def deemph_alpha_for(cfg: ServerConfig) -> float | None:
+    return (deemph_alpha(cfg.audio_sps, cfg.deemphasis)
+            if cfg.deemphasis > 0 else None)
+
+
 def nr_params_for(cfg: ServerConfig
                   ) -> NRParams | ANRParams | NBParams | None:
     """The configured processor's constants: NRParams (spectral, the
@@ -220,6 +228,7 @@ def init_audio_state(cfg: ServerConfig, num_channels: int,
             else init_nr_state(num_channels,
                                cfg.audio_fft_size // 2 if cfg.nr else 0)),
         rds=init_rds_state(num_channels, rds_params_for(cfg)),
+        de=jnp.zeros((num_channels * cfg.audio_channels,), jnp.float32),
     )
 
 
@@ -294,6 +303,7 @@ def audio_from_spectra(
     stereo_params: StereoParams | None = None,  # device WBFM stereo
     nr_params: NRParams | None = None,  # device spectral noise reduction
     rds_params: RDSParams | None = None,  # device FM-RDS subcarrier demod
+    deemph_a: float | None = None,  # device FM de-emphasis pole
 ) -> tuple[AudioState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Scan the batched demod + DC/AGC/int16 chain over B hops.
 
@@ -330,6 +340,7 @@ def audio_from_spectra(
             st=jax.tree.map(lambda x: zero_rows(x, full), audio_state.st),
             nr=jax.tree.map(lambda x: zero_rows(x, full), audio_state.nr),
             rds=jax.tree.map(lambda x: zero_rows(x, full), audio_state.rds),
+            de=zero_rows(audio_state.de, dec_full),
         )
 
     # ---- batched demod: one gather + one batched IFFT for ALL hops;
@@ -435,6 +446,15 @@ def audio_from_spectra(
         stream = jnp.stack([s_l, s_r], axis=1).reshape(2 * c, b * half)
 
     nch = 2 if stereo_params is not None else 1
+    de_st = audio_state.de
+    if deemph_a is not None:
+        # FM de-emphasis pole AFTER the RDS tap and stereo demix (the
+        # pilot/38k/57k subcarriers must not see it; see ops/deemph.py)
+        # and BEFORE decimation, on the per-stream rows
+        fm_rows = chans.active & (chans.mode == MODE_FM)
+        if nch > 1:
+            fm_rows = jnp.repeat(fm_rows, nch)
+        de_st, stream = deemph_process(de_st, deemph_a, stream, fm_rows)
     dec_st = audio_state.dec
     if decim_taps is not None:
         # device Opus decimation (replaces the reference's rate-clamp
@@ -458,7 +478,7 @@ def audio_from_spectra(
         audio16 = float_to_int16(
             stream.reshape(c, b, half).transpose(1, 0, 2))  # [B, C, half]
     return (AudioState(chan=chan_st, dc=dc_st, agc=agc_st, dec=dec_st,
-                       st=st_st, nr=nr_st, rds=rds_st),
+                       st=st_st, nr=nr_st, rds=rds_st, de=de_st),
             audio16, pwr, rds8)
 
 
@@ -481,6 +501,7 @@ class HopPipeline:
         self.stereo_params = stereo_params_for(cfg)
         self.nr_params = nr_params_for(cfg)
         self.rds_params = rds_params_for(cfg)
+        self.deemph_a = deemph_alpha_for(cfg)
         # RDS baseband samples per channel per step (0 when off)
         self.rds_t = (cfg.hop_batch * (cfg.audio_fft_size // 2)
                       // self.rds_params.decim
@@ -553,6 +574,7 @@ class HopPipeline:
                 st=jax.tree.map(lambda x: conv(x, 1), a.st),
                 nr=jax.tree.map(lambda x: conv(x, 1), a.nr),
                 rds=jax.tree.map(lambda x: conv(x, 1), a.rds),
+                de=conv(a.de, nch),
             ))
         return jax.jit(mk)(state)
 
@@ -589,6 +611,7 @@ class HopPipeline:
             state.audio, spec_ext, chans, state.frame, reset,
             decim_taps=self.decim_taps, stereo_params=self.stereo_params,
             nr_params=self.nr_params, rds_params=self.rds_params,
+            deemph_a=self.deemph_a,
         )
         new_state = HopState(frame=state.frame + b, audio=audio_st)
         if waterfall == "views":

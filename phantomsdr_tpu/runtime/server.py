@@ -398,6 +398,12 @@ class SpectrumServer:
             # may send {"cmd":"rds","enabled":true} and receive
             # {"type":"rds", pi/ps/rt/pty/...} JSON text frames
             "rds_available": cfg.rds,
+            # extension: FM de-emphasis already applied server-side
+            # (microseconds; 0 = raw discriminator audio like the
+            # reference).  Frontends with their own de-emphasis filter
+            # must skip it when this is nonzero or audio gets the pole
+            # twice.
+            "deemphasis": cfg.deemphasis,
         })
 
     # -------------------------------------------------------- handlers

@@ -630,3 +630,82 @@ async def test_default_range_at_result_size_boundary():
         await ws.close()
     finally:
         await client.close()
+
+
+@async_test
+async def test_command_fuzz_survival(cfg):
+    """Seeded fuzz over the command surface: random JSON fragments,
+    pathological numbers (NaN/Infinity literals json.loads accepts,
+    huge ints, wrong types), unknown commands, oversized messages and
+    raw binary frames on both endpoints.  The server must neither
+    crash a handler task nor corrupt the registries: after the storm a
+    fresh client still gets a handshake and dispatched audio."""
+    import random
+
+    rng = random.Random(1234)
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+
+    def fuzz_msg():
+        kind = rng.randrange(6)
+        if kind == 0:  # random bytes pretending to be text
+            return "".join(chr(rng.randrange(32, 0x2FF))
+                           for _ in range(rng.randrange(1, 80)))
+        if kind == 1:  # valid JSON, random structure
+            return json.dumps({
+                rng.choice(["cmd", "l", "x"]): rng.choice(
+                    ["window", "demodulation", "nr", "rds", "mute",
+                     "userid", "nonsense", 7, None, [1, 2]])})
+        if kind == 2:  # window with pathological numbers
+            return json.dumps({"cmd": "window",
+                               "l": rng.choice([-5, 0, 10, 2**62]),
+                               "m": rng.choice([150.0, -1.0]),
+                               "r": rng.choice([-9, 100, 2**62])})
+        if kind == 3:  # NaN / Infinity literals (json.loads accepts)
+            return ('{"cmd":"window","l":1,"m":' +
+                    rng.choice(["NaN", "Infinity", "-Infinity"]) +
+                    ',"r":20}')
+        if kind == 4:  # oversized message (truncated at 1024 by server)
+            return json.dumps({"cmd": "userid",
+                               "userid": "x" * rng.randrange(2000, 6000)})
+        return json.dumps({"cmd": rng.choice(
+            ["demodulation", "nr", "rds"]),
+            "demodulation": rng.choice(["FM", "QAM", 17, None]),
+            "enabled": rng.choice([True, "yes", 3])})
+
+    try:
+        for endpoint in ("/audio", "/waterfall"):
+            ws = await client.ws_connect(endpoint)
+            await ws.receive()  # handshake
+            for _ in range(120):
+                m = fuzz_msg()
+                if rng.random() < 0.15:
+                    await ws.send_bytes(m.encode())
+                else:
+                    await ws.send_str(m)
+            await asyncio.sleep(0.2)
+            await ws.close()
+        await asyncio.sleep(0.1)
+        assert server.channels.count == 0
+        assert server.waterfalls.count == 0
+
+        # the server still serves a well-behaved client
+        ws = await client.ws_connect("/audio")
+        info = json.loads((await ws.receive()).data)
+        assert info["sps"] == cfg.sps
+        await asyncio.sleep(0.05)
+        audio, pwr, wf, due, _ = synth_outputs(cfg, server)
+        server.dispatch(0, audio, pwr, wf, due)
+        got = False
+        for _ in range(40):
+            try:
+                msg = await ws.receive(timeout=0.1)
+            except asyncio.TimeoutError:
+                break
+            if msg.type.name == "BINARY":
+                got = True
+                break
+        assert got, "no audio after the fuzz storm"
+        await ws.close()
+    finally:
+        await client.close()

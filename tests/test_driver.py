@@ -205,3 +205,52 @@ def test_bucket_resize_preserves_carries():
 
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(r, g)
+
+
+def test_device_error_recovery():
+    """A device-step failure must be surfaced in metrics, the donated
+    state rebuilt, and serving must CONTINUE (SURVEY section 5 failure
+    detection) -- the reference's analogue is that a bad frame never
+    kills the fft_task thread."""
+    cfg = make_cfg()
+    wph = cfg.hop_size * 2
+    nblocks = 8
+    rng = np.random.default_rng(3)
+    data = rng.integers(-20000, 20000, size=wph * cfg.hop_batch * nblocks,
+                        dtype=np.int16)
+    src = SampleSource(cfg, io.BytesIO(data.tobytes()))
+    channels = ChannelRegistry(cfg)
+    slot = channels.acquire("t")
+    channels.retune(slot, 100, 150.0, 200)
+
+    got = []
+    done = threading.Event()
+
+    def consumer(frame0, audio, pwr, wf, due, wf_meta, audio_meta,
+                 rds=None):
+        got.append(frame0)
+        if len(got) >= 3:
+            done.set()
+
+    drv = DSPDriver(cfg, src, channels, consumer,
+                    waterfall_active=lambda: False,
+                    audio_active=lambda: True)
+    real_step = drv.pipe.step
+    fails = {"n": 0}
+
+    def flaky_step(*a, **k):
+        if fails["n"] == 0:
+            fails["n"] = 1
+            raise RuntimeError("injected device failure")
+        return real_step(*a, **k)
+
+    drv.pipe.step = flaky_step
+    drv.start()
+    assert done.wait(timeout=120), f"only {len(got)} batches after error"
+    drv.stop()
+    assert fails["n"] == 1
+    assert drv.metrics.device_errors == 1
+    assert "injected device failure" in drv.metrics.last_device_error
+    # the failed step's frames still advanced; later steps kept serving
+    assert len(got) >= 3
+    assert got == sorted(got)

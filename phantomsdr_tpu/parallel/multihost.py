@@ -115,21 +115,34 @@ class Link:
             pass
 
 
-def serve_links(port: int, num_followers: int, host: str = "0.0.0.0"
-                ) -> dict[int, Link]:
+def serve_links(port: int, num_followers: int, host: str = "0.0.0.0",
+                stop=None) -> dict[int, Link]:
     """Ingest-host side: accept one link per follower (each identifies
-    with its process id)."""
+    with its process id).  `stop` (threading.Event) makes the wait
+    interruptible -- a short-handed cluster (a follower that never
+    starts) must not wedge the ingest driver thread in accept()
+    forever."""
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind((host, port))
     srv.listen(num_followers)
+    srv.settimeout(1.0)
     links: dict[int, Link] = {}
-    for _ in range(num_followers):
-        conn, _ = srv.accept()
-        link = Link(conn)
-        hello, _ = link.recv()
-        links[int(hello["pid"])] = link
-    srv.close()
+    try:
+        while len(links) < num_followers:
+            if stop is not None and stop.is_set():
+                raise RuntimeError(
+                    f"stopped while waiting for followers "
+                    f"({len(links)}/{num_followers} connected)")
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                continue
+            link = Link(conn)
+            hello, _ = link.recv()
+            links[int(hello["pid"])] = link
+    finally:
+        srv.close()
     return links
 
 
@@ -272,6 +285,20 @@ class MultihostRuntime:
         assert self.local_shards == list(range(
             self.local_shards[0], self.local_shards[0] + len(self.local_shards))), \
             "host devices must be contiguous on the mesh axis"
+        # the ingest host computes each follower's raw-row span from
+        # process-id arithmetic (rows[i // dpp == pid]); that is only
+        # correct when the mesh axis is process-index-major with equal
+        # device counts -- check it here instead of garbling the time
+        # shards silently on an exotic topology
+        assert self.mesh.size % self.num_processes == 0, \
+            "devices must split evenly across processes"
+        dpp = self.mesh.size // self.num_processes
+        assert self.local_shards[0] == self.process_id * dpp \
+            and len(self.local_shards) == dpp, \
+            (f"mesh axis not process-index-major: process "
+             f"{self.process_id} holds shards {self.local_shards}, "
+             f"expected [{self.process_id * dpp}, "
+             f"{(self.process_id + 1) * dpp})")
         # serving partition: channel slots are sharded over devices in
         # order, so this host's slot range is exactly its device span
         cpd = cfg.max_channels // self.n
@@ -393,11 +420,18 @@ class MultihostDriver:
             else:
                 self._run_follower()
         except Exception as e:
-            self.metrics.device_errors += 1
-            self.metrics.last_device_error = repr(e)[:300]
+            if self._stop.is_set():
+                # orderly stop(): the link close unblocks recv()/sendall
+                # by design -- not a device error, keep /metrics clean
+                return
             import traceback
 
             traceback.print_exc()
+            # fail the CLUSTER, not just this process: a silently-dead
+            # ingest leaves followers parked in recv() forever while
+            # their websocket servers keep accepting listeners who hear
+            # silence (the wedge _fail_cluster exists to prevent)
+            self._fail_cluster(repr(e)[:200])
 
     # ------------------------------------------------------------- ingest
     def _reader(self, pid: int, link: "Link"):
@@ -456,7 +490,8 @@ class MultihostDriver:
 
         cfg = self.cfg
         rt = self.rt
-        self._links = serve_links(self.link_port, rt.num_processes - 1)
+        self._links = serve_links(self.link_port, rt.num_processes - 1,
+                                  stop=self._stop)
         for pid, link in self._links.items():
             # bounded socket ops so a WEDGED follower (socket alive,
             # process not reading) surfaces as a timeout instead of an
@@ -565,8 +600,8 @@ class MultihostDriver:
             t0 = time.monotonic()
             state = self._step_and_serve(
                 state, rows[rt.local_shards], tbl_arrays, mids,
-                (vstart, vlength), wf_meta, resets, idx, due, mode,
-                frame0, t0)
+                (vstart, vlength), wf_meta, resets, idx, counts, due,
+                mode, frame0, t0)
             self.metrics.frames += cfg.hop_batch
             seq += 1
 
@@ -613,7 +648,8 @@ class MultihostDriver:
             t0 = time.monotonic()
             state = self._step_and_serve(
                 state, rows, tbl, mids, views_np, wf_meta, resets, idx,
-                hdr["due"], hdr["mode"], hdr["frame0"], t0)
+                hdr["counts"], hdr["due"], hdr["mode"], hdr["frame0"],
+                t0)
             self.metrics.frames += cfg.hop_batch
             # push local registry changes upstream BEFORE the ack so the
             # ingest host merges them for the next control block
@@ -654,7 +690,8 @@ class MultihostDriver:
         return device_dtype(self.cfg.input_format)
 
     def _step_and_serve(self, state, my_rows, tbl_arrays, mids, views_np,
-                        wf_meta, resets, idx, due, mode, frame0, t0):
+                        wf_meta, resets, idx, counts, due, mode, frame0,
+                        t0):
         import jax.numpy as jnp
         from ..pipeline import WaterfallViews, channels_from_numpy
 
@@ -671,13 +708,11 @@ class MultihostDriver:
         pwr = rt.local_power(out)
         wf = rt.local_wf(out) if mode == "views" else None
         if wf is not None:
-            # padded per-shard replica rows -> due-list order
+            # padded per-shard replica rows -> due-list order (counts
+            # from due_layout, shipped in the step header)
             cl = rt.sp.due_cap_local
-            sel = []
-            for i in range(rt.n):
-                cnt = sum(1 for h in due
-                          if h // rt.sp.hops_per_shard == i)
-                sel += [i * cl + j for j in range(cnt)]
+            sel = [i * cl + j for i in range(rt.n)
+                   for j in range(counts[i])]
             wf = wf[sel]
         self.metrics.step_seconds.append(time.monotonic() - t0)
         try:

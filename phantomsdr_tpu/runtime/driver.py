@@ -261,8 +261,11 @@ class DSPDriver:
         scalars_per_sample = 1 if cfg.is_real else 2
         decim = cfg.opus_decim if cfg.device_decim else 1
         # (frame0, packed_device_array, due_list_or_None, wf_sel, wf_meta,
-        #  t_start) -- wf_sel maps the device's wf gather rows (per-shard
-        #  padded layout in mesh mode) to the due list's order
+        #  audio_meta, (k, w), t_start) -- wf_sel maps the device's wf
+        #  gather rows (per-shard padded layout in mesh mode) to the due
+        #  list's order; (k, w) are the channel-bucket and view-table
+        #  widths the step RAN at, which flush must unpack with even if
+        #  the current widths have changed since
         pending = None
         was_idle = False
 

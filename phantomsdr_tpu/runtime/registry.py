@@ -123,10 +123,12 @@ class ChannelRegistry:
         """Apply the config defaults WITHOUT the command validation: the
         reference routes defaults through set_audio_range directly
         (websocket.cpp:145), and clamped defaults can sit exactly at
-        r == fft_result_size, which on_window_message would reject."""
+        r == fft_result_size, which on_window_message would reject --
+        so r is clamped to fft_result_size INCLUSIVE here (the device
+        side handles r == R via the DC-wrap spectrum extension)."""
         cfg = self.cfg
         l = max(0, min(cfg.default_l, cfg.fft_result_size - 1))
-        r = max(l, min(cfg.default_r, cfg.fft_result_size - 1))
+        r = max(l, min(cfg.default_r, cfg.fft_result_size))
         r = min(r, l + cfg.audio_fft_size)
         self._apply(slot, l, cfg.default_m, r)
 

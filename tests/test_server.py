@@ -626,7 +626,41 @@ async def test_default_range_at_result_size_boundary():
         await asyncio.sleep(0.05)
         slot = next(iter(server.channels.slots.values()))
         assert server.channels.active[slot.slot], "default slice must activate"
-        assert slot.r < cfg.fft_result_size
+        # this WBFM-at-48k config's default is wider than the demod
+        # buffer, so the width safety cap binds (the reference has no
+        # such cap and would overrun its audio buffer); r stops at
+        # l + audio_fft_size, inside the band
+        assert slot.r == min(cfg.fft_result_size,
+                             slot.l + cfg.audio_fft_size)
+        await ws.close()
+    finally:
+        await client.close()
+
+
+@async_test
+async def test_default_range_reaches_result_size():
+    """Reference parity: a default slice whose width FITS may sit
+    exactly at r == fft_result_size (the reference applies defaults
+    unvalidated, websocket.cpp:145; on_window_message would reject
+    r == R).  The device handles r == R via the DC-wrap extension."""
+    cfg = make_cfg(input={
+        "sps": 192000,
+        # USB tuned at the very top edge of the band
+        "defaults": {"frequency": 7166000 - 96000 + 191990,
+                     "modulation": "USB"},
+        "audio_sps": 12000,
+    })
+    assert cfg.default_r == cfg.fft_result_size
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        ws = await client.ws_connect("/audio")
+        await ws.receive()
+        await asyncio.sleep(0.05)
+        slot = next(iter(server.channels.slots.values()))
+        assert server.channels.active[slot.slot]
+        assert slot.r == cfg.fft_result_size
+        assert slot.r - slot.l <= cfg.audio_fft_size
         await ws.close()
     finally:
         await client.close()

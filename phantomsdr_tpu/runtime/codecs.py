@@ -85,7 +85,10 @@ class FlacEncoder:
             raise RuntimeError(
                 f"phantom_flac_create({sample_rate}, {blocksize}, "
                 f"{channels}) failed")
-        self._cap = 1 << 20
+        # modest initial pickup buffer; _retake grows it on demand (a
+        # 1 MB buffer per audio connection is ~2 GB at the serving
+        # edge's client scale, for typically a few hundred bytes/step)
+        self._cap = 1 << 16
         self._out = ctypes.create_string_buffer(self._cap)
 
     def _retake(self, n: int) -> int:

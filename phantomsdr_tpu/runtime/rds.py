@@ -163,9 +163,16 @@ class RDSBitstream:
             self.q_flip = 0.995 * self.q_flip + abs(self._last_second
                                                     - first)
             self._last_second = second
-            if self.q_flip > 2.0 * self.q_keep and self.q_flip > 8.0:
+            if self.q_flip > 1.3 * self.q_keep and self.q_flip > 8.0:
                 # cross-pair transitions dominate: we are pairing across
-                # bit boundaries; shift parity by one symbol
+                # bit boundaries; shift parity by one symbol.  For
+                # ~balanced data the CORRECT parity converges to
+                # q_flip/q_keep = 0.5 (in-pair |s - (-s)| = 2, cross-pair
+                # averages 1) and the WRONG parity to 2.0 from below --
+                # the threshold must sit strictly inside (0.5, 2.0); a
+                # `> 2.0` test is unreachable and left the decoder stuck
+                # at the wrong parity for the ~50% of activations whose
+                # first strobe lands mid-bit
                 self._pending = second
                 self.q_keep, self.q_flip = self.q_flip, self.q_keep
                 continue
@@ -301,10 +308,18 @@ class RDSGroupDecoder:
             else:
                 return
             for k, ch in enumerate(chars):
-                if ch == 0x0D:  # carriage return terminates RT
-                    cc = " "
-                else:
-                    cc = chr(ch) if 32 <= ch < 127 else " "
+                if ch == 0x0D:
+                    # carriage return TERMINATES RadioText (IEC 62106):
+                    # blank the rest of the buffer, not just this cell --
+                    # stations shortening their message without toggling
+                    # the A/B flag never retransmit the tail segments,
+                    # which would otherwise display stale text forever
+                    for j in range(base + k, 64):
+                        if self.rt[j] != " ":
+                            self.rt[j] = " "
+                            self.changed = True
+                    break
+                cc = chr(ch) if 32 <= ch < 127 else " "
                 if self.rt[base + k] != cc:
                     self.rt[base + k] = cc
                     self.changed = True

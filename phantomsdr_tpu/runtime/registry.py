@@ -107,17 +107,20 @@ class ChannelRegistry:
                 self._free.append(slot.slot)
                 self.version += 1
 
-    def retune(self, slot: AudioSlot, l: int, mid: float, r: int) -> None:
+    def retune(self, slot: AudioSlot, l: int, mid: float, r: int) -> bool:
         """Validation per src/signal.cpp:300-314: 0<=l<=r<R and
-        r-l <= audio_fft_size."""
+        r-l <= audio_fft_size.  Returns whether the retune was ACCEPTED
+        so callers can gate their side effects (RDS decoder reset,
+        tuning-change broadcast) on an actual change."""
         cfg = self.cfg
         if not np.isfinite(mid):
-            return
+            return False
         if l < 0 or l >= cfg.fft_result_size or r < 0 or r >= cfg.fft_result_size:
-            return
+            return False
         if l > r or r - l > cfg.audio_fft_size:
-            return
+            return False
         self._apply(slot, l, mid, r)
+        return True
 
     def set_default_range(self, slot: AudioSlot) -> None:
         """Apply the config defaults WITHOUT the command validation: the

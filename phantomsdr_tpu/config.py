@@ -244,6 +244,14 @@ class ServerConfig:
             raise ValueError("[input] nr=true and stereo=true cannot "
                              "be combined")
 
+        if self.fft_size <= 0 or self.fft_size & (self.fft_size - 1):
+            # the reference's FFTW accepts arbitrary sizes; the TPU
+            # four-step decomposition, r2c packing and pyramid halvings
+            # assume a power of two -- fail at config time with a clear
+            # message instead of an opaque reshape error mid-compile
+            raise ValueError("[input] fft_size must be a power of two "
+                             f"(got {self.fft_size})")
+
         if self.deemphasis < 0 or self.deemphasis > 1000:
             raise ValueError("[input] deemphasis must be 0..1000 us")
 

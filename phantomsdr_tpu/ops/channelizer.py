@@ -135,7 +135,12 @@ def am_sync_detect(carrier: jnp.ndarray, baseband: jnp.ndarray,
         err = jnp.angle(v0)
         freq = freq + PLL_ALPHA * err
         phase = phase + PLL_BETA * err             # pll phase adjust
-        phase = phase + freq                       # nco step
+        # wrap like liquid's NCO phase constraint: the carried phase
+        # otherwise grows by ~freq rad/sample forever, and once it
+        # reaches ~1e7 the float32 ULP is ~1 rad -- exp(-1j*phase)
+        # rotates by quantization noise and the PLL unlocks after days
+        # of server uptime
+        phase = jnp.mod(phase + freq, 2.0 * jnp.pi)  # nco step
         return (phase, freq), jnp.real(v1)
 
     (phase, freq), out_t = jax.lax.scan(
@@ -276,9 +281,13 @@ def demodulate(
         mode == MODE_AM, am_audio,
         jnp.where(mode == MODE_FM, fm_audio, ssb_out),
     )
-    # NaN guard: the reference throws away the frame (signal.cpp:266-271);
-    # functionally we zero the offending samples instead.
-    audio = jnp.where(jnp.isnan(audio), 0.0, audio)
+    # Non-finite guard: the reference throws away the frame
+    # (signal.cpp:266-271); functionally we zero the offending samples
+    # instead.  isfinite, not isnan: a surviving +-inf sample turns the
+    # downstream DC blocker's cumsum into inf - inf = NaN and poisons
+    # the AGC gain carry PERMANENTLY (the gain recursion's comparisons
+    # are all False for NaN, so it never recovers).
+    audio = jnp.where(jnp.isfinite(audio), audio, 0.0)
 
     new_state = ChannelState(
         ssb_prev=new_ssb_prev,
@@ -416,8 +425,10 @@ def demodulate_batch(
         mode == MODE_AM, am_audio,
         jnp.where(mode == MODE_FM, fm_audio, ssb_out),
     )
-    # NaN guard (documented deviation; signal.cpp:266-271 drops the frame)
-    audio = jnp.where(jnp.isnan(audio), 0.0, audio)
+    # Non-finite guard (documented deviation; signal.cpp:266-271 drops
+    # the frame).  isfinite, not isnan: +-inf would NaN-poison the AGC
+    # carry downstream -- see demodulate()'s guard.
+    audio = jnp.where(jnp.isfinite(audio), audio, 0.0)
 
     new_state = ChannelState(
         ssb_prev=new_ssb_prev,

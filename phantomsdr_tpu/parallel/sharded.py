@@ -228,21 +228,20 @@ class ShardedHopPipeline:
         if waterfall == "off":
             pyr = jnp.zeros((bl, 0), jnp.int8)
             wf = jnp.zeros((0, w, self.view_cap), jnp.int8)
+        elif waterfall == "full":
+            pyr = waterfall_from_spectra(cfg, spec)
+            wf = jnp.zeros((0, w, self.view_cap), jnp.int8)
         else:
-            pyr_full = waterfall_from_spectra(cfg, spec)
-            if waterfall == "full":
-                pyr = pyr_full
-                wf = jnp.zeros((0, w, self.view_cap), jnp.int8)
-            else:
-                pyr = jnp.zeros((bl, 0), jnp.int8)
-                # gather only this shard's cadence-due local hops (host
-                # maps global due positions to per-shard rows, padded to
-                # the static due cap; see due_layout)
-                due_local = pyr_full[due_idx[0]]
-                wf = gather_waterfall_views(due_local, views, self.view_cap)
-                if self.gather_wf:
-                    # replicate all shards' rows (see class docstring)
-                    wf = jax.lax.all_gather(wf, "d", axis=0, tiled=True)
+            pyr = jnp.zeros((bl, 0), jnp.int8)
+            # build the pyramid ONLY for this shard's cadence-due local
+            # hops (host maps global due positions to per-shard rows,
+            # padded to the static due cap; see due_layout) -- non-due
+            # hops' pyramids would be computed and discarded
+            pyr_due = waterfall_from_spectra(cfg, spec[due_idx[0]])
+            wf = gather_waterfall_views(pyr_due, views, self.view_cap)
+            if self.gather_wf:
+                # replicate all shards' rows (see class docstring)
+                wf = jax.lax.all_gather(wf, "d", axis=0, tiled=True)
 
         spec_ext = extend_spectrum(spec, cfg.is_real, r, a)  # [B/n, R+A]
 

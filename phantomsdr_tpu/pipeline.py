@@ -397,43 +397,44 @@ def audio_from_spectra(
         rds8 = jnp.zeros((c, 2, 0), jnp.int8)
 
     nr_st = audio_state.nr
-    if isinstance(nr_params, NBParams):
-        # Wild impulse blanker (jsdsp/lib/NB.c server-side, ops/nb.py);
-        # int16-domain convention like the other processors (the
-        # threshold statistics are scale-invariant, the domain only
-        # matters for bit-parity with the browser)
-        scale = jnp.float32(65536.0 / 4.0)
-        nr_st, den = nb_process(nr_st, nr_params, stream * scale)
-        nr_col = (chans.nr if chans.nr is not None
-                  else jnp.zeros((c,), bool))
-        nr_on = (chans.active & nr_col)[:, None]
-        stream = jnp.where(nr_on, den / scale, stream)
-    elif isinstance(nr_params, ANRParams):
-        # wdsp LMS NR / auto-notch (jsdsp/lib/ANR.c server-side, see
-        # ops/anr.py) -- same int16-domain convention as the spectral
-        # path below, though the LMS filter itself is scale-invariant
-        scale = jnp.float32(65536.0 / 4.0)
-        nr_st, den = anr_process(nr_st, nr_params, stream * scale)
-        nr_col = (chans.nr if chans.nr is not None
-                  else jnp.zeros((c,), bool))
-        nr_on = (chans.active & nr_col)[:, None]
-        stream = jnp.where(nr_on, den / scale, stream)
-    elif nr_params is not None:
-        # device spectral noise reduction (jsdsp/lib/NR_spectral.c done
-        # server-side, see ops/nr.py): the browser applies NR to the
+    if nr_params is not None:
+        # Shared by all three processors: the browser applies NR to the
         # decoded int16-scale audio, so the op runs on the stream
         # lifted to the int16 domain (scale 65536/4, src/dsp.cpp:152)
-        # where its integer output rounding lands on the same grid;
-        # /scale is exact (power of two), and float_to_int16 below then
-        # reproduces the browser's rounded samples bit-for-bit.  The NR
-        # recursion runs for every channel (its noise track stays warm
-        # across toggles); chans.nr selects per listener.
+        # where integer output rounding lands on the same grid; /scale
+        # is exact (power of two), and float_to_int16 below then
+        # reproduces the browser's rounded samples bit-for-bit.
+        # chans.nr selects per listener.
         scale = jnp.float32(65536.0 / 4.0)
-        nr_st, den = nr_process(nr_st, nr_params, stream * scale, b)
         nr_col = (chans.nr if chans.nr is not None
                   else jnp.zeros((c,), bool))
-        nr_on = (chans.active & nr_col)[:, None]
-        stream = jnp.where(nr_on, den / scale, stream)
+        nr_on = chans.active & nr_col
+        lifted = stream * scale
+        if isinstance(nr_params, NBParams):
+            # Wild impulse blanker (jsdsp/lib/NB.c server-side,
+            # ops/nb.py).  Skipped entirely when no listener opted in
+            # (lax.cond, like the RDS stage): its state is only a raw
+            # sample tail, there is nothing to keep warm.
+            nr_st, den = jax.lax.cond(
+                jnp.any(nr_on),
+                lambda st: nb_process(st, nr_params, lifted),
+                lambda st: (st, lifted), nr_st)
+        elif isinstance(nr_params, ANRParams):
+            # wdsp LMS NR / auto-notch (jsdsp/lib/ANR.c server-side,
+            # ops/anr.py) -- a per-sample adaptive filter; with zero
+            # opted-in listeners the whole scan is skipped (the
+            # browser's filter also starts cold per listener, and
+            # reused slots are zeroed by the reset mask anyway).
+            nr_st, den = jax.lax.cond(
+                jnp.any(nr_on),
+                lambda st: anr_process(st, nr_params, lifted),
+                lambda st: (st, lifted), nr_st)
+        else:
+            # spectral (jsdsp/lib/NR_spectral.c server-side, ops/nr.py):
+            # runs for EVERY channel by design -- its noise-floor track
+            # must stay warm across per-listener toggles.
+            nr_st, den = nr_process(nr_st, nr_params, lifted, b)
+        stream = jnp.where(nr_on[:, None], den / scale, stream)
 
     st_st = audio_state.st
     if stereo_params is not None:
@@ -592,18 +593,16 @@ class HopPipeline:
         if waterfall == "off":
             pyr = jnp.zeros((b, 0), jnp.int8)
             wf = jnp.zeros((0, w, self.view_cap), jnp.int8)
-        else:
-            pyr_full = waterfall_from_spectra(cfg, spec)
-            if waterfall == "full":
-                pyr = pyr_full
-                wf = jnp.zeros((0, w, self.view_cap), jnp.int8)
-            else:  # views: gather ONLY the cadence-due hops' rows -- the
-                # host passes the per-step due positions (padded to the
-                # static due_cap), so non-dividing skip_num configs don't
-                # ship every hop's views over the link
-                pyr = jnp.zeros((b, 0), jnp.int8)
-                due = pyr_full[due_idx]
-                wf = gather_waterfall_views(due, views, self.view_cap)
+        elif waterfall == "full":
+            pyr = waterfall_from_spectra(cfg, spec)
+            wf = jnp.zeros((0, w, self.view_cap), jnp.int8)
+        else:  # views: compute the power/quantize pyramid ONLY for the
+            # cadence-due hops (the host passes per-step due positions
+            # padded to the static due_cap) -- at skip_num > 1 the
+            # other hops' pyramids would be built and discarded
+            pyr = jnp.zeros((b, 0), jnp.int8)
+            pyr_due = waterfall_from_spectra(cfg, spec[due_idx])
+            wf = gather_waterfall_views(pyr_due, views, self.view_cap)
 
         spec_ext = extend_spectrum(spec, cfg.is_real, r, a)
         audio_st, audio16, pwr, rds8 = audio_from_spectra(

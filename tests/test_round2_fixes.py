@@ -5,6 +5,7 @@ NaN deviation (reference drops the frame, src/signal.cpp:266-271; we
 zero the offending samples)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from phantomsdr_tpu.config import config_from_dict
@@ -213,3 +214,84 @@ def test_nan_input_zeroes_samples_not_frames():
     assert (audio[0] == 0).all()
     # channel 1 is clean and unaffected
     assert np.abs(audio[1]).sum() == 0  # zero spectrum -> zero audio
+
+
+def test_inf_input_does_not_poison_agc():
+    """A +-inf demod sample must be zeroed like NaN (isfinite guard):
+    inf survives an isnan-only guard, the DC blocker's cumsum turns it
+    into inf - inf = NaN, and the AGC gain carry goes NaN PERMANENTLY
+    (its comparisons are all False for NaN) -- every later sample of
+    that listener is garbage until a reset."""
+    from phantomsdr_tpu.ops.channelizer import (
+        demodulate, init_channel_state, ChannelTable)
+    from phantomsdr_tpu.ops.agc import (
+        dc_blocker, agc_process, make_agc_params, dc_blocker_delay,
+        init_dc_state, init_agc_state)
+
+    a = 64
+    rsz = 512
+    spec = np.zeros(rsz + a, np.complex64)
+    spec[100:104] = np.inf                      # poisoned slice
+    spec[300:360] = 1.0                         # clean channel content
+    chans = ChannelTable(
+        l=jnp.asarray([90, 300], jnp.int32),
+        r=jnp.asarray([150, 360], jnp.int32),
+        m_idx=jnp.asarray([100, 310], jnp.int32),
+        mode=jnp.asarray([0, 0], jnp.int32),
+        active=jnp.asarray([True, True]),
+    )
+    st = init_channel_state(2, a)
+    st, audio, pwr = demodulate(
+        jnp.asarray(spec), chans, st, jnp.int32(0),
+        audio_fft_size=a, fft_result_size=rsz, base_idx=0, is_real=True)
+    audio = np.asarray(audio)
+    assert np.isfinite(audio).all()
+
+    # and the full DC+AGC chain stays finite across SUBSEQUENT clean
+    # blocks (the regression: gain carried NaN forever)
+    params = make_agc_params(12000)
+    d = dc_blocker_delay(12000)
+    dc_st = init_dc_state(2, d)
+    agc_st = init_agc_state(2, params.window)
+    dc_st, y = dc_blocker(dc_st, jnp.asarray(audio), d)
+    agc_st, y = agc_process(agc_st, y, params)
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        clean = rng.standard_normal((2, a)).astype(np.float32) * 0.1
+        dc_st, y = dc_blocker(dc_st, jnp.asarray(clean), d)
+        agc_st, y = agc_process(agc_st, y, params)
+    assert np.isfinite(np.asarray(y)).all()
+    assert np.isfinite(np.asarray(agc_st.gain)).all()
+
+
+def test_am_sync_pll_phase_wrapped():
+    """The AM-sync NCO phase must stay wrapped (liquid constrains it
+    per step): an unbounded float32 phase accumulates ULP ~1 rad after
+    days of uptime and the PLL unlocks."""
+    from phantomsdr_tpu.ops.channelizer import am_sync_detect
+
+    rng = np.random.default_rng(1)
+    car = (rng.standard_normal((2, 4096)) +
+           1j * rng.standard_normal((2, 4096))).astype(np.complex64)
+    phase = jnp.asarray([1.0, 5.0], jnp.float32)
+    freq = jnp.asarray([0.3, -0.2], jnp.float32)  # large offsets
+    for _ in range(4):
+        _, phase, freq = am_sync_detect(jnp.asarray(car), jnp.asarray(car),
+                                        phase, freq)
+    ph = np.asarray(phase)
+    assert np.all(ph >= 0.0) and np.all(ph < 2 * np.pi + 1e-3), ph
+
+
+def test_fft_size_must_be_power_of_two():
+    from phantomsdr_tpu.config import config_from_dict
+
+    with pytest.raises(ValueError, match="power of two"):
+        config_from_dict({
+            "input": {
+                "sps": 1_000_000, "frequency": 7000000,
+                "fft_size": 1_000_000, "signal": "iq",
+                "audio_sps": 12000, "waterfall_size": 256,
+                "driver": {"format": "s16"},
+            },
+            "tpu": {"hop_batch": 2, "max_channels": 2},
+        })

@@ -126,6 +126,54 @@ def test_pipeline_fm_only_gating():
     assert np.sum(s75[hi]) < 0.3 * np.sum(s0[hi])
 
 
+def test_pipeline_stereo_deemph_rows():
+    """stereo=true + deemphasis=75: the per-STREAM row mask (2 rows per
+    channel, interleaved L/R) must filter both ears of the FM row and
+    leave the AM row's two ears bit-identical to a no-deemphasis run."""
+    def cfg_for(us):
+        return config_from_dict({
+            "input": {
+                "sps": 1_536_000, "frequency": 98_000_000,
+                "fft_size": 4096, "signal": "iq", "audio_sps": 192000,
+                "waterfall_size": 512, "deemphasis": us, "stereo": True,
+                "driver": {"format": "s16"},
+                "defaults": {"frequency": 98_000_000,
+                             "modulation": "WBFM"},
+            },
+            "tpu": {"hop_batch": 16, "max_channels": 2},
+        })
+
+    runs = {}
+    for us in (0.0, 75.0):
+        cfg = cfg_for(us)
+        pipe = HopPipeline(cfg)
+        half = cfg.audio_fft_size // 2
+        mid = cfg.fft_result_size // 2
+        table = channels_from_numpy(
+            l=[mid - half // 2] * 2, r=[mid + half // 2] * 2,
+            m_idx=[mid] * 2, mode=[3, 2], active=[True, True])
+        rng = np.random.default_rng(9)
+        n = cfg.hop_size * (cfg.hop_batch + 1) * 2
+        state = pipe.init_state()
+        outs = []
+        for _ in range(14):
+            raw = rng.integers(-20000, 20000, n, dtype=np.int16)
+            state, out = pipe.step(state, jnp.asarray(raw), table,
+                                   waterfall="off")
+            outs.append(np.asarray(out.audio))  # [B, C, 2*half] L/R
+        runs[us] = np.concatenate(outs, axis=0)
+    a0, a75 = runs[0.0], runs[75.0]
+    np.testing.assert_array_equal(a0[:, 1], a75[:, 1])  # AM row identical
+    fm0 = a0[:, 0].reshape(-1, 2)
+    fm75 = a75[:, 0].reshape(-1, 2)
+    for ear in (0, 1):  # L and R both de-emphasized
+        assert np.any(fm0[:, ear] != fm75[:, ear])
+        s0 = np.abs(np.fft.rfft(fm0[-20480:, ear].astype(np.float64)))
+        s75 = np.abs(np.fft.rfft(fm75[-20480:, ear].astype(np.float64)))
+        hi = slice(s0.size // 2, s0.size)
+        assert np.sum(s75[hi]) < 0.3 * np.sum(s0[hi])
+
+
 def test_config_validation():
     with pytest.raises(ValueError, match="deemphasis"):
         config_from_dict({

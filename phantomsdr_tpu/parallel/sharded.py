@@ -236,8 +236,14 @@ class ShardedHopPipeline:
             # build the pyramid ONLY for this shard's cadence-due local
             # hops (host maps global due positions to per-shard rows,
             # padded to the static due cap; see due_layout) -- non-due
-            # hops' pyramids would be computed and discarded
-            pyr_due = waterfall_from_spectra(cfg, spec[due_idx[0]])
+            # hops' pyramids would be computed and discarded.  At
+            # skip_num == 1 the local due set is always the identity;
+            # skip the row gather (see pipeline._step)
+            if cfg.skip_num == 1 and self.due_cap_local == bl:
+                due_spec = spec
+            else:
+                due_spec = spec[due_idx[0]]
+            pyr_due = waterfall_from_spectra(cfg, due_spec)
             wf = gather_waterfall_views(pyr_due, views, self.view_cap)
             if self.gather_wf:
                 # replicate all shards' rows (see class docstring)

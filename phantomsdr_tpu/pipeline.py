@@ -599,9 +599,16 @@ class HopPipeline:
         else:  # views: compute the power/quantize pyramid ONLY for the
             # cadence-due hops (the host passes per-step due positions
             # padded to the static due_cap) -- at skip_num > 1 the
-            # other hops' pyramids would be built and discarded
+            # other hops' pyramids would be built and discarded.  At
+            # skip_num == 1 every hop is due and due_idx is always the
+            # identity, so skip the row gather (it would copy the whole
+            # [B, R'] spectrum, ~300 MB of HBM traffic at the flagship)
             pyr = jnp.zeros((b, 0), jnp.int8)
-            pyr_due = waterfall_from_spectra(cfg, spec[due_idx])
+            if cfg.skip_num == 1 and self.due_cap == b:
+                due_spec = spec
+            else:
+                due_spec = spec[due_idx]
+            pyr_due = waterfall_from_spectra(cfg, due_spec)
             wf = gather_waterfall_views(pyr_due, views, self.view_cap)
 
         spec_ext = extend_spectrum(spec, cfg.is_real, r, a)

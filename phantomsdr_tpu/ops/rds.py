@@ -130,24 +130,20 @@ def init_rds_state(num_channels: int, params: RDSParams | None) -> RDSState:
     )
 
 
-def rds_process(state: RDSState, params: RDSParams, x: jnp.ndarray,
-                fm_mask: jnp.ndarray) -> tuple[RDSState, jnp.ndarray]:
-    """MPX stream [C, T] -> (state, int8 baseband [C, 2, T/decim]).
+def rds_from_pilot(dec_tail: jnp.ndarray, params: RDSParams,
+                   xd: jnp.ndarray, ph: jnp.ndarray,
+                   fm_mask: jnp.ndarray
+                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Delayed MPX [C, T] + tracked pilot phase [C, T] -> (new folded
+    dec_tail [C, 2*(Nl-1)], int8 baseband [C, 2, T/decim]).
 
-    Output rows are (I, Q) of the 57 kHz subcarrier mixed to complex
-    baseband by 3x the tracked pilot phase, lowpassed, decimated, and
-    per-channel-normalized to INT8_TARGET_RMS.  Streaming-continuous
-    across steps.  Non-FM rows are zeroed.
+    The downstream half of rds_process, split out so the pipeline can
+    feed it the ONE pilot track shared with the stereo demixer when
+    both opt-ins are on (pipeline.audio_from_spectra); the transmitter
+    derives both subcarriers from the same pilot, so the server tracks
+    it once.
     """
-    c, t = x.shape
-
-    # ---- shared pilot front end + tracking loop (ops/stereo.py:
-    # pilot_front_end / pilot_track -- ONE implementation of the
-    # bandpass/delay/PLL conventions for both subcarrier consumers) ----
-    new_bp_tail, new_mpx_tail, y, xd = pilot_front_end(
-        state.bp_tail, state.mpx_tail, params.bp_taps, x)
-    phase, freq, ph = pilot_track(state.phase, state.freq,
-                                  params.f_nom, y)
+    c, t = xd.shape
 
     # ---- 57 kHz complex downmix: z = 2 * x_d * exp(-3j * theta) ----
     zi = 2.0 * xd * jnp.cos(3.0 * ph)
@@ -156,7 +152,7 @@ def rds_process(state: RDSState, params: RDSParams, x: jnp.ndarray,
 
     # ---- lowpass + decimate (streaming, tail carried) ----
     nl = params.lp_taps.shape[0]
-    dec_in = DecimatorState(tail=state.dec_tail.reshape(2 * c, nl - 1))
+    dec_in = DecimatorState(tail=dec_tail.reshape(2 * c, nl - 1))
     dec_st, bb = polyphase_decimate(dec_in, z, params.lp_taps,
                                     params.decim)
     bb = bb.reshape(c, 2, -1)                              # [C, 2, T/decim]
@@ -167,7 +163,27 @@ def rds_process(state: RDSState, params: RDSParams, x: jnp.ndarray,
     rms = jnp.sqrt(jnp.mean(bb * bb, axis=(1, 2), keepdims=True))
     scale = jnp.float32(INT8_TARGET_RMS) / (rms + 1e-9)
     q = jnp.clip(jnp.round(bb * scale), -127.0, 127.0).astype(jnp.int8)
+    return dec_st.tail.reshape(c, 2 * (nl - 1)), q
 
+
+def rds_process(state: RDSState, params: RDSParams, x: jnp.ndarray,
+                fm_mask: jnp.ndarray) -> tuple[RDSState, jnp.ndarray]:
+    """MPX stream [C, T] -> (state, int8 baseband [C, 2, T/decim]).
+
+    Output rows are (I, Q) of the 57 kHz subcarrier mixed to complex
+    baseband by 3x the tracked pilot phase, lowpassed, decimated, and
+    per-channel-normalized to INT8_TARGET_RMS.  Streaming-continuous
+    across steps.  Non-FM rows are zeroed.
+    """
+    # ---- shared pilot front end + tracking loop (ops/stereo.py:
+    # pilot_front_end / pilot_track -- ONE implementation of the
+    # bandpass/delay/PLL conventions for both subcarrier consumers) ----
+    new_bp_tail, new_mpx_tail, y, xd = pilot_front_end(
+        state.bp_tail, state.mpx_tail, params.bp_taps, x)
+    phase, freq, ph = pilot_track(state.phase, state.freq,
+                                  params.f_nom, y)
+    new_dec_tail, q = rds_from_pilot(state.dec_tail, params, xd, ph,
+                                     fm_mask)
     return (RDSState(bp_tail=new_bp_tail, mpx_tail=new_mpx_tail,
                      phase=phase, freq=freq,
-                     dec_tail=dec_st.tail.reshape(c, 2 * (nl - 1))), q)
+                     dec_tail=new_dec_tail), q)

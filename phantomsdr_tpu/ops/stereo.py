@@ -122,6 +122,29 @@ def init_stereo_state(num_channels: int, params: StereoParams | None
     )
 
 
+def pilot_bandpass(bp_tail: jnp.ndarray, taps: np.ndarray,
+                   x: jnp.ndarray):
+    """18-20 kHz pilot isolation with the filter tail carried across
+    steps.  Returns (new_bp_tail, y [C, T])."""
+    t = x.shape[1]
+    xin = jnp.concatenate([bp_tail, x], axis=1)            # [C, nt-1+T]
+    lhs = xin[:, None, :]
+    rhs = jnp.asarray(taps[::-1], jnp.float32)[None, None, :]
+    y = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )[:, 0, :]                                             # [C, T]
+    return xin[:, t:], y
+
+
+def delay_stream(tail: jnp.ndarray, x: jnp.ndarray):
+    """Group-delay x by tail.shape[1] samples (history carried).
+    Returns (new_tail, x_delayed [C, T])."""
+    t = x.shape[1]
+    full = jnp.concatenate([tail, x], axis=1)
+    return full[:, t:], full[:, :t]
+
+
 def pilot_front_end(bp_tail: jnp.ndarray, delay_tail: jnp.ndarray,
                     taps: np.ndarray, x: jnp.ndarray):
     """Shared pilot front end (stereo AND RDS, ops/rds.py): bandpass
@@ -131,16 +154,9 @@ def pilot_front_end(bp_tail: jnp.ndarray, delay_tail: jnp.ndarray,
 
     Returns (new_bp_tail, new_delay_tail, y [C, T], x_delayed [C, T]).
     """
-    t = x.shape[1]
-    xin = jnp.concatenate([bp_tail, x], axis=1)            # [C, nt-1+T]
-    lhs = xin[:, None, :]
-    rhs = jnp.asarray(taps[::-1], jnp.float32)[None, None, :]
-    y = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )[:, 0, :]                                             # [C, T]
-    xd_full = jnp.concatenate([delay_tail, x], axis=1)
-    return xin[:, t:], xd_full[:, t:], y, xd_full[:, :t]
+    new_bp, y = pilot_bandpass(bp_tail, taps, x)
+    new_d, xd = delay_stream(delay_tail, x)
+    return new_bp, new_d, y, xd
 
 
 def pilot_track(phase: jnp.ndarray, freq: jnp.ndarray, f_nom: float,
@@ -176,6 +192,17 @@ def pilot_track(phase: jnp.ndarray, freq: jnp.ndarray, f_nom: float,
     return phase, freq, ph_t.T
 
 
+def stereo_demix(xd: jnp.ndarray, ph: jnp.ndarray, fm_mask: jnp.ndarray
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Demix the delayed MPX [C, T] against the tracked pilot phase
+    [C, T] -> (L, R).  Mix by twice the pilot phase; gain 2 makes the
+    demixed DSB term unity (s*cos(2th) * 2cos(2th) -> s + s*cos(4th)):
+    full separation.  Non-FM rows pass mono through both ears."""
+    lr = 2.0 * xd * jnp.cos(2.0 * ph)
+    lr = lr * jnp.where(fm_mask, 1.0, 0.0)[:, None]
+    return xd + lr, xd - lr
+
+
 def stereo_decode(state: StereoState, params: StereoParams,
                   x: jnp.ndarray, fm_mask: jnp.ndarray
                   ) -> tuple[StereoState, jnp.ndarray, jnp.ndarray]:
@@ -188,12 +215,7 @@ def stereo_decode(state: StereoState, params: StereoParams,
         state.bp_tail, state.mono_tail, params.taps, x)
     phase, freq, ph = pilot_track(state.phase, state.freq,
                                   params.f_nom, y)
-    # mix the (delayed, see module docstring) MPX down by twice the
-    # pilot phase; gain 2 makes the demixed DSB term unity
-    # (s*cos(2th) * 2cos(2th) -> s + s*cos(4th)): full separation.
-    lr = 2.0 * xd * jnp.cos(2.0 * ph)
-    lr = lr * jnp.where(fm_mask, 1.0, 0.0)[:, None]
-
+    l, r = stereo_demix(xd, ph, fm_mask)
     new_state = StereoState(bp_tail=new_bp_tail, mono_tail=new_mono_tail,
                             phase=phase, freq=freq)
-    return new_state, xd + lr, xd - lr
+    return new_state, l, r

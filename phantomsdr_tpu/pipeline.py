@@ -56,7 +56,7 @@ from .ops.polyphase import (
 )
 from .ops.stereo import (
     StereoParams, StereoState, make_stereo_params, init_stereo_state,
-    stereo_decode,
+    stereo_decode, stereo_demix, pilot_bandpass, pilot_track, delay_stream,
 )
 from .ops.nr import (
     NRParams, NRState, make_nr_params, init_nr_state, nr_process,
@@ -69,6 +69,7 @@ from .ops.nb import (
 )
 from .ops.rds import (
     RDSParams, RDSState, make_rds_params, init_rds_state, rds_process,
+    rds_from_pilot,
 )
 from .ops.deemph import deemph_alpha, deemph_process
 from .ops.channelizer import MODE_FM
@@ -364,6 +365,15 @@ def audio_from_spectra(
     agc_st, stream = agc_process(audio_state.agc, stream, agc_params)
 
     rds_st = audio_state.rds
+    # With BOTH subcarrier opt-ins on, the 19 kHz pilot is bandpassed
+    # and PLL-tracked ONCE here (the pre-NR tap) and the phase feeds
+    # both the 38 kHz stereo demix and the 57 kHz RDS downmix -- the
+    # transmitter derives both subcarriers from the same pilot
+    # (jsdsp/src/wbfmpll.cpp:60-80), so two per-sample PLL scans over
+    # the same pilot would be pure redundancy.  make_rds_params reuses
+    # make_stereo_params, so bp_taps/delay/f_nom are identical and the
+    # two states' pilot carries stay mirrored.
+    pilot_ph = None
     if rds_params is not None:
         # FM-RDS subcarrier demod (the reference leaves this to the
         # browser's redsea WASM build, jsdsp/redsea.js): tap the
@@ -382,17 +392,39 @@ def audio_from_spectra(
         rds_on = chans.active & rds_col & (chans.mode == MODE_FM)
         t_out = stream.shape[-1] // rds_params.decim
 
-        def _rds_run(st):
-            return rds_process(st, rds_params, stream, rds_on)
-
-        def _rds_skip(st):
+        def _rds_skip_t(dt):
             # zeros derived from the (mesh-varying) stream so both cond
             # branches agree on the varying-axis type under shard_map
             z = jnp.zeros_like(stream[:, :1])[:, None, :]     # [C, 1, 1]
-            return st, jnp.broadcast_to(z, (c, 2, t_out)).astype(jnp.int8)
+            return dt, jnp.broadcast_to(z, (c, 2, t_out)).astype(jnp.int8)
 
-        rds_st, rds8 = jax.lax.cond(jnp.any(rds_on), _rds_run, _rds_skip,
-                                    rds_st)
+        if stereo_params is not None:
+            # shared-pilot path: the stereo demix below needs the pilot
+            # every step anyway, so the bandpass+PLL runs outside the
+            # RDS cond and only the downmix/lowpass/decimate half is
+            # skipped when no listener sent {"cmd":"rds"}.
+            new_bp, y = pilot_bandpass(rds_st.bp_tail, rds_params.bp_taps,
+                                       stream)
+            new_mpx, xd = delay_stream(rds_st.mpx_tail, stream)
+            phase, freq, pilot_ph = pilot_track(
+                rds_st.phase, rds_st.freq, rds_params.f_nom, y)
+            dec_tail, rds8 = jax.lax.cond(
+                jnp.any(rds_on),
+                lambda dt: rds_from_pilot(dt, rds_params, xd, pilot_ph,
+                                          rds_on),
+                _rds_skip_t, rds_st.dec_tail)
+            rds_st = RDSState(bp_tail=new_bp, mpx_tail=new_mpx,
+                              phase=phase, freq=freq, dec_tail=dec_tail)
+        else:
+            def _rds_run(st):
+                return rds_process(st, rds_params, stream, rds_on)
+
+            def _rds_skip(st):
+                dt, z8 = _rds_skip_t(st.dec_tail)
+                return st, z8
+
+            rds_st, rds8 = jax.lax.cond(jnp.any(rds_on), _rds_run,
+                                        _rds_skip, rds_st)
     else:
         rds8 = jnp.zeros((c, 2, 0), jnp.int8)
 
@@ -442,8 +474,22 @@ def audio_from_spectra(
         # see ops/stereo.py): the post-AGC stream is exactly what the
         # reference ships to the browser's stereo decoder.  FM rows get
         # pilot-PLL stereo; other modes pass mono to both ears.
-        st_st, s_l, s_r = stereo_decode(
-            st_st, stereo_params, stream, chans.mode == MODE_FM)
+        fm_mask = chans.mode == MODE_FM
+        if pilot_ph is not None:
+            # reuse the pilot tracked at the pre-NR RDS tap (see the
+            # shared-pilot comment above).  The mono/L-R path still
+            # delays the CURRENT (possibly NR'd) stream with stereo's
+            # own tail; only the PLL phase is shared -- tracking the
+            # un-NR'd pilot is if anything cleaner (NR's spectral
+            # shaping can bite into the 19 kHz pilot).
+            new_mono, xm = delay_stream(st_st.mono_tail, stream)
+            s_l, s_r = stereo_demix(xm, pilot_ph, fm_mask)
+            st_st = StereoState(bp_tail=rds_st.bp_tail,
+                                mono_tail=new_mono,
+                                phase=rds_st.phase, freq=rds_st.freq)
+        else:
+            st_st, s_l, s_r = stereo_decode(
+                st_st, stereo_params, stream, fm_mask)
         stream = jnp.stack([s_l, s_r], axis=1).reshape(2 * c, b * half)
 
     nch = 2 if stereo_params is not None else 1

@@ -201,6 +201,62 @@ def test_stereo_sharded_matches_single_device():
         assert np.abs(a1 - a8).max() <= 1  # fp reduction-order wiggle
 
 
+def test_stereo_rds_shared_pilot():
+    """With BOTH subcarrier opt-ins on, the pipeline tracks the 19 kHz
+    pilot ONCE (pipeline.audio_from_spectra shared-pilot path) and
+    feeds both consumers.  Outputs must match the single-opt-in
+    pipelines: audio == the stereo-only pipeline's, RDS baseband == the
+    rds-only pipeline's (NR off, so the tap points see the same
+    stream); and the two states' mirrored pilot carries stay equal."""
+    def cfg_for(stereo, rds):
+        return config_from_dict({
+            "input": {
+                "sps": 1_536_000, "frequency": 98_000_000,
+                "fft_size": 4096, "signal": "iq", "audio_sps": 192000,
+                "waterfall_size": 512, "stereo": stereo, "rds": rds,
+                "driver": {"format": "s16"},
+                "defaults": {"frequency": 98_000_000,
+                             "modulation": "WBFM"},
+            },
+            "tpu": {"hop_batch": 16, "max_channels": 2},
+        })
+
+    cfg = cfg_for(True, True)
+    pipes = {k: HopPipeline(cfg_for(*v)) for k, v in
+             {"both": (True, True), "st": (True, False),
+              "rds": (False, True)}.items()}
+    half = cfg.audio_fft_size // 2
+    mid = cfg.fft_result_size // 2
+    table = channels_from_numpy(
+        l=[mid - half // 2] * 2, r=[mid + half // 2] * 2,
+        m_idx=[mid] * 2, mode=[3, 3], active=[True, True],
+        rds=[True, False])
+    rng = np.random.default_rng(5)
+    n = cfg.hop_size * (cfg.hop_batch + 1) * 2
+    states = {k: p.init_state() for k, p in pipes.items()}
+    for _ in range(12):
+        raw = jnp.asarray(rng.integers(-20000, 20000, n, dtype=np.int16))
+        outs = {}
+        for k, p in pipes.items():
+            states[k], outs[k] = p.step(states[k], raw, table,
+                                        waterfall="off")
+        a_both = np.asarray(outs["both"].audio).astype(np.int32)
+        a_st = np.asarray(outs["st"].audio).astype(np.int32)
+        assert np.abs(a_both - a_st).max() <= 1  # fusion rounding only
+        r_both = np.asarray(outs["both"].rds).astype(np.int32)
+        r_rds = np.asarray(outs["rds"].rds).astype(np.int32)
+        assert np.abs(r_both - r_rds).max() <= 1
+        st = states["both"].audio
+        np.testing.assert_array_equal(np.asarray(st.st.phase),
+                                      np.asarray(st.rds.phase))
+        np.testing.assert_array_equal(np.asarray(st.st.bp_tail),
+                                      np.asarray(st.rds.bp_tail))
+    assert np.any(r_both[0])  # the opted-in FM row produced baseband
+    # pilot engaged: FM row decodes stereo (L != R somewhere)
+    fm = np.asarray(outs["both"].audio)[:, 0].reshape(-1, 2)
+    assert np.any(fm[:, 0] != fm[:, 1])
+
+
 def test_flac_stereo_roundtrip():
     from phantomsdr_tpu.runtime.codecs import FlacEncoder
     from tests.test_codecs import decode_flac

@@ -289,6 +289,28 @@ def main():
                   lambda y: jnp.sum(y.astype(jnp.float32)), stream, kb)
         results["optin_stages_ms"]["rds_downmix"] = round(t * 1e3, 3)
 
+        # stereo + RDS together, the pipeline's shared-pilot path
+        # (pipeline.audio_from_spectra): ONE bandpass+PLL feeds both
+        # the 38 kHz demix and the 57 kHz downmix -- combined should be
+        # ~max(stereo, rds), not their sum.
+        from phantomsdr_tpu.ops.stereo import (
+            pilot_bandpass, pilot_track, delay_stream, stereo_demix,
+        )
+        from phantomsdr_tpu.ops.rds import rds_from_pilot
+
+        def s_both(x):
+            _, y = pilot_bandpass(rst0.bp_tail, rp.bp_taps, x)
+            _, xd = delay_stream(rst0.mpx_tail, x)
+            _, _, ph = pilot_track(rst0.phase, rst0.freq, rp.f_nom, y)
+            _, q = rds_from_pilot(rst0.dec_tail, rp, xd, ph, fm_mask)
+            _, xm = delay_stream(st0.mono_tail, x)
+            l, r = stereo_demix(xm, ph, fm_mask)
+            return l + r + jnp.sum(q.astype(jnp.float32))
+
+        t = slope(s_both, lambda y: jnp.sum(y), stream, kb)
+        results["optin_stages_ms"]["stereo_plus_rds_shared"] = round(
+            t * 1e3, 3)
+
     # ---- end-to-end step (normal path, packed fetch per step) ----
     pipe = HopPipeline(cfg)
     blk = (b + 1) * pipe.wire_per_hop

@@ -161,31 +161,116 @@ def nb_process(state: NBState, params: NBParams, x: jnp.ndarray
     wbw = jnp.asarray(np.arange(il, dtype=np.float32) / (il - 1))
     wfw = wbw[::-1]
     rows = jnp.arange(c)[:, None]
+    hi = jax.lax.Precision.HIGHEST
 
-    # ---- sequential masked repairs over the 20 impulse slots ----
-    for j in range(N_IMPULSE_COUNT):
-        pos = positions[:, j]                        # [C]
-        valid = j < count                            # [C]
-        kk = jnp.arange(order)[None, :]
-        rfw = jnp.take_along_axis(wb, pos[:, None] + kk, axis=1)
-        rbw = jnp.take_along_axis(
-            wb, (order + pl + pos + pl + 1)[:, None] + kk, axis=1)
-        # forward: grow rfw by il predicted samples (scan over i)
-        def fstep(buf, _):
-            p = jnp.sum(fwd * buf, axis=1)
-            return jnp.concatenate([buf[:, 1:], p[:, None]], axis=1), p
-        _, fpred = jax.lax.scan(fstep, rfw, None, length=il)   # [il, C]
-        # backward: predict il samples before rbw (scan over i)
-        def bstep(buf, _):
-            p = jnp.sum(bwd * buf, axis=1)
-            return jnp.concatenate([p[:, None], buf[:, :-1]], axis=1), p
-        _, bpred = jax.lax.scan(bstep, rbw, None, length=il)   # [il, C]
-        # bpred[i] is the sample at rbw-relative index il-1-i
-        patch = (wfw[None, :] * fpred.T
-                 + wbw[None, :] * bpred.T[:, ::-1])            # [C, il]
-        idx = (order + pos)[:, None] + jnp.arange(il)[None, :]
-        old = jnp.take_along_axis(wb, idx, axis=1)
-        wb = wb.at[rows, idx].set(jnp.where(valid[:, None], patch, old))
+    # ---- per-frame prediction-coefficient matrices.  The C's il-step
+    # forward/backward LPC recursions (NB.c:227-243) are LINEAR in
+    # their order-sample basis, so each folds into an [il, order]
+    # matrix built ONCE per frame (a single il-step scan over
+    # [C, order, order] coefficient buffers) instead of re-running a
+    # per-sample scan inside every one of the 20 repair slots:
+    # fpred_j = Cf @ rfw_j and the backward patch = Cb_rev @ rbw_j.
+    # This cuts the sequential chain from 20*(2*il) dependent steps to
+    # 2*il + 20 and is the main part of the 58 -> <20 ms NB win.
+    eye = jnp.broadcast_to(jnp.eye(order, dtype=jnp.float32),
+                           (c, order, order))
+
+    def fcoef(bmat, _):
+        ci = jnp.einsum("co,cok->ck", fwd, bmat, precision=hi)
+        return jnp.concatenate([bmat[:, 1:], ci[:, None, :]], axis=1), ci
+
+    _, cf = jax.lax.scan(fcoef, eye, None, length=il)      # [il, C, order]
+    coef_f = cf.transpose(1, 0, 2)                         # [C, il, order]
+
+    def bcoef(bmat, _):
+        ci = jnp.einsum("co,cok->ck", bwd, bmat, precision=hi)
+        return jnp.concatenate([ci[:, None, :], bmat[:, :-1]], axis=1), ci
+
+    _, cb = jax.lax.scan(bcoef, eye, None, length=il)
+    coef_b_rev = cb[::-1].transpose(1, 0, 2)               # [C, il, order]
+
+    # ---- ONE gather for every slot's whole working span.  For slot j
+    # the forward basis wb[pos..pos+order), the repair window
+    # wb[order+pos..order+pos+il) and the backward basis
+    # wb[order+pos+il..order+pos+il+order) (= wb[order+pl+pos+pl+1+k],
+    # NB.c:222-225) are CONTIGUOUS, so all 3*20 data-dependent gathers
+    # from the big [C, T'] buffer collapse into one [C, 20, 2*order+il]
+    # take_along_axis -- data-dependent lane gathers are the expensive
+    # op on TPU (PERF.md), so none remain inside the chain.
+    w_span = 2 * order + il
+    idx_g = positions[:, :, None] + jnp.arange(w_span)[None, None, :]
+    spans = jnp.take_along_axis(wb, idx_g.reshape(c, -1), axis=1)
+    spans = spans.reshape(c, N_IMPULSE_COUNT, w_span)
+    rfw_orig = spans[:, :, :order]                # [C, 20, order]
+    orig_patch = spans[:, :, order: order + il]   # [C, 20, il]
+    rbw_all = spans[:, :, order + il:]            # [C, 20, order]
+
+    # Backward patches hoist entirely: positions are strictly
+    # increasing, so an earlier repair (ending at order+pos_i+il-1 <
+    # order+pos_j+il) can never reach a later slot's backward basis --
+    # the C's sequential in-place reads there always see original
+    # samples.
+    bpatch_all = jnp.einsum("cio,cjo->cji", coef_b_rev, rbw_all,
+                            precision=hi)                  # [C, 20, il]
+
+    # ---- sequential repairs over the 20 slots, on SMALL windows only.
+    # Only the FORWARD basis (the order samples immediately before a
+    # repair window) can see earlier repaired samples -- the C's
+    # in-place semantics (oracle-pinned).  The chain carries a sliding
+    # [C, order+il] correction window acc = (repaired - original)
+    # anchored at the current patch span: slide it by the position
+    # delta, add its basis part to the original basis, predict, and
+    # record this patch's correction.  No [C, T']-array op remains in
+    # the chain; per step it is one [C, 43]-window shift-gather and one
+    # [C, il, order] matvec.
+    valid_all = (jnp.arange(N_IMPULSE_COUNT)[:, None]
+                 < count[None, :])                         # [20, C]
+    wk = jnp.arange(w_span - order)[None, :]               # [1, order+il]
+
+    def repair(carry, inp):
+        acc, prev_pos = carry                # [C, order+il], [C]
+        pos, rfw0, opatch, bpatch, valid = inp
+        shift = pos - prev_pos
+        accp = jnp.concatenate(
+            [acc, jnp.zeros_like(acc)], axis=1)            # [C, 2W]
+        acc = jnp.take_along_axis(
+            accp, jnp.clip(wk + shift[:, None], 0,
+                           accp.shape[1] - 1), axis=1)
+        rfw = rfw0 + acc[:, :order]
+        fpred = jnp.einsum("cio,co->ci", coef_f, rfw, precision=hi)
+        patch = wfw[None, :] * fpred + wbw[None, :] * bpatch
+        corr = patch - opatch
+        acc = acc.at[:, order:].set(
+            jnp.where(valid[:, None], corr, acc[:, order:]))
+        return (acc, pos), patch
+
+    init_rep = (jnp.zeros((c, w_span - order), jnp.float32),
+                positions[:, 0])
+    _, patches = jax.lax.scan(
+        repair, init_rep,
+        (positions.T, rfw_orig.transpose(1, 0, 2),
+         orig_patch.transpose(1, 0, 2), bpatch_all.transpose(1, 0, 2),
+         valid_all))
+    patches = patches.transpose(1, 0, 2)                   # [C, 20, il]
+
+    # ---- ONE writeback scatter.  Sequential application order only
+    # matters where repair windows overlap, and with strictly
+    # increasing positions only the NEXT slot can overwrite part of a
+    # patch (pos_{j+2} >= pos_{j+1} > truncation point), so truncating
+    # each patch at the next valid slot's start leaves zero duplicate
+    # targets; masked/invalid elements are sent out of range and
+    # dropped.
+    next_pos = jnp.concatenate(
+        [positions[:, 1:], positions[:, -1:]], axis=1)     # [C, 20]
+    next_valid = (jnp.arange(1, N_IMPULSE_COUNT + 1)[None, :]
+                  < count[:, None])
+    keep_len = jnp.where(next_valid,
+                         jnp.minimum(il, next_pos - positions), il)
+    keep = (valid_all.T[:, :, None]
+            & (jnp.arange(il)[None, None, :] < keep_len[:, :, None]))
+    idx_w = (order + positions)[:, :, None] + jnp.arange(il)[None, None]
+    idx_w = jnp.where(keep, idx_w, wb.shape[1])            # OOB -> drop
+    wb = wb.at[rows[:, None], idx_w].set(patches, mode="drop")
 
     out = wb[:, order + pl: order + pl + t]
     return NBState(tail=wb[:, t: t + 2 * order + 2 * pl]), out

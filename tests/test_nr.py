@@ -338,6 +338,48 @@ def test_nb_matches_oracle_chunked():
         assert abs(got[p_]) < 6000 < abs(sig[p_])
 
 
+def test_nb_matches_oracle_burst_overlap():
+    """Closely-spaced impulses (a burst): the skip-ahead search fires
+    at minimum gaps (PL+1 samples), repair windows overlap, and a
+    later repair's FORWARD prediction basis includes earlier repaired
+    samples -- the C's in-place sequential semantics.  The batched
+    reformulation (per-frame coefficient matrices + hoisted backward
+    patches) must still match the oracle exactly on this path, which
+    the well-separated-impulse test never exercises."""
+    from phantomsdr_tpu.ops.nb import (
+        init_nb_state, make_nb_params, nb_process,
+    )
+    from tests.oracle_nb import WildNBOracle
+
+    rng = np.random.default_rng(4)
+    T = 2000
+    t = np.arange(2 * T) / FS
+    sig = 3000 * np.sin(2 * np.pi * 500 * t) \
+        + 250 * rng.standard_normal(2 * T)
+    # a 40-sample burst (several chained detections at the minimum
+    # skip-ahead gap) plus a pair 20 samples apart (inside the
+    # order+il=43 dependency window but in separate repair windows)
+    sig[900:940] += 20000 * rng.choice([-1.0, 1.0], 40)
+    sig[2600] += 25000
+    sig[2620] -= 25000
+    sig = sig.astype(np.float32)
+
+    o = WildNBOracle(5.0, 32, 11)
+    want = np.concatenate([o.process(sig[i * T:(i + 1) * T]
+                                     .astype(np.float64))
+                           for i in range(2)])
+    p = make_nb_params(5.0, 32, 11)
+    st = init_nb_state(1, p)
+    outs = []
+    for i in range(2):
+        st, y = nb_process(st, p, jnp.asarray(sig[None, i * T:(i + 1) * T]))
+        outs.append(np.asarray(y)[0])
+    got = np.concatenate(outs)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+    # the burst was actually blanked (not just attenuated noise floor)
+    assert np.abs(got[900:940]).max() < np.abs(sig[900:940]).max() / 2
+
+
 def test_nb_pipeline_smoke():
     """nr_algo='nb' compiles into the hop pipeline."""
     from phantomsdr_tpu.pipeline import HopPipeline, channels_from_numpy

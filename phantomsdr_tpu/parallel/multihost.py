@@ -42,6 +42,7 @@ single-process pipeline, with the rows truly crossing the TCP link.
 from __future__ import annotations
 
 import json
+import os
 import socket
 import struct
 import threading
@@ -370,10 +371,15 @@ class MultihostDriver:
     inputs to the jitted step -- the control block is the single source
     of truth.
 
-    v1 runs steps in lockstep without cross-step pipelining (the
-    single-host driver keeps one step in flight); acceptable because the
-    collectives already synchronize compute, and ingest read overlaps
-    the previous step's serving."""
+    Like the single-host driver, the cluster keeps ONE step of ack
+    slack in flight: before shipping step N the ingest host waits for
+    every follower's ack of step N-2 (not N-1), so the step_done
+    round-trip -- a full cluster RTT on real DCN -- overlaps the next
+    step's read/send/compute instead of sitting on the critical path.
+    The jitted collective itself still synchronizes compute per step
+    (all hosts execute the same program sequence in order); the only
+    cost of the extra slack is that a follower-side retune can take
+    two steps instead of one to enter the global control block."""
 
     def __init__(self, cfg: ServerConfig, runtime: MultihostRuntime,
                  source, server, link_addr: str | None = None,
@@ -396,6 +402,8 @@ class MultihostDriver:
         # cluster-wide /events state: {str(slot): uid} of live slots
         self._uids: dict[str, str] = {}
         self._uid_lock = threading.Lock()
+        self._ack_test_delay = float(
+            os.environ.get("PHANTOM_MH_TEST_ACK_DELAY", "0") or 0)
 
     # ------------------------------------------------------------ plumbing
     def start(self):
@@ -458,9 +466,22 @@ class MultihostDriver:
                             del self._uids[k]
                         self._uids.update(hdr.get("uids", {}))
                 elif t == "step_done":
-                    with self._ack_cv:
-                        self._acked[pid] = hdr["seq"]
-                        self._ack_cv.notify_all()
+                    def _record(s=hdr["seq"]):
+                        with self._ack_cv:
+                            self._acked[pid] = max(
+                                self._acked.get(pid, -1), s)
+                            self._ack_cv.notify_all()
+
+                    if self._ack_test_delay > 0:
+                        # fault-injection knob (PHANTOM_MH_TEST_ACK_DELAY
+                        # seconds): delivers this ack late, concurrently,
+                        # simulating one-way DCN latency on the step_done
+                        # path -- the pipelining test uses it to prove
+                        # step cadence is no longer bounded by ack RTT
+                        threading.Timer(self._ack_test_delay,
+                                        _record).start()
+                    else:
+                        _record()
         except (ConnectionError, OSError):
             pass
 
@@ -520,22 +541,25 @@ class MultihostDriver:
                 send_all({"type": "eof"})
                 return
             self.metrics.samples += self.source.block_wire // scalars
-            # wait for all followers to ack the previous step (bounds
-            # the table-merge race AND applies their updates first); a
-            # follower that stops acking means the next collective would
-            # hang every host -> fail the cluster loudly instead
+            # one-step-in-flight ack barrier (class docstring): before
+            # shipping step N, require every follower's ack of N-2 so
+            # the step_done round-trip overlaps the next step instead
+            # of gating every send (a follower's registry updates ride
+            # ahead of its ack, so a retune lands within two steps); a
+            # follower that stops acking means the next collective
+            # would hang every host -> fail the cluster loudly instead
             with self._ack_cv:
                 ok = self._ack_cv.wait_for(
-                    lambda: all(self._acked.get(p, -1) >= seq - 1
+                    lambda: all(self._acked.get(p, -1) >= seq - 2
                                 for p in self._links)
                     or self._stop.is_set(), timeout=60)
             if self._stop.is_set():
                 return
             if not ok:
                 stalled = [p for p in self._links
-                           if self._acked.get(p, -1) < seq - 1]
+                           if self._acked.get(p, -1) < seq - 2]
                 self._fail_cluster(f"followers {stalled} stopped acking "
-                                   f"at seq {seq - 1}")
+                                   f"at seq {seq - 2}")
                 return
 
             _, tbl_arrays, resets, (_, _, mids) = \

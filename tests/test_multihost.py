@@ -84,6 +84,110 @@ def test_host_update_codec_roundtrip():
             np.testing.assert_array_equal(resets, resets2)
 
 
+def test_multihost_cluster_pipelined_acks(tmp_path):
+    """The REAL MultihostDriver as a 2-process cluster, with a 1.5 s
+    one-way latency injected on every step_done ack
+    (PHANTOM_MH_TEST_ACK_DELAY).  The one-step-in-flight barrier (wait
+    for ack N-2 before shipping N) must hide that latency: observed
+    step cadence ~= RTT/2, where the old lockstep barrier (ack N-1)
+    pinned it at >= RTT.  Also the first CI coverage of main.py's
+    --coordinator/--link-port cluster path end to end."""
+    import json
+    import os
+    import time
+    import urllib.request
+
+    delay = 1.5
+    raw = np.random.default_rng(0).integers(
+        -20000, 20000, size=192000 * 2, dtype=np.int16)
+    capture = tmp_path / "capture.s16"
+    raw.tofile(capture)
+    cfg_text = """
+[server]
+port={port}
+
+[input]
+sps=192000
+fft_size=2048
+frequency=7166000
+signal="iq"
+audio_sps=12000
+waterfall_size=256
+
+[input.driver]
+name="stdin"
+format="s16"
+
+[tpu]
+hop_batch=8
+max_channels=8
+"""
+    for pid, port in ((0, 19021), (1, 19022)):
+        (tmp_path / f"config{pid}.toml").write_text(
+            cfg_text.format(port=port))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PHANTOM_MH_TEST_ACK_DELAY=str(delay))
+    common = [sys.executable, "-m", "phantomsdr_tpu",
+              "--platform", "cpu", "--cpu-devices", "2",
+              "--coordinator", "127.0.0.1:29655", "--num-processes", "2",
+              "--input-file", str(capture), "--loop"]
+    procs = []
+    try:
+        logs = [open(tmp_path / f"s{i}.log", "wb") for i in range(2)]
+        procs.append(subprocess.Popen(
+            common + ["-c", str(tmp_path / "config0.toml"),
+                      "--process-id", "0", "--link-port", "28755"],
+            env=env, stdout=logs[0], stderr=subprocess.STDOUT,
+            cwd="/root/repo"))
+        procs.append(subprocess.Popen(
+            common + ["-c", str(tmp_path / "config1.toml"),
+                      "--process-id", "1",
+                      "--link-addr", "127.0.0.1:28755"],
+            env=env, stdout=logs[1], stderr=subprocess.STDOUT,
+            cwd="/root/repo", stdin=subprocess.DEVNULL))
+
+        def metrics():
+            with urllib.request.urlopen(
+                    "http://127.0.0.1:19021/metrics", timeout=2) as r:
+                return json.loads(r.read())
+
+        deadline = time.monotonic() + 90
+        m = None
+        while time.monotonic() < deadline:
+            assert all(p.poll() is None for p in procs), (
+                (tmp_path / "s0.log").read_text()[-2000:]
+                + (tmp_path / "s1.log").read_text()[-2000:])
+            try:
+                m = metrics()
+                if m["frames"] >= 3 * 8:  # past the warm-up steps
+                    break
+            except OSError:
+                pass
+            time.sleep(0.5)
+        assert m is not None and m["frames"] >= 3 * 8, m
+        t0 = time.monotonic()
+        f0 = m["frames"]
+        time.sleep(9.0)
+        m1 = metrics()
+        dt = time.monotonic() - t0
+        steps = (m1["frames"] - f0) / 8
+        assert steps >= 2, (m, m1)
+        cadence = dt / steps
+        # lockstep would be >= delay (1.5 s); pipelined ~= delay/2
+        assert cadence < delay * 0.8, (
+            f"step cadence {cadence:.2f}s still bounded by the "
+            f"{delay}s ack latency", m, m1)
+        assert m1["device_errors"] == 0, m1
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+
 def test_multihost_dryrun_two_processes(tmp_path):
     tool = Path(__file__).resolve().parent.parent / "tools" / "multihost_dryrun.py"
     res = subprocess.run(

@@ -55,8 +55,11 @@ class ServerConfig:
     audio_compression: str = "flac"
     waterfall_compression: str = "zstd"
     # PLL carrier-synchronous AM detection (the reference's liquid-dsp
-    # path, signal.cpp:242-252); false = envelope (its fallback)
-    am_sync: bool = False
+    # path, signal.cpp:242-252) -- DEFAULT, matching the reference's
+    # normal build; false = envelope only (its non-liquid fallback).
+    # With am_sync on, each listener can still opt out to envelope
+    # per-client ({"cmd":"am_sync","enabled":false}).
+    am_sync: bool = True
     # Device-side WBFM stereo decode (the reference leaves this to the
     # browser, jsdsp/src/wbfmpll.cpp); audio becomes 2-channel
     # interleaved for every slot (FM slots get pilot-PLL stereo, other
@@ -382,7 +385,7 @@ def config_from_dict(t: dict) -> ServerConfig:
     c.brightness_offset = int(inp.get("brightness_offset", 0))
     c.audio_compression = str(inp.get("audio_compression", "flac")).lower()
     c.waterfall_compression = str(inp.get("waterfall_compression", "zstd")).lower()
-    c.am_sync = bool(inp.get("am_sync", False))
+    c.am_sync = bool(inp.get("am_sync", True))
     c.stereo = bool(inp.get("stereo", False))
     c.nr = bool(inp.get("nr", False))
     c.nr_algo = str(inp.get("nr_algo", c.nr_algo)).lower()

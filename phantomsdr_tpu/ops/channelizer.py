@@ -27,10 +27,12 @@ Exact reference semantics implemented (with file:line cites):
   alternate frames depending on downconversion bin parity.
 - Overlap-add of the first half with the saved second half of the
   previous frame (src/signal.cpp:170-172, 235-241, 274-275).
-- AM: envelope sqrt(re^2+im^2) of the overlap-added baseband
-  (src/signal.cpp:253-257, src/utils/dsp.cpp:116-126).  (The optional
-  liquid-dsp PLL carrier-sync path, src/signal.cpp:242-252, is not
-  replicated; envelope is the reference's own fallback.)
+- AM: PLL carrier-synchronous detection (src/signal.cpp:242-252 -- the
+  reference's DEFAULT: liquid-dsp is its normal build configuration)
+  with the envelope sqrt(re^2+im^2) fallback (src/signal.cpp:253-257,
+  src/utils/dsp.cpp:116-126) available PER CLIENT via the table's
+  am_env column (a server-side extension: the reference picks one at
+  build time, here each listener can).
 - FM: polar discriminator arg(x[i] * conj(x[i-1])) seeded with the last
   output sample of the previous frame (src/signal.cpp:259-263,
   src/utils/dsp.cpp:27-35).
@@ -75,6 +77,12 @@ class ChannelTable(NamedTuple):
     # per-client FM-RDS opt-in (server-side extension; the reference
     # decodes RDS in the browser via the redsea WASM build).
     rds: jnp.ndarray | None = None  # [C] bool
+    # per-client AM envelope-detection opt-OUT of the default PLL
+    # carrier sync (src/signal.cpp:242-257 picks one at build time;
+    # here each listener can).  None == all PLL (the reference-with-
+    # liquid default); only consulted when the pipeline runs with
+    # am_sync=True.
+    am_env: jnp.ndarray | None = None  # [C] bool
 
 
 class ChannelState(NamedTuple):
@@ -253,22 +261,44 @@ def demodulate(
     cplx_out = cplx_wave[:, :half] + state.cplx_prev
     new_cplx_prev = cplx_wave[:, half:]
 
+    env_audio = jnp.sqrt(
+        jnp.real(cplx_out) ** 2 + jnp.imag(cplx_out) ** 2
+    )
     if am_sync:
-        # ---- carrier path: <500 Hz lowpass of the same bins, own IFFT
-        # + overlap-add, feeding the PLL (signal.cpp:205-252) ----
-        keep = (t[None, :] < carrier_cutoff) | (t[None, :] >= a - carrier_cutoff)
-        car_wave = jnp.fft.ifft(jnp.where(keep, cplx_bins, 0)) * a
-        car_wave = car_wave * sgn_f.astype(jnp.complex64)
-        car_out = car_wave[:, :half] + state.carrier_prev
-        new_carrier_prev = car_wave[:, half:]
-        am_audio, pll_phase, pll_freq = am_sync_detect(
-            car_out, cplx_out, state.pll_phase, state.pll_freq)
+        env_col = (chans.am_env if chans.am_env is not None
+                   else jnp.zeros((c,), bool))
+        # run the carrier path only when some active listener needs
+        # it (a per-sample PLL scan otherwise taxes every step; same
+        # skip pattern as the RDS stage, pipeline.audio_from_spectra)
+        need_pll = jnp.any(chans.active & (chans.mode == MODE_AM)
+                           & ~env_col)
+
+        def _pll_run(op):
+            carrier_prev, phase0, freq0 = op
+            # ---- carrier path: <500 Hz lowpass of the same bins, own
+            # IFFT + overlap-add, feeding the PLL (signal.cpp:205-252)
+            keep = ((t[None, :] < carrier_cutoff)
+                    | (t[None, :] >= a - carrier_cutoff))
+            car_wave = jnp.fft.ifft(jnp.where(keep, cplx_bins, 0)) * a
+            car_wave = car_wave * sgn_f.astype(jnp.complex64)
+            car_out = car_wave[:, :half] + carrier_prev
+            am, pll_phase, pll_freq = am_sync_detect(
+                car_out, cplx_out, phase0, freq0)
+            # per-client envelope opt-out of the carrier sync
+            am = jnp.where(env_col[:, None], env_audio, am)
+            return am, car_wave[:, half:], pll_phase, pll_freq
+
+        def _pll_skip(op):
+            carrier_prev, phase0, freq0 = op
+            return env_audio, carrier_prev, phase0, freq0
+
+        am_audio, new_carrier_prev, pll_phase, pll_freq = jax.lax.cond(
+            need_pll, _pll_run, _pll_skip,
+            (state.carrier_prev, state.pll_phase, state.pll_freq))
     else:
         # ---- AM envelope, the reference's non-liquid fallback
         # (dsp.cpp:116-126) ----
-        am_audio = jnp.sqrt(
-            jnp.real(cplx_out) ** 2 + jnp.imag(cplx_out) ** 2
-        )
+        am_audio = env_audio
         new_carrier_prev = state.carrier_prev
         pll_phase, pll_freq = state.pll_phase, state.pll_freq
 
@@ -391,24 +421,46 @@ def demodulate_batch(
         [state.cplx_prev[None], cplx_wave[:-1, :, half:]])
     new_cplx_prev = cplx_wave[-1, :, half:]
 
+    env_audio = jnp.sqrt(
+        jnp.real(cplx_out) ** 2 + jnp.imag(cplx_out) ** 2)
     if am_sync:
-        keep = ((t[None, :] < carrier_cutoff)
-                | (t[None, :] >= a - carrier_cutoff))
-        car_wave = jnp.fft.ifft(jnp.where(keep[None], cplx_bins, 0)) * a
-        car_wave = car_wave * sgn.astype(jnp.complex64)
-        car_out = car_wave[:, :, :half] + jnp.concatenate(
-            [state.carrier_prev[None], car_wave[:-1, :, half:]])
-        new_carrier_prev = car_wave[-1, :, half:]
-        # the PLL is the one truly per-sample recursion: scan over the
-        # whole batch's concatenated time stream
-        car_flat = car_out.transpose(1, 0, 2).reshape(c, b * half)
-        base_flat = cplx_out.transpose(1, 0, 2).reshape(c, b * half)
-        am_flat, pll_phase, pll_freq = am_sync_detect(
-            car_flat, base_flat, state.pll_phase, state.pll_freq)
-        am_audio = am_flat.reshape(c, b, half).transpose(1, 0, 2)
+        env_col = (chans.am_env if chans.am_env is not None
+                   else jnp.zeros((c,), bool))
+        # the PLL is the one truly per-sample recursion in the demod
+        # path; skip the whole carrier stage unless an active AM
+        # listener actually wants carrier sync (same lax.cond pattern
+        # as the RDS stage -- with no such listener the carries go
+        # stale and the next one re-locks / is reset-zeroed)
+        need_pll = jnp.any(chans.active & (chans.mode == MODE_AM)
+                           & ~env_col)
+
+        def _pll_run(op):
+            carrier_prev, phase0, freq0 = op
+            keep = ((t[None, :] < carrier_cutoff)
+                    | (t[None, :] >= a - carrier_cutoff))
+            car_wave = jnp.fft.ifft(jnp.where(keep[None], cplx_bins, 0)) * a
+            car_wave = car_wave * sgn.astype(jnp.complex64)
+            car_out = car_wave[:, :, :half] + jnp.concatenate(
+                [carrier_prev[None], car_wave[:-1, :, half:]])
+            # scan over the whole batch's concatenated time stream
+            car_flat = car_out.transpose(1, 0, 2).reshape(c, b * half)
+            base_flat = cplx_out.transpose(1, 0, 2).reshape(c, b * half)
+            am_flat, pll_phase, pll_freq = am_sync_detect(
+                car_flat, base_flat, phase0, freq0)
+            am = am_flat.reshape(c, b, half).transpose(1, 0, 2)
+            # per-client envelope opt-out of the carrier sync
+            am = jnp.where(env_col[None, :, None], env_audio, am)
+            return am, car_wave[-1, :, half:], pll_phase, pll_freq
+
+        def _pll_skip(op):
+            carrier_prev, phase0, freq0 = op
+            return env_audio, carrier_prev, phase0, freq0
+
+        am_audio, new_carrier_prev, pll_phase, pll_freq = jax.lax.cond(
+            need_pll, _pll_run, _pll_skip,
+            (state.carrier_prev, state.pll_phase, state.pll_freq))
     else:
-        am_audio = jnp.sqrt(
-            jnp.real(cplx_out) ** 2 + jnp.imag(cplx_out) ** 2)
+        am_audio = env_audio
         new_carrier_prev = state.carrier_prev
         pll_phase, pll_freq = state.pll_phase, state.pll_freq
 

@@ -192,11 +192,12 @@ def pack_control(table_arrays, mid, views, wf_meta, reset
     """Step control block: (channel table, packet-metadata mids,
     waterfall views, wf coordinate meta, reset mask) -> (header, blob).
     Inverse: unpack_control (keep the two in lockstep)."""
-    l, r, m_idx, mode, active, nr, rds = table_arrays
+    l, r, m_idx, mode, active, nr, rds, am_env = table_arrays
     specs = [(a, np.int32) for a in (l, r, m_idx, mode)]
     specs.append((active, np.int8))
     specs.append((nr, np.int8))
     specs.append((rds, np.int8))
+    specs.append((am_env, np.int8))
     specs.append((mid, np.float64))
     specs += [(views[0], np.int32), (views[1], np.int32)]
     specs += [(a, np.int32) for a in wf_meta]
@@ -214,23 +215,27 @@ def unpack_control(meta: dict, blob: bytes):
     active = take(c, np.int8).astype(bool)
     nr = take(c, np.int8).astype(bool)
     rds = take(c, np.int8).astype(bool)
+    am_env = take(c, np.int8).astype(bool)
     mid = take(c, np.float64)
     views = (take(w, np.int32), take(w, np.int32))
     wf_meta = tuple(take(w, np.int32) for _ in range(3))
     reset = take(c, np.int32) if meta["reset"] else None
-    return (l, r, m_idx, mode, active, nr, rds), mid, views, wf_meta, reset
+    return ((l, r, m_idx, mode, active, nr, rds, am_env), mid, views,
+            wf_meta, reset)
 
 
 def pack_host_update(chan_offset, chan_count, ctbl, cresets,
                      wf_offset, wf_count, wrows) -> tuple[dict, bytes]:
     """Follower->ingest registry sync: the channel range's table arrays
-    (l, r, m_idx, mode, active, mid, nr, rds), optional reset mask, and
-    the waterfall range's 5 view arrays.  Inverse: unpack_host_update."""
+    (l, r, m_idx, mode, active, mid, nr, rds, am_env), optional reset
+    mask, and the waterfall range's 5 view arrays.  Inverse:
+    unpack_host_update."""
     specs = [(a, np.int32) for a in ctbl[:4]]
     specs.append((ctbl[4], np.int8))
     specs.append((ctbl[5], np.float64))
     specs.append((ctbl[6], np.int8))
     specs.append((ctbl[7], np.int8))
+    specs.append((ctbl[8], np.int8))
     if cresets is not None:
         specs.append((cresets, np.int32))
     specs += [(a, np.int32) for a in wrows]
@@ -253,6 +258,7 @@ def unpack_host_update(hdr: dict, blob: bytes):
     take = _Taker(blob)
     tbl = ([take(c, np.int32) for _ in range(4)]
            + [take(c, np.int8).astype(bool), take(c, np.float64),
+              take(c, np.int8).astype(bool),
               take(c, np.int8).astype(bool),
               take(c, np.int8).astype(bool)])
     resets = take(c, np.int32) if hdr["reset"] else None

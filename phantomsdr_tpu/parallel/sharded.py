@@ -126,7 +126,7 @@ class ShardedHopPipeline:
         self.rds_t = (cfg.hop_batch * (cfg.audio_fft_size // 2)
                       // self.rds_params.decim
                       if self.rds_params is not None else 0)
-        chan_spec = ChannelTable(*(P("d"),) * 7)
+        chan_spec = ChannelTable(*(P("d"),) * 8)
         # views are replicated: every time shard gathers ALL clients'
         # views from its local pyramid rows
         views_spec = WaterfallViews(start=P(), length=P())

@@ -712,12 +712,14 @@ class HopPipeline:
 
 
 def channels_from_numpy(l, r, m_idx, mode, active, nr=None,
-                        rds=None) -> ChannelTable:
+                        rds=None, am_env=None) -> ChannelTable:
     """Host-side helper: build a device ChannelTable from numpy arrays."""
     if nr is None:
         nr = np.zeros(np.shape(l), bool)
     if rds is None:
         rds = np.zeros(np.shape(l), bool)
+    if am_env is None:
+        am_env = np.zeros(np.shape(l), bool)
     return ChannelTable(
         l=jnp.asarray(l, jnp.int32),
         r=jnp.asarray(r, jnp.int32),
@@ -726,4 +728,5 @@ def channels_from_numpy(l, r, m_idx, mode, active, nr=None,
         active=jnp.asarray(active, bool),
         nr=jnp.asarray(nr, bool),
         rds=jnp.asarray(rds, bool),
+        am_env=jnp.asarray(am_env, bool),
     )

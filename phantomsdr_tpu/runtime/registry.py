@@ -38,6 +38,7 @@ class AudioSlot:
     mute: bool = False
     nr: bool = False
     rds: bool = False
+    am_env: bool = False  # AM envelope opt-out of the default PLL sync
 
 
 @dataclass
@@ -74,6 +75,10 @@ class ChannelRegistry:
         self.active = np.zeros(c, bool)
         self.nr = np.zeros(c, bool)   # per-client spectral NR opt-in
         self.rds = np.zeros(c, bool)  # per-client FM-RDS opt-in
+        # per-client AM envelope opt-out of the default carrier-sync
+        # PLL (signal.cpp:242-257; the reference picks one at build
+        # time, here each listener can)
+        self.am_env = np.zeros(c, bool)
         # fractional mid (packet metadata only; the device uses m_idx):
         # snapshotted WITH the table so in-flight steps are labeled with
         # the coordinates they were demodulated at
@@ -102,6 +107,7 @@ class ChannelRegistry:
                 self.active[slot.slot] = False
                 self.nr[slot.slot] = False
                 self.rds[slot.slot] = False
+                self.am_env[slot.slot] = False
                 self._fresh.discard(slot.slot)
                 self._agc_fresh.discard(slot.slot)
                 self._free.append(slot.slot)
@@ -176,6 +182,16 @@ class ChannelRegistry:
             slot.rds = bool(enabled)
             self.version += 1
 
+    def set_am_sync(self, slot: AudioSlot, enabled: bool) -> None:
+        """Per-client AM detector choice ({"cmd":"am_sync"} extension):
+        enabled=False opts this listener out of the default PLL carrier
+        sync to plain envelope detection; only effective when the
+        server runs with [input] am_sync=true (the default)."""
+        with self._lock:
+            self.am_env[slot.slot] = not enabled
+            slot.am_env = not enabled
+            self.version += 1
+
     # ------------------------------------------------------------- device
     def snapshot(self) -> tuple[int, tuple[np.ndarray, ...],
                                 np.ndarray | None,
@@ -211,7 +227,7 @@ class ChannelRegistry:
             return self.version, (
                 self.l.copy(), self.r.copy(), self.m_idx.copy(),
                 self.mode.copy(), self.active.copy(), self.nr.copy(),
-                self.rds.copy(),
+                self.rds.copy(), self.am_env.copy(),
             ), mask, (self.l.copy(), self.r.copy(), self.mid.copy())
 
     @property
@@ -246,7 +262,8 @@ class ChannelRegistry:
                           self.active[sl].copy(),
                           self.mid[sl].copy(),
                           self.nr[sl].copy(),
-                          self.rds[sl].copy()), mask
+                          self.rds[sl].copy(),
+                          self.am_env[sl].copy()), mask
 
     def merge_rows(self, offset: int, arrays: tuple[np.ndarray, ...],
                    resets: np.ndarray | None) -> None:
@@ -263,6 +280,8 @@ class ChannelRegistry:
                 self.nr[sl] = arrays[6]
             if len(arrays) > 7:
                 self.rds[sl] = arrays[7]
+            if len(arrays) > 8:
+                self.am_env[sl] = arrays[8]
             if resets is not None:
                 for i in np.nonzero(resets)[0]:
                     s = offset + int(i)

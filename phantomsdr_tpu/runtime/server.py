@@ -249,6 +249,18 @@ class AudioConn:
                 self.rds_decoder = (self._make_rds_decoder() if enabled
                                     else None)
                 self.server.channels.set_rds(self.slot, enabled)
+        elif name == "am_sync":
+            # extension: per-client AM detector choice.  The server
+            # defaults every listener to the reference's PLL carrier-
+            # synchronous detection (src/signal.cpp:242-252, its normal
+            # liquid build); {"cmd":"am_sync","enabled":false} opts
+            # this listener out to plain envelope detection (the
+            # reference's non-liquid fallback, :253-257).  A no-op when
+            # the server runs [input] am_sync=false (envelope-only
+            # build parity; the PLL path is then not compiled in).
+            if self.server.cfg.am_sync:
+                self.server.channels.set_am_sync(
+                    self.slot, bool(cmd.get("enabled", True)))
 
     def _make_rds_decoder(self):
         """Fresh protocol decoder at the device baseband rate -- the
@@ -404,6 +416,12 @@ class SpectrumServer:
             # may send {"cmd":"rds","enabled":true} and receive
             # {"type":"rds", pi/ps/rt/pty/...} JSON text frames
             "rds_available": cfg.rds,
+            # extension: true = AM uses PLL carrier-synchronous
+            # detection by default (the reference's liquid build,
+            # signal.cpp:242-252); listeners may opt out per client
+            # with {"cmd":"am_sync","enabled":false} (envelope).
+            # false = envelope-only (non-liquid build parity).
+            "am_sync": cfg.am_sync,
             # extension: FM de-emphasis already applied server-side
             # (microseconds; 0 = raw discriminator audio like the
             # reference).  Frontends with their own de-emphasis filter
@@ -509,6 +527,22 @@ class SpectrumServer:
                                           int(len(ds) * 0.99))] * 1e3
         return web.json_response(m)
 
+    def _http_404(self, request: web.Request) -> web.Response:
+        """Custom 404 page (src/http.cpp:61-76 serves the same shape of
+        body).  Deviation: the requested path is HTML-escaped -- the
+        reference reflects the raw resource string into the page, a
+        reflected-XSS foothold."""
+        import html as _html
+
+        path_txt = _html.escape(request.path, quote=True)
+        body = ("<!doctype html><html><head>"
+                "<title>Error 404 (Resource not found)</title></head>"
+                "<body><h1>Error 404</h1>"
+                f"<p>The requested URL {path_txt} was not found on "
+                "this server.</p></body></html>")
+        return web.Response(status=404, text=body,
+                            content_type="text/html")
+
     async def _http_static(self, request: web.Request):
         root = Path(self.cfg.html_root).resolve()
         tail = request.match_info.get("tail", "") or "index.html"
@@ -516,11 +550,11 @@ class SpectrumServer:
         # directory-traversal guard (src/http.cpp:33-39); a bare prefix
         # check would let "html_private" escape past root "html"
         if path != root and not path.is_relative_to(root):
-            raise web.HTTPNotFound()
+            return self._http_404(request)
         if path.is_dir():
             path = path / "index.html"
         if not path.is_file():
-            raise web.HTTPNotFound()
+            return self._http_404(request)
         # gzip bodies when the client accepts it (src/http.cpp:86-94);
         # compressed off the event loop, cached by (path, mtime), and
         # only for small assets -- big files stream uncompressed rather
@@ -630,6 +664,12 @@ class SpectrumServer:
         while True:
             await asyncio.sleep(1.0)
             if not self.event_conns:
+                # still clear the change map (the reference clears it
+                # every tick, src/events.cpp): with zero subscribers,
+                # per-connection uid entries would otherwise pile up
+                # under client churn forever, and the first subscriber
+                # would get a burst of stale changes for long-gone uids
+                self.signal_changes = {}
                 continue
             info = self._event_counts()
             info["signal_changes"] = {
@@ -670,17 +710,27 @@ class SpectrumServer:
                 # slot acquired after this step was submitted at a
                 # smaller channel bucket; its audio starts next step
                 continue
-            pcm = audio[li] if decimated else audio[:, li]
-            if audio_meta is not None:
-                mid = float(audio_meta[2][slot_id])
-                width = int(audio_meta[1][slot_id] - audio_meta[0][slot_id])
-            else:  # direct-dispatch callers (tests), no pipelining race
-                mid, width = s.mid, s.r - s.l
-            self.encode_pool.submit(slot_id, lambda c=conn, p=pcm,
-                                    pw=pwr[:, li], mid=mid, width=width:
-                                    self._encode_audio_job(
-                                        c, frame0, b, mid, width, p, pw,
-                                        decimated))
+            if not s.mute:
+                # {"cmd":"mute"} actually mutes here: the encode job is
+                # skipped like a backlogged conn's (frontends already
+                # tolerate frame gaps), freeing encode-pool CPU at
+                # scale.  The reference stores the flag and never reads
+                # it (src/client.cpp:127) -- same deliberate-improvement
+                # rule as the enforced [limits].  RDS decode below still
+                # runs: muted audio shouldn't blank the station text.
+                pcm = audio[li] if decimated else audio[:, li]
+                if audio_meta is not None:
+                    mid = float(audio_meta[2][slot_id])
+                    width = int(audio_meta[1][slot_id]
+                                - audio_meta[0][slot_id])
+                else:  # direct-dispatch callers (tests), no race
+                    mid, width = s.mid, s.r - s.l
+                self.encode_pool.submit(slot_id, lambda c=conn, p=pcm,
+                                        pw=pwr[:, li], mid=mid,
+                                        width=width:
+                                        self._encode_audio_job(
+                                            c, frame0, b, mid, width, p,
+                                            pw, decimated))
             if (rds is not None and s.rds and s.mode == "FM"
                     and li < rds.shape[0]
                     and conn.rds_decoder is not None):

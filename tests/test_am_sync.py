@@ -29,6 +29,79 @@ def test_pll_locks_to_offset_carrier():
     assert abs(float(freq[0]) - 2 * np.pi * f0 / sr) < 0.002
 
 
+def test_am_sync_default_on_and_per_client_envelope():
+    """Parity default: with liquid built (the reference's normal
+    configuration) AM is PLL-synchronous detection
+    (src/signal.cpp:242-252), so am_sync now defaults TRUE; the
+    envelope fallback (:253-257) stays available PER CLIENT via the
+    am_env table column ({"cmd":"am_sync","enabled":false}).
+
+    Discriminator: an OVERMODULATED AM signal (m > 1).  Envelope
+    detection rectifies the negative swings (|1 + m*msg| folds -> heavy
+    even-harmonic distortion); carrier-synchronous detection recovers
+    the clean message (Re keeps the sign).  Row 0 (default, PLL) must
+    show far less 2nd-harmonic than row 1 (envelope opt-out)."""
+    cfg = config_from_dict({
+        "input": {
+            "sps": 192000, "frequency": 7000000, "fft_size": 8192,
+            "signal": "iq", "audio_sps": 12000, "waterfall_size": 512,
+            "driver": {"format": "s16"},   # note: NO am_sync key
+        },
+        "tpu": {"hop_batch": 4, "max_channels": 2},
+    })
+    assert cfg.am_sync  # the new default
+    pipe = HopPipeline(cfg)
+    rsize = cfg.fft_result_size
+    f_center = 30000.0
+    m_idx = int((f_center + cfg.sps / 2) * rsize / cfg.sps)
+    off = int(4000 * rsize / cfg.sps)
+    table = channels_from_numpy(
+        l=[m_idx - off] * 2, r=[m_idx + off] * 2, m_idx=[m_idx] * 2,
+        mode=[2] * 2, active=[True] * 2,
+        am_env=[False, True])  # row 0 PLL (default), row 1 envelope
+
+    steps, b = 24, cfg.hop_batch
+    n = cfg.hop_size * steps * b
+    t = np.arange(n) / cfg.sps
+    msg = np.sin(2 * np.pi * 800 * t)
+    x = 0.25 * (1 + 1.8 * msg) * np.exp(2j * np.pi * (f_center + 10) * t)
+    inter = np.empty(2 * n, np.float32)
+    inter[0::2], inter[1::2] = x.real, x.imag
+    raw_all = np.clip(inter * 32767, -32768, 32767).astype(np.int16)
+
+    state = pipe.init_state()
+    halo = np.zeros(pipe.wire_per_hop, np.int16)
+    audio = []
+    for s in range(steps):
+        blk = raw_all[s * b * pipe.wire_per_hop:
+                      (s + 1) * b * pipe.wire_per_hop]
+        state, out = pipe.step(
+            state, jnp.asarray(np.concatenate([halo, blk])), table,
+            waterfall="off")
+        halo = blk[-pipe.wire_per_hop:]
+        audio.append(np.asarray(out.audio))
+    y = np.concatenate(audio)                   # [steps*b, 2, half]
+    y = y.transpose(1, 0, 2).reshape(2, -1).astype(np.float64)
+    y = y[:, 8000:]                             # AGC warmup + PLL lock
+
+    def h2_ratio(sig):
+        n_ = sig.size
+        w = np.hanning(n_)
+        f = np.fft.rfftfreq(n_, 1 / cfg.audio_sps)
+        s = np.abs(np.fft.rfft(sig * w))
+        amp = [s[np.argmin(np.abs(f - hz))-2:
+                 np.argmin(np.abs(f - hz))+3].max()
+               for hz in (800.0, 1600.0)]
+        return amp[1] / amp[0]
+
+    r_pll, r_env = h2_ratio(y[0]), h2_ratio(y[1])
+    assert r_env > 0.25, f"envelope row should fold: H2/H1={r_env:.3f}"
+    assert r_pll < r_env / 4, (
+        f"PLL row should be clean: {r_pll:.3f} vs env {r_env:.3f}")
+    # and the two detector paths really produced different audio
+    assert np.abs(y[0] - y[1]).max() > 0.01
+
+
 def test_am_sync_pipeline_recovers_message():
     cfg = config_from_dict({
         "input": {

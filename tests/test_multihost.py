@@ -17,7 +17,7 @@ import pytest
 
 def test_control_codec_roundtrip():
     """pack_control/unpack_control must stay in lockstep (every column
-    of the channel table, incl. the nr and rds opt-ins, plus views,
+    of the channel table, incl. the nr/rds/am_env opt-ins, plus views,
     wf meta and the optional reset mask survive the wire)."""
     from phantomsdr_tpu.parallel.multihost import (
         pack_control, unpack_control,
@@ -29,6 +29,7 @@ def test_control_codec_roundtrip():
            rng.integers(0, 1000, c).astype(np.int32),
            rng.integers(0, 1000, c).astype(np.int32),
            rng.integers(0, 4, c).astype(np.int32),
+           rng.integers(0, 2, c).astype(bool),
            rng.integers(0, 2, c).astype(bool),
            rng.integers(0, 2, c).astype(bool),
            rng.integers(0, 2, c).astype(bool))
@@ -52,8 +53,8 @@ def test_control_codec_roundtrip():
 
 def test_host_update_codec_roundtrip():
     """pack_host_update/unpack_host_update lockstep: the follower's
-    8 channel-range arrays (incl. mid, nr, rds), reset mask, and the
-    waterfall range's 5 view arrays."""
+    9 channel-range arrays (incl. mid, nr, rds, am_env), reset mask,
+    and the waterfall range's 5 view arrays."""
     from phantomsdr_tpu.parallel.multihost import (
         pack_host_update, unpack_host_update,
     )
@@ -66,6 +67,7 @@ def test_host_update_codec_roundtrip():
             rng.integers(0, 4, c).astype(np.int32),
             rng.integers(0, 2, c).astype(bool),
             rng.standard_normal(c),
+            rng.integers(0, 2, c).astype(bool),
             rng.integers(0, 2, c).astype(bool),
             rng.integers(0, 2, c).astype(bool))
     wrows = tuple(rng.integers(0, 99, w).astype(np.int32)

@@ -372,11 +372,112 @@ def test_apply_cluster_state_diffs(cfg):
 
 @async_test
 async def test_unknown_path_static_404(cfg):
+    """Custom 404 page parity (src/http.cpp:61-76): an HTML body naming
+    the missing resource -- with the path HTML-escaped (documented
+    deviation: the reference reflects it raw)."""
     server = SpectrumServer(cfg)
     client = await run_app(server)
     try:
         resp = await client.get("/nonexistent-file.js")
         assert resp.status == 404
+        body = await resp.text()
+        assert "Error 404" in body
+        assert "/nonexistent-file.js" in body
+        # reflected-XSS guard: markup in the path must arrive escaped
+        resp = await client.get('/<script>x</script>')
+        assert resp.status == 404
+        body = await resp.text()
+        assert "<script>" not in body and "&lt;script&gt;" in body
+    finally:
+        await client.close()
+
+
+@async_test
+async def test_mute_skips_encode_jobs(cfg):
+    """{"cmd":"mute"} actually mutes (deviation from the stored-but-
+    unused flag, src/client.cpp:127): while muted, dispatch submits no
+    audio encode job for the conn; unmuting resumes the stream."""
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        ws = await client.ws_connect("/audio")
+        json.loads((await ws.receive()).data)
+
+        async def pump(n, frame0):
+            got = 0
+            for s in range(n):
+                audio, pwr, wf, due, _ = synth_outputs(cfg, server,
+                                                       frame0 + s)
+                server.dispatch((frame0 + s) * cfg.hop_batch, audio,
+                                pwr, wf, due)
+                while True:
+                    try:
+                        msg = await ws.receive(timeout=0.05)
+                    except asyncio.TimeoutError:
+                        break
+                    if msg.type.name == "BINARY":
+                        got += 1
+            return got
+
+        assert await pump(5, 0) > 0
+        await ws.send_str(json.dumps({"cmd": "mute", "mute": True}))
+        await asyncio.sleep(0.05)
+        assert await pump(5, 5) == 0
+        await ws.send_str(json.dumps({"cmd": "mute", "mute": False}))
+        await asyncio.sleep(0.05)
+        assert await pump(5, 10) > 0
+        await ws.close()
+    finally:
+        await client.close()
+
+
+@async_test
+async def test_am_sync_command_flips_column(cfg):
+    """{"cmd":"am_sync","enabled":false} opts the listener out of the
+    default PLL detection into envelope (the am_env registry column);
+    re-enabling clears it.  basic_info advertises the default."""
+    assert cfg.am_sync  # reference-with-liquid parity default
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        ws = await client.ws_connect("/audio")
+        info = json.loads((await ws.receive()).data)
+        assert info["am_sync"] is True
+        slot = next(iter(server.channels.slots.values()))
+        assert not server.channels.am_env[slot.slot]
+        await ws.send_str(json.dumps({"cmd": "am_sync",
+                                      "enabled": False}))
+        await asyncio.sleep(0.05)
+        assert server.channels.am_env[slot.slot]
+        assert slot.am_env
+        await ws.send_str(json.dumps({"cmd": "am_sync", "enabled": True}))
+        await asyncio.sleep(0.05)
+        assert not server.channels.am_env[slot.slot]
+        # the column clears when the slot is released to a new user
+        await ws.send_str(json.dumps({"cmd": "am_sync",
+                                      "enabled": False}))
+        await ws.close()
+        await asyncio.sleep(0.05)
+        assert not server.channels.am_env.any()
+    finally:
+        await client.close()
+
+
+@async_test
+async def test_signal_changes_cleared_without_event_subscribers(cfg):
+    """The 1 Hz event timer must clear the change map even with zero
+    /events subscribers (the reference clears it unconditionally each
+    tick, src/events.cpp): per-uid entries otherwise accumulate forever
+    under client churn and the first subscriber gets a stale backlog."""
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        assert cfg.otherusers
+        for i in range(5):
+            server.broadcast_signal_change(f"uid{i}", 1, 2.0, 3)
+        assert len(server.signal_changes) == 5
+        await asyncio.sleep(1.3)  # one timer tick, no /events conns
+        assert server.signal_changes == {}
     finally:
         await client.close()
 

@@ -69,9 +69,13 @@ def test_audio_snr_within_bound(mode):
         l, r = m_idx - off, m_idx + off
 
     mode_codes = {"USB": 0, "LSB": 1, "AM": 2, "FM": 3}
+    # the oracle implements envelope AM (the reference's non-liquid
+    # fallback); pin that path via the per-client am_env opt-out --
+    # the default PLL detector is covered by tests/test_am_sync.py
     table = channels_from_numpy(
         l=[l] * 4, r=[r] * 4, m_idx=[m_idx] * 4,
-        mode=[mode_codes[mode]] * 4, active=[True] * 4)
+        mode=[mode_codes[mode]] * 4, active=[True] * 4,
+        am_env=[True] * 4)
 
     steps = 6
     b = cfg.hop_batch

@@ -68,7 +68,8 @@ def base_table(cfg):
     l = np.linspace(10, cfg.fft_result_size - 200, c).astype(np.int32)
     return [l, l + 64, l + 32, np.arange(c, dtype=np.int32) % 4,
             np.ones(c, bool), np.zeros(c, bool),
-            np.zeros(c, bool)]  # active, nr, rds
+            np.zeros(c, bool),
+            np.zeros(c, bool)]  # active, nr, rds, am_env
 
 
 def retuned_row():

@@ -128,20 +128,29 @@ def nb_process(state: NBState, params: NBParams, x: jnp.ndarray
     lpc_power = jnp.sum(lpcs[:, :order] ** 2, axis=1)  # excl. lpcs[order]
     thr = jnp.float32(params.thresh) * jnp.sqrt(sigma2 * lpc_power)
 
-    # ---- sequential impulse search with skip-ahead.  The scanned-over
-    # xs carry each position's residual COLUMN [C] directly: a
-    # `temp[:, pos]` dynamic gather inside the body costs ~2.5 us per
-    # iteration on TPU (~91 ms for the whole search at T=36864) where
-    # the xs-sliced form costs ~0.25 us -- the same lesson as the PLL
-    # scans (PERF.md opt-in table)
-    def search(carry, inp):
-        pos, col = inp
+    # ---- impulse search with skip-ahead, in two stages.  The
+    # detection predicate |residual| > thr is static per frame, so
+    # find the candidates first and run the sequential greedy pass
+    # (select if past the skip-ahead point, then suppress the next PL
+    # positions, cap 20 -- NB.c:193-200) over only the COMPACTED
+    # earliest candidates: each selection suppresses at most PL
+    # candidates, so the first 20*(PL+1) candidates per channel fully
+    # determine every selection.  This turns the old per-sample scan
+    # over all T positions (~36800 sequential steps, ~6 ms on TPU even
+    # xs-sliced) into one [C, T] compare + top_k + a 120-step scan.
+    pos_dom = jnp.arange(order + pl, t, dtype=jnp.int32)
+    cand_pos = jnp.where(jnp.abs(temp[:, order + pl:]) > thr[:, None],
+                         pos_dom[None, :], jnp.int32(t))     # t = "none"
+    k_cand = min(N_IMPULSE_COUNT * (pl + 1), pos_dom.shape[0])
+    neg_top, _ = jax.lax.top_k(-cand_pos, k_cand)
+    cpos = -neg_top                    # [C, K] ascending candidate pos
+
+    def search(carry, pos):
         nxt, count, positions = carry
-        det = ((jnp.abs(col) > thr)
-               & (pos >= nxt) & (count < N_IMPULSE_COUNT))
+        det = ((pos < t) & (pos >= nxt) & (count < N_IMPULSE_COUNT))
         onehot = (jnp.arange(N_IMPULSE_COUNT)[None, :]
                   == count[:, None]) & det[:, None]
-        positions = jnp.where(onehot, pos - order, positions)
+        positions = jnp.where(onehot, (pos - order)[:, None], positions)
         nxt = jnp.where(det, pos + pl + 1, nxt)
         count = count + det.astype(jnp.int32)
         return (nxt, count, positions), None
@@ -149,10 +158,7 @@ def nb_process(state: NBState, params: NBParams, x: jnp.ndarray
     init = (jnp.full((c,), order + pl, jnp.int32),
             jnp.zeros((c,), jnp.int32),
             jnp.zeros((c, N_IMPULSE_COUNT), jnp.int32))
-    (nxt, count, positions), _ = jax.lax.scan(
-        search, init,
-        (jnp.arange(order + pl, t, dtype=jnp.int32),
-         temp[:, order + pl:].T))
+    (nxt, count, positions), _ = jax.lax.scan(search, init, cpos.T)
 
     # ---- prediction transfer functions (negated, NB.c:218-219) ----
     fwd = -rev[:, :order]          # [lpc_order .. lpc_1] negated

@@ -257,6 +257,45 @@ def test_stereo_rds_shared_pilot():
     assert np.any(fm[:, 0] != fm[:, 1])
 
 
+def test_scan_unroll_bit_identical(monkeypatch):
+    """The TPU scan-step unroll (ops/stereo.py scan_unroll: k samples
+    per lax.scan step) must be BIT-identical to the per-sample scan --
+    the k updates run in the same sequential order inside one step.
+    CPU forces k=1, so force the unrolled path here and compare across
+    pilot_track (stereo/RDS), am_sync_detect (AM PLL) and anr_process
+    (LMS) on the same inputs."""
+    import phantomsdr_tpu.ops.stereo as st_mod
+    from phantomsdr_tpu.ops.channelizer import am_sync_detect
+    from phantomsdr_tpu.ops.anr import (
+        make_anr_params, init_anr_state, anr_process,
+    )
+
+    rng = np.random.default_rng(9)
+    c, T = 3, 4096
+    y = rng.standard_normal((c, T)).astype(np.float32)
+    z = (rng.standard_normal((c, T))
+         + 1j * rng.standard_normal((c, T))).astype(np.complex64)
+    ph0 = jnp.zeros(c, jnp.float32)
+    fr0 = jnp.zeros(c, jnp.float32)
+    p = make_stereo_params(FS)
+    ap = make_anr_params(notch=False)
+    ast = init_anr_state(c, ap)
+
+    outs = {}
+    for name, k in (("rolled", 1), ("unrolled", 16)):
+        monkeypatch.setattr(st_mod, "scan_unroll",
+                            lambda t, _k, k=k: k if t % k == 0 else 1)
+        outs[name] = (
+            np.asarray(st_mod.pilot_track(ph0, fr0, p.f_nom,
+                                          jnp.asarray(y))[2]),
+            np.asarray(am_sync_detect(jnp.asarray(z), jnp.asarray(z),
+                                      ph0, fr0)[0]),
+            np.asarray(anr_process(ast, ap, jnp.asarray(y))[1]),
+        )
+    for a, b in zip(outs["rolled"], outs["unrolled"]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_flac_stereo_roundtrip():
     from phantomsdr_tpu.runtime.codecs import FlacEncoder
     from tests.test_codecs import decode_flac

@@ -99,13 +99,14 @@ def _stereo_mpx(n: int, fs: int = FS_MPX) -> np.ndarray:
             + 0.4 * (L - R) / 2 * np.cos(2 * th)).astype(np.float32)
 
 
-def make(variant: str, out: Path, port: int, secs: float) -> dict:
+def make(variant: str, out: Path, port: int, secs: float,
+         fft_override: int = 0) -> dict:
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(7)
     truth: dict = {"variant": variant, "port": port}
 
     if variant in ("tone", "am", "nr"):
-        sps, fft = 960_000, 32_768
+        sps, fft = 960_000, fft_override or 32_768
         f_off = 0.15 * sps if variant == "tone" else 10.0
         n = int(sps * secs)
         t = np.arange(n, dtype=np.float64) / sps
@@ -141,9 +142,9 @@ def make(variant: str, out: Path, port: int, secs: float) -> dict:
     # which the RDS decimation chain requires (config.finalize's
     # rds=true check).  soak: same rate at fft 131072 (mid-size).
     if variant == "soak":
-        sps, fft, secs = 1_536_000, 131_072, max(secs, 10.0)
+        sps, fft, secs = 1_536_000, fft_override or 131_072, max(secs, 10.0)
     else:
-        sps, fft = 1_536_000, 32_768
+        sps, fft = 1_536_000, fft_override or 32_768
     n_mpx = int(FS_MPX * secs)
     extra: dict = {}
     if variant == "stereo":
@@ -184,8 +185,11 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--port", type=int, default=19020)
     ap.add_argument("--secs", type=float, default=6.0)
+    ap.add_argument("--fft-size", type=int, default=0,
+                    help="override the variant's fft_size")
     args = ap.parse_args()
-    truth = make(args.variant, Path(args.out), args.port, args.secs)
+    truth = make(args.variant, Path(args.out), args.port, args.secs,
+                 args.fft_size)
     (Path(args.out) / "truth.json").write_text(json.dumps(truth))
     print(json.dumps(truth))
 

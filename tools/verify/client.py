@@ -198,9 +198,13 @@ async def check_waterfall(session, url, truth):
             if not len(raw):
                 continue
             # packet l/r are full-resolution coords (sl << level), the
-            # row is at level resolution: scale = 1 << level
+            # row is at level resolution: scale = 1 << level.  A strong
+            # carrier CLIPS a run of bins at int8 127 (exact int8-dB
+            # parity with the reference quantizer), so take the
+            # centroid of the max-valued run, not argmax's first bin.
             scale = max(1, round((pkt["r"] - pkt["l"]) / len(raw)))
-            peak = pkt["l"] + int(np.argmax(raw)) * scale
+            peak = pkt["l"] + float(
+                np.mean(np.nonzero(raw == raw.max())[0])) * scale
             if abs(peak - m_bin) < 16 * scale + 8:
                 peak_ok += 1
             if peak_ok >= 3:
@@ -290,11 +294,11 @@ async def run(args):
                 f"envelope ear did not fold: H2/H1={out['envelope']}"
             results["am_h2_h1"] = out
 
-        elif variant in ("stereo", "both"):
+        elif variant in ("stereo", "both", "soak"):
             assert ch == 2, "server not advertising 2-channel audio"
             cmds = _audio_cmds(info, truth, "WBFM")
-            text = [] if variant == "both" else None
-            if variant == "both":
+            text = None if variant == "stereo" else []
+            if text is not None:
                 cmds.append({"cmd": "rds", "enabled": True})
             _, chunks = await collect_audio(
                 s, url, args.secs, cmds, text_frames=text, settle=2.0)
@@ -309,7 +313,7 @@ async def run(args):
                 f"separation L={sep_l:.1f} R={sep_r:.1f} dB"
             results["stereo_sep_db"] = [round(float(sep_l), 1),
                                         round(float(sep_r), 1)]
-            if variant == "both":
+            if text is not None:
                 results["rds"] = _check_rds(text, truth)
 
         elif variant == "rds":

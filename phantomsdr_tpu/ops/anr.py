@@ -86,15 +86,6 @@ def init_anr_state(num_channels: int, params: ANRParams | None) -> ANRState:
     )
 
 
-# samples unrolled per scan step (same trick as the PLL scans,
-# ops/stereo.py PLL_UNROLL; TPU-only via scan_unroll): divides the
-# ~0.25 us/iteration scan-step overhead while keeping the per-sample
-# update order -- and therefore the math -- bit-identical.  Smaller
-# than the PLL's 16: the LMS body is [C, taps]-heavy, so overhead is
-# a smaller fraction.
-ANR_UNROLL = 8
-
-
 def anr_process(state: ANRState, params: ANRParams, x: jnp.ndarray
                 ) -> tuple[ANRState, jnp.ndarray]:
     """Filter the stream x [C, T] -> same shape (streaming-continuous;
@@ -131,20 +122,9 @@ def anr_process(state: ANRState, params: ANRParams, x: jnp.ndarray
         w = c0 * w + c1 * win
         return (hist, w, lidx, ngamma), out
 
-    from .stereo import scan_unroll
+    from . import unroll
 
-    t = x.shape[1]
-    k = scan_unroll(t, ANR_UNROLL)
-
-    def body(carry, xk):                       # xk: [k, C]
-        outs = []
-        for i in range(k):
-            carry, o = step(carry, xk[i])
-            outs.append(o)
-        return carry, jnp.stack(outs)
-
-    (hist, w, lidx, ngamma), outs = jax.lax.scan(
-        body, (state.hist, state.w, state.lidx, state.ngamma),
-        x.T.reshape(t // k, k, -1))
-    return (ANRState(hist=hist, w=w, lidx=lidx, ngamma=ngamma),
-            outs.reshape(t, -1).T)
+    k = unroll.scan_unroll(x.shape[1], unroll.LMS_UNROLL)
+    (hist, w, lidx, ngamma), outs = unroll.unrolled_scan(
+        step, (state.hist, state.w, state.lidx, state.ngamma), x, k)
+    return ANRState(hist=hist, w=w, lidx=lidx, ngamma=ngamma), outs

@@ -123,15 +123,6 @@ PLL_ALPHA = PLL_BW
 PLL_BETA = PLL_BW ** 0.5
 
 
-# samples unrolled per scan step: per-sample recursions pay ~0.25 us
-# of scan-step overhead per iteration on TPU regardless of body size
-# (PERF.md), so unrolling divides the overhead; the k updates run in
-# the same sequential order inside one step -- bit-identical math.
-# TPU-only (ops/stereo.py:scan_unroll -- CPU's scan overhead is tiny
-# and the [k, C] slicing costs ~20% there, measured)
-PLL_UNROLL = 16
-
-
 def am_sync_detect(carrier: jnp.ndarray, baseband: jnp.ndarray,
                    phase0: jnp.ndarray, freq0: jnp.ndarray
                    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -142,12 +133,11 @@ def am_sync_detect(carrier: jnp.ndarray, baseband: jnp.ndarray,
     2nd-order loop update, output = Re(baseband mixed).
     Returns (audio [C, L], phase [C], freq [C]).
     """
-    from .stereo import scan_unroll
+    from . import unroll
 
-    t = carrier.shape[1]
-    k = scan_unroll(t, PLL_UNROLL)
-
-    def step(v_car, v_base, phase, freq):
+    def step(carry, inputs):
+        phase, freq = carry
+        v_car, v_base = inputs
         rot = jnp.exp(-1j * phase).astype(jnp.complex64)
         v0 = v_car * rot
         v1 = v_base * rot
@@ -160,23 +150,12 @@ def am_sync_detect(carrier: jnp.ndarray, baseband: jnp.ndarray,
         # rotates by quantization noise and the PLL unlocks after days
         # of server uptime
         phase = jnp.mod(phase + freq, 2.0 * jnp.pi)  # nco step
-        return phase, freq, jnp.real(v1)
+        return (phase, freq), jnp.real(v1)
 
-    def body(carry, inputs):
-        phase, freq = carry
-        ck, bk = inputs                            # [k, C] each
-        outs = []
-        for i in range(k):
-            phase, freq, o = step(ck[i], bk[i], phase, freq)
-            outs.append(o)
-        return (phase, freq), jnp.stack(outs)
-
-    (phase, freq), out_t = jax.lax.scan(
-        body, (phase0, freq0),
-        (carrier.T.reshape(t // k, k, -1),
-         baseband.T.reshape(t // k, k, -1)),
-    )
-    return out_t.reshape(t, -1).T, phase, freq
+    k = unroll.scan_unroll(carrier.shape[1], unroll.PLL_UNROLL)
+    (phase, freq), out = unroll.unrolled_scan(
+        step, (phase0, freq0), (carrier, baseband), k)
+    return out, phase, freq
 
 
 def extend_spectrum(spec: jnp.ndarray, is_real: bool, fft_result_size: int,

@@ -159,25 +159,6 @@ def pilot_front_end(bp_tail: jnp.ndarray, delay_tail: jnp.ndarray,
     return new_bp, new_d, y, xd
 
 
-# Per-sample recursions pay ~0.25 us of scan-step overhead per
-# iteration on TPU regardless of body size (PERF.md); unrolling UNROLL
-# samples per scan step divides that overhead while keeping the math
-# bit-identical (the k updates run in the same sequential order inside
-# one step).  CPU is the opposite (its scan overhead is tiny and the
-# [k, C] slicing costs ~20%, measured), so the unroll is TPU-only.
-PLL_UNROLL = 16
-
-
-def scan_unroll(t: int, k: int) -> int:
-    """Effective unroll factor for a length-t per-sample scan: k on
-    accelerators when it divides t, else 1 (also 1 on CPU)."""
-    import jax
-
-    if t % k != 0 or jax.default_backend() == "cpu":
-        return 1
-    return k
-
-
 def pilot_track(phase: jnp.ndarray, freq: jnp.ndarray, f_nom: float,
                 y: jnp.ndarray):
     """Per-sample pilot PLL over the bandpassed pilot y [C, T] -- the
@@ -196,29 +177,22 @@ def pilot_track(phase: jnp.ndarray, freq: jnp.ndarray, f_nom: float,
     Returns (new_phase, new_freq, ph [C, T]) where ph[:, i] is the
     loop-updated phase the mixers use at sample i.
     """
+    from . import unroll
+
     f_nom = jnp.float32(f_nom)
     two_pi = jnp.float32(2.0 * np.pi)
-    t = y.shape[1]
-    k = scan_unroll(t, PLL_UNROLL)
 
-    def step(yb, phase, freq):
+    def step(carry, yb):
+        phase, freq = carry
         e = -2.0 * yb * jnp.sin(phase)
         freq = freq + jnp.float32(PLL_ALPHA) * e
         ph_m = phase + jnp.float32(PLL_BETA) * e
         ph_n = jnp.mod(ph_m + f_nom + freq, two_pi)        # nco step
-        return ph_n, freq, ph_m
+        return (ph_n, freq), ph_m
 
-    def body(carry, yk):                                   # yk [k, C]
-        phase, freq = carry
-        outs = []
-        for i in range(k):
-            phase, freq, ph_m = step(yk[i], phase, freq)
-            outs.append(ph_m)
-        return (phase, freq), jnp.stack(outs)
-
-    (phase, freq), ph_t = jax.lax.scan(
-        body, (phase, freq), y.T.reshape(t // k, k, -1))
-    return phase, freq, ph_t.reshape(t, -1).T
+    k = unroll.scan_unroll(y.shape[1], unroll.PLL_UNROLL)
+    (phase, freq), ph = unroll.unrolled_scan(step, (phase, freq), y, k)
+    return phase, freq, ph
 
 
 def stereo_demix(xd: jnp.ndarray, ph: jnp.ndarray, fm_mask: jnp.ndarray

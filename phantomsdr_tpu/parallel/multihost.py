@@ -483,9 +483,12 @@ class MultihostDriver:
                         # seconds): delivers this ack late, concurrently,
                         # simulating one-way DCN latency on the step_done
                         # path -- the pipelining test uses it to prove
-                        # step cadence is no longer bounded by ack RTT
-                        threading.Timer(self._ack_test_delay,
-                                        _record).start()
+                        # step cadence is no longer bounded by ack RTT.
+                        # daemon: pending timers must not block interpreter
+                        # exit after _fail_cluster/EOF
+                        t = threading.Timer(self._ack_test_delay, _record)
+                        t.daemon = True
+                        t.start()
                     else:
                         _record()
         except (ConnectionError, OSError):

@@ -476,12 +476,17 @@ def audio_from_spectra(
         # pilot-PLL stereo; other modes pass mono to both ears.
         fm_mask = chans.mode == MODE_FM
         if pilot_ph is not None:
-            # reuse the pilot tracked at the pre-NR RDS tap (see the
-            # shared-pilot comment above).  The mono/L-R path still
-            # delays the CURRENT (possibly NR'd) stream with stereo's
-            # own tail; only the PLL phase is shared -- tracking the
-            # un-NR'd pilot is if anything cleaner (NR's spectral
-            # shaping can bite into the 19 kHz pilot).
+            # reuse the pilot tracked at the RDS tap (see the
+            # shared-pilot comment above); only the PLL phase is
+            # shared, the mono/L-R path delays the stream with
+            # stereo's own tail.  INVARIANT this relies on: both
+            # consumers see the SAME stream the pilot was tracked on --
+            # config.finalize rejects nr=true + stereo=true, so no
+            # stage (spectral NR delays its rows by a half-frame)
+            # can sit between the tap and the demix.  If that
+            # restriction is ever lifted, the pilot phase would lead
+            # an NR'd stream by half samples and wreck the 38 kHz
+            # demix -- re-track (or delay-compensate) the pilot then.
             new_mono, xm = delay_stream(st_st.mono_tail, stream)
             s_l, s_r = stereo_demix(xm, pilot_ph, fm_mask)
             st_st = StereoState(bp_tail=rds_st.bp_tail,

@@ -186,10 +186,20 @@ class ChannelRegistry:
         """Per-client AM detector choice ({"cmd":"am_sync"} extension):
         enabled=False opts this listener out of the default PLL carrier
         sync to plain envelope detection; only effective when the
-        server runs with [input] am_sync=true (the default)."""
+        server runs with [input] am_sync=true (the default).
+
+        Re-enabling sync queues a full carry reset for the slot: while
+        the listener was on envelope the PLL carries froze (the cond
+        branch doesn't run), so resuming from the stale carrier_prev/
+        pll_phase would sum minutes-old carrier into the detector and
+        re-lock from an arbitrary phase -- an audible pop.  A zeroed
+        restart is the same deterministic ramp a fresh slot gets."""
         with self._lock:
+            was_env = bool(self.am_env[slot.slot])
             self.am_env[slot.slot] = not enabled
             slot.am_env = not enabled
+            if enabled and was_env:
+                self._fresh.add(slot.slot)
             self.version += 1
 
     # ------------------------------------------------------------- device

@@ -41,7 +41,8 @@ from collections import deque
 from ..config import ServerConfig
 from ..ops.quantize import pyramid_level_offsets
 from . import cbor
-from .codecs import FlacEncoder, OpusChunkEncoder, ZstdStream
+from .codecs import (DeflateStream, FlacEncoder, OpusChunkEncoder,
+                     ZstdStream)
 from .registry import AudioSlot, ChannelRegistry, WaterfallRegistry, WaterfallSlot
 
 BACKPRESSURE_LIMIT = 50_000  # bytes (src/websocket.cpp:174,222)
@@ -315,6 +316,24 @@ class WaterfallConn:
             uid = cmd.get("userid")
             if isinstance(uid, str):
                 self.user_id = uid[:32]
+        elif name == "compression":
+            # extension: {"cmd":"compression","waterfall":"deflate"}
+            # switches THIS conn's waterfall stream from zstd to raw
+            # deflate (browser-decodable, runtime/codecs.DeflateStream).
+            # The swap runs on the conn's affine encode worker so it
+            # can't race a row job, and the {"type":"compression"} ack
+            # is posted from the same worker -- everything after the
+            # ack is one fresh deflate stream (rows before it were
+            # zstd; the client drops binary frames until the ack).
+            if cmd.get("waterfall") == "deflate" and self.av1 is None:
+                srv = self.server
+
+                def swap(c=self):
+                    c.encoder = DeflateStream()
+                    srv._post_threadsafe(c, [json.dumps(
+                        {"type": "compression", "waterfall": "deflate"})])
+                srv.encode_pool.submit(
+                    srv.channels.cfg.max_channels + self.cid, swap)
 
 
 class SpectrumServer:
@@ -428,6 +447,12 @@ class SpectrumServer:
             # must skip it when this is nonzero or audio gets the pole
             # twice.
             "deemphasis": cfg.deemphasis,
+            # extension: waterfall conns may switch their stream to raw
+            # deflate ({"cmd":"compression","waterfall":"deflate"}) --
+            # what the built-in html/ frontend uses (browsers decode
+            # deflate-raw natively, zstd they don't)
+            "waterfall_deflate_available":
+                cfg.waterfall_compression == "zstd",
         })
 
     # -------------------------------------------------------- handlers
@@ -710,6 +735,12 @@ class SpectrumServer:
                 # slot acquired after this step was submitted at a
                 # smaller channel bucket; its audio starts next step
                 continue
+            if audio_meta is not None:
+                mid = float(audio_meta[2][slot_id])
+                width = int(audio_meta[1][slot_id]
+                            - audio_meta[0][slot_id])
+            else:  # direct-dispatch callers (tests), no race
+                mid, width = s.mid, s.r - s.l
             if not s.mute:
                 # {"cmd":"mute"} actually mutes here: the encode job is
                 # skipped like a backlogged conn's (frontends already
@@ -719,18 +750,25 @@ class SpectrumServer:
                 # rule as the enforced [limits].  RDS decode below still
                 # runs: muted audio shouldn't blank the station text.
                 pcm = audio[li] if decimated else audio[:, li]
-                if audio_meta is not None:
-                    mid = float(audio_meta[2][slot_id])
-                    width = int(audio_meta[1][slot_id]
-                                - audio_meta[0][slot_id])
-                else:  # direct-dispatch callers (tests), no race
-                    mid, width = s.mid, s.r - s.l
                 self.encode_pool.submit(slot_id, lambda c=conn, p=pcm,
                                         pw=pwr[:, li], mid=mid,
                                         width=width:
                                         self._encode_audio_job(
                                             c, frame0, b, mid, width, p,
                                             pw, decimated))
+            else:
+                # muted: still ship ONE data-less packet per step so
+                # the listener's S-meter/squelch keeps its live signal
+                # power (the reference's per-frame packets always carry
+                # pwr); rides the same affine worker so packets stay
+                # ordered with the audio stream across mute flips, and
+                # an empty FLAC/Opus payload chunk is a stream no-op.
+                self.encode_pool.submit(
+                    slot_id, lambda c=conn, pw=float(pwr[b - 1, li]),
+                    mid=mid, width=width:
+                    self._post_threadsafe(c, [cbor.audio_packet(
+                        frame0 + b - 1, 0, mid, width, pw, b"")])
+                    if self.loop is not None else None)
             if (rds is not None and s.rds and s.mode == "FM"
                     and li < rds.shape[0]
                     and conn.rds_decoder is not None):

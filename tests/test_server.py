@@ -233,6 +233,59 @@ async def test_waterfall_stream_and_level_selection(cfg):
 
 
 @async_test
+async def test_waterfall_deflate_switch(cfg):
+    """{"cmd":"compression","waterfall":"deflate"} (extension for the
+    built-in html/ frontend): the conn acks with a {"type":
+    "compression"} text frame, and everything after it is ONE raw-
+    deflate stream carrying the same CBOR rows the zstd path would."""
+    import zlib
+
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        ws = await client.ws_connect("/waterfall")
+        info = json.loads((await ws.receive()).data)
+        assert info["waterfall_deflate_available"] is True
+        slot = next(iter(server.waterfalls.clients.values()))
+        await ws.send_str(json.dumps(
+            {"cmd": "compression", "waterfall": "deflate"}))
+        # ack rides the affine worker -> loop; poke the loop until seen
+        acked = False
+        for _ in range(40):
+            try:
+                msg = await ws.receive(timeout=0.05)
+            except asyncio.TimeoutError:
+                continue
+            if msg.type.name == "TEXT":
+                d = json.loads(msg.data)
+                if d.get("type") == "compression":
+                    assert d["waterfall"] == "deflate"
+                    acked = True
+                    break
+        assert acked
+        audio, pwr, wf, due, pyr = synth_outputs(cfg, server)
+        server.dispatch(0, audio, pwr, wf, due)
+        dec = zlib.decompressobj(-15)
+        got = []
+        while True:
+            try:
+                msg = await ws.receive(timeout=0.1)
+            except asyncio.TimeoutError:
+                break
+            if msg.type.name == "BINARY":
+                got.append(decode_cbor(dec.decompress(msg.data)))
+        assert got
+        p0 = got[0]
+        row = np.frombuffer(bytes(p0["data"]), np.int8)
+        off = server.level_offsets[slot.level]
+        np.testing.assert_array_equal(
+            row, pyr[p0["frame_num"], off + slot.l: off + slot.r])
+        await ws.close()
+    finally:
+        await client.close()
+
+
+@async_test
 async def test_events_and_metrics(cfg):
     server = SpectrumServer(cfg)
     client = await run_app(server)
@@ -396,7 +449,9 @@ async def test_unknown_path_static_404(cfg):
 async def test_mute_skips_encode_jobs(cfg):
     """{"cmd":"mute"} actually mutes (deviation from the stored-but-
     unused flag, src/client.cpp:127): while muted, dispatch submits no
-    audio encode job for the conn; unmuting resumes the stream."""
+    audio ENCODE job for the conn -- but one data-less packet per step
+    still carries the live signal power so the listener's S-meter/
+    squelch display doesn't freeze; unmuting resumes the stream."""
     server = SpectrumServer(cfg)
     client = await run_app(server)
     try:
@@ -404,7 +459,7 @@ async def test_mute_skips_encode_jobs(cfg):
         json.loads((await ws.receive()).data)
 
         async def pump(n, frame0):
-            got = 0
+            pkts = []
             for s in range(n):
                 audio, pwr, wf, due, _ = synth_outputs(cfg, server,
                                                        frame0 + s)
@@ -416,16 +471,19 @@ async def test_mute_skips_encode_jobs(cfg):
                     except asyncio.TimeoutError:
                         break
                     if msg.type.name == "BINARY":
-                        got += 1
-            return got
+                        pkts.append(decode_cbor(msg.data))
+            return pkts
 
-        assert await pump(5, 0) > 0
+        assert any(p["data"] for p in await pump(5, 0))
         await ws.send_str(json.dumps({"cmd": "mute", "mute": True}))
         await asyncio.sleep(0.05)
-        assert await pump(5, 5) == 0
+        muted = await pump(5, 5)
+        assert muted, "muted conn lost its power telemetry"
+        assert all(p["data"] == b"" for p in muted)
+        assert all("pwr" in p for p in muted)
         await ws.send_str(json.dumps({"cmd": "mute", "mute": False}))
         await asyncio.sleep(0.05)
-        assert await pump(5, 10) > 0
+        assert any(p["data"] for p in await pump(5, 10))
         await ws.close()
     finally:
         await client.close()
@@ -450,9 +508,16 @@ async def test_am_sync_command_flips_column(cfg):
         await asyncio.sleep(0.05)
         assert server.channels.am_env[slot.slot]
         assert slot.am_env
+        # consume any pending resets, then re-enable: the PLL carries
+        # froze while on envelope, so the toggle back must queue a full
+        # carry reset (stale carrier_prev/pll_phase = audible pop)
+        server.channels.snapshot()
         await ws.send_str(json.dumps({"cmd": "am_sync", "enabled": True}))
         await asyncio.sleep(0.05)
         assert not server.channels.am_env[slot.slot]
+        from phantomsdr_tpu.runtime.registry import RESET_FULL
+        _, _, mask, _ = server.channels.snapshot()
+        assert mask is not None and mask[slot.slot] == RESET_FULL
         # the column clears when the slot is released to a new user
         await ws.send_str(json.dumps({"cmd": "am_sync",
                                       "enabled": False}))

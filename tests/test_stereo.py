@@ -258,13 +258,14 @@ def test_stereo_rds_shared_pilot():
 
 
 def test_scan_unroll_bit_identical(monkeypatch):
-    """The TPU scan-step unroll (ops/stereo.py scan_unroll: k samples
-    per lax.scan step) must be BIT-identical to the per-sample scan --
-    the k updates run in the same sequential order inside one step.
-    CPU forces k=1, so force the unrolled path here and compare across
-    pilot_track (stereo/RDS), am_sync_detect (AM PLL) and anr_process
-    (LMS) on the same inputs."""
+    """The TPU scan-step unroll (ops/unroll.py: k samples per lax.scan
+    step) must be BIT-identical to the per-sample scan -- the k updates
+    run in the same sequential order inside one step.  CPU forces k=1,
+    so force the unrolled path here and compare across pilot_track
+    (stereo/RDS), am_sync_detect (AM PLL) and anr_process (LMS) on the
+    same inputs."""
     import phantomsdr_tpu.ops.stereo as st_mod
+    import phantomsdr_tpu.ops.unroll as un_mod
     from phantomsdr_tpu.ops.channelizer import am_sync_detect
     from phantomsdr_tpu.ops.anr import (
         make_anr_params, init_anr_state, anr_process,
@@ -283,7 +284,7 @@ def test_scan_unroll_bit_identical(monkeypatch):
 
     outs = {}
     for name, k in (("rolled", 1), ("unrolled", 16)):
-        monkeypatch.setattr(st_mod, "scan_unroll",
+        monkeypatch.setattr(un_mod, "scan_unroll",
                             lambda t, _k, k=k: k if t % k == 0 else 1)
         outs[name] = (
             np.asarray(st_mod.pilot_track(ph0, fr0, p.f_nom,

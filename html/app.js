@@ -1,0 +1,404 @@
+/* phantomsdr-tpu built-in frontend.
+
+   Wire protocol (same as the reference's svelte frontend consumes,
+   reference src/websocket.cpp / client.cpp):
+     /audio      basic_info JSON, then CBOR {data, frame_num, l, m,
+                 pwr, r} packets carrying a FLAC stream; JSON commands
+                 window/demodulation/mute (+ server extensions
+                 nr/rds/am_sync); {"type":"rds"} text frames.
+     /waterfall  basic_info JSON, then compressed CBOR rows; this
+                 frontend switches its connection to raw deflate
+                 ({"cmd":"compression","waterfall":"deflate"}, a
+                 phantomsdr-tpu extension) so the browser-native
+                 DecompressionStream('deflate-raw') decodes it.
+     /events     cluster state JSON (listener count in the footer). */
+"use strict";
+
+const $ = (id) => document.getElementById(id);
+const statusEl = $("status");
+
+let info = null;          // basic_info from the server
+let mode = "USB";         // UI mode (WBFM = wide FM window)
+let mBin = 0;             // tuned center, full-resolution bins
+let audioWs = null, wfWs = null;
+let actx = null, gain = null, playCursor = 0;
+let flac = null;
+let muted = false;
+
+// ------------------------------------------------------------ helpers
+
+function wsUrl(path) {
+  const proto = location.protocol === "https:" ? "wss:" : "ws:";
+  return `${proto}//${location.host}${path}`;
+}
+
+function offBins(hz) {
+  return Math.floor(hz * info.fft_result_size / info.sps);
+}
+
+function windowFor(m, md) {
+  const R = info.fft_result_size;
+  const mi = Math.floor(m);
+  let l, r;
+  if (md === "USB") { l = mi; r = mi + offBins(3000); }
+  else if (md === "LSB") { l = mi - offBins(3000); r = mi; }
+  else if (md === "WBFM") { l = mi - offBins(96000); r = mi + offBins(96000); }
+  else { l = mi - offBins(5000); r = mi + offBins(5000); } // AM / FM
+  l = Math.max(0, Math.min(R, l));
+  r = Math.max(0, Math.min(R, r));
+  const a = info.audio_max_fft;
+  if (r - l > a) r = l + a;       // audio slice capacity (basic_info)
+  return { l, m, r };
+}
+
+function binToHz(bin) {
+  return info.basefreq
+    + bin * (info.total_bandwidth / info.fft_result_size);
+}
+
+function updateReadout() {
+  $("freq-mhz").textContent = (binToHz(mBin) / 1e6).toFixed(4);
+  drawPassband();
+}
+
+function sendTune() {
+  if (!audioWs || audioWs.readyState !== 1) return;
+  const w = windowFor(mBin, mode);
+  audioWs.send(JSON.stringify({ cmd: "window", l: w.l, m: w.m, r: w.r }));
+  const demod = mode === "WBFM" ? "FM" : mode;
+  audioWs.send(JSON.stringify({ cmd: "demodulation", demodulation: demod }));
+  $("amsync-wrap").hidden = !(info.am_sync && mode === "AM");
+  updateReadout();
+}
+
+// --------------------------------------------------------------- audio
+
+function startAudioCtx() {
+  if (actx) return;
+  const rate = info.audio_max_sps;
+  try { actx = new AudioContext({ sampleRate: rate }); }
+  catch (e) { actx = new AudioContext(); }
+  gain = actx.createGain();
+  gain.gain.value = $("vol").value / 100;
+  gain.connect(actx.destination);
+  actx.resume();
+  $("power").setAttribute("aria-pressed", "true");
+}
+
+function resample(f32, from, to) {
+  if (from === to) return f32;
+  const n = Math.floor(f32.length * to / from);
+  const out = new Float32Array(n);
+  for (let i = 0; i < n; i++) {
+    const x = i * from / to, i0 = Math.floor(x), fr = x - i0;
+    const a = f32[Math.min(i0, f32.length - 1)];
+    const b = f32[Math.min(i0 + 1, f32.length - 1)];
+    out[i] = a + (b - a) * fr;
+  }
+  return out;
+}
+
+function enqueuePcm(int32, channels) {
+  if (!actx) return;
+  const n = int32.length / channels;
+  if (!n) return;
+  const chans = [];
+  for (let c = 0; c < channels; c++) {
+    let f = new Float32Array(n);
+    for (let i = 0; i < n; i++) f[i] = int32[i * channels + c] / 32768;
+    f = resample(f, info.audio_max_sps, actx.sampleRate);
+    chans.push(f);
+  }
+  const buf = actx.createBuffer(channels, chans[0].length, actx.sampleRate);
+  for (let c = 0; c < channels; c++) buf.copyToChannel(chans[c], c);
+  const src = actx.createBufferSource();
+  src.buffer = buf;
+  src.connect(gain);
+  const now = actx.currentTime;
+  if (playCursor < now + 0.04) playCursor = now + 0.12;  // resync
+  src.start(playCursor);
+  playCursor += buf.duration;
+}
+
+function updateSmeter(pwr) {
+  const db = 10 * Math.log10(pwr + 1e-12);
+  $("smeter-db").textContent = db.toFixed(1) + " dB";
+  const pct = Math.max(0, Math.min(100, (db + 60) * (100 / 90)));
+  $("smeter-fill").style.width = pct + "%";
+}
+
+function connectAudio() {
+  audioWs = new WebSocket(wsUrl("/audio"));
+  audioWs.binaryType = "arraybuffer";
+  let gotInfo = false;
+  audioWs.onmessage = (ev) => {
+    if (typeof ev.data === "string") {
+      const d = JSON.parse(ev.data);
+      if (!gotInfo) {
+        gotInfo = true;
+        onInfo(d);
+      } else if (d.type === "rds") {
+        $("rds-panel").hidden = false;
+        $("rds-pi").textContent = d.pi ? "PI " + d.pi : "";
+        $("rds-ps").textContent = d.ps || "";
+        $("rds-rt").textContent = d.rt || "";
+      }
+      return;
+    }
+    const pkt = cborDecode(ev.data);
+    if (typeof pkt.pwr === "number") updateSmeter(pkt.pwr);
+    if (pkt.data && pkt.data.length) {
+      for (const pcm of flac.push(pkt.data))
+        enqueuePcm(pcm, flac.channels);
+    }
+  };
+  audioWs.onclose = () => { statusEl.textContent = "audio disconnected"; };
+}
+
+function onInfo(d) {
+  info = d;
+  flac = new FlacStream();
+  mBin = d.defaults.m || d.fft_result_size / 2;
+  mode = d.defaults.modulation || "USB";
+  document.querySelectorAll("#modes button").forEach((b) =>
+    b.setAttribute("aria-pressed", String(b.dataset.mode === mode)));
+  $("nr-wrap").hidden = !d.nr_available;
+  $("rds-wrap").hidden = !d.rds_available;
+  statusEl.textContent = "connected";
+  $("info-line").textContent =
+    `${(d.sps / 1e6).toFixed(2)} MSPS · fft ${d.fft_size} · ` +
+    `audio ${d.audio_max_sps} Hz ${d.audio_channels === 2 ? "stereo" : "mono"}` +
+    ` (${d.audio_compression})` +
+    (d.deemphasis ? ` · de-emphasis ${d.deemphasis} µs` : "");
+  drawScale();
+  sendTune();
+  connectWaterfall();
+  connectEvents();
+}
+
+// ----------------------------------------------------------- waterfall
+
+// viridis: perceptually uniform, monotonic lightness (the sequential-
+// ramp rule for magnitude data); anchors interpolated to a 256 LUT
+const VIRIDIS = [
+  [68, 1, 84], [71, 44, 122], [59, 81, 139], [44, 113, 142],
+  [33, 144, 141], [39, 173, 129], [92, 200, 99], [170, 220, 50],
+  [253, 231, 37],
+];
+const LUT = (() => {
+  const lut = new Uint8Array(256 * 3);
+  for (let i = 0; i < 256; i++) {
+    const x = i / 255 * (VIRIDIS.length - 1);
+    const i0 = Math.min(Math.floor(x), VIRIDIS.length - 2), fr = x - i0;
+    for (let c = 0; c < 3; c++)
+      lut[i * 3 + c] = Math.round(
+        VIRIDIS[i0][c] + (VIRIDIS[i0 + 1][c] - VIRIDIS[i0][c]) * fr);
+  }
+  return lut;
+})();
+
+let wfCanvas, wfCtx, specCtx, rowLen = 0;
+let vMin = -100, vMax = 40;   // int8-dB autoscale, decaying
+
+function setupCanvases(len) {
+  rowLen = len;
+  wfCanvas = $("waterfall");
+  wfCanvas.width = len;
+  wfCanvas.height = 260;
+  wfCtx = wfCanvas.getContext("2d", { willReadFrequently: false });
+  wfCtx.fillStyle = "#1b1e23";
+  wfCtx.fillRect(0, 0, len, wfCanvas.height);
+  const sc = $("spectrum");
+  sc.width = len;
+  specCtx = sc.getContext("2d");
+  const pb = $("passband");
+  pb.width = len;
+  drawPassband();
+}
+
+function drawRow(row) {
+  if (rowLen !== row.length) setupCanvases(row.length);
+  // autoscale: follow the row's 5th/99th-ish extremes with decay
+  let lo = 127, hi = -128;
+  for (let i = 0; i < row.length; i++) {
+    const v = row[i];
+    if (v < lo) lo = v;
+    if (v > hi) hi = v;
+  }
+  vMin += (lo - vMin) * 0.05;
+  vMax += (hi - vMax) * 0.05;
+  const span = Math.max(10, vMax - vMin);
+
+  wfCtx.drawImage(wfCanvas, 0, 0, rowLen, wfCanvas.height - 1,
+                  0, 1, rowLen, wfCanvas.height - 1);
+  const img = wfCtx.createImageData(rowLen, 1);
+  for (let i = 0; i < rowLen; i++) {
+    let t = (row[i] - vMin) / span;
+    t = Math.max(0, Math.min(1, t));
+    const j = Math.round(t * 255) * 3;
+    img.data[i * 4] = LUT[j];
+    img.data[i * 4 + 1] = LUT[j + 1];
+    img.data[i * 4 + 2] = LUT[j + 2];
+    img.data[i * 4 + 3] = 255;
+  }
+  wfCtx.putImageData(img, 0, 0);
+
+  // spectrum line over the latest row
+  const sc = specCtx, H = $("spectrum").height;
+  sc.fillStyle = "#1b1e23";
+  sc.fillRect(0, 0, rowLen, H);
+  sc.strokeStyle = "#7cacf8";
+  sc.lineWidth = 1;
+  sc.beginPath();
+  for (let i = 0; i < rowLen; i++) {
+    let t = (row[i] - vMin) / span;
+    t = Math.max(0, Math.min(1, t));
+    const y = H - 4 - t * (H - 10);
+    if (i === 0) sc.moveTo(i, y); else sc.lineTo(i, y);
+  }
+  sc.stroke();
+}
+
+function drawPassband() {
+  if (!info || !rowLen) return;
+  const pb = $("passband"), c = pb.getContext("2d");
+  c.fillStyle = "#1b1e23";
+  c.fillRect(0, 0, pb.width, pb.height);
+  const w = windowFor(mBin, mode);
+  const sx = rowLen / info.fft_result_size;
+  c.fillStyle = "rgba(124,172,248,0.25)";
+  c.fillRect(w.l * sx, 0, Math.max(1, (w.r - w.l) * sx), pb.height);
+  c.fillStyle = "#7cacf8";
+  c.fillRect(mBin * sx - 1, 0, 2, pb.height);
+}
+
+function connectWaterfall() {
+  wfWs = new WebSocket(wsUrl("/waterfall"));
+  wfWs.binaryType = "arraybuffer";
+  let deflated = false, writer = null;
+  const haveDS = typeof DecompressionStream === "function";
+
+  function startInflate() {
+    const ds = new DecompressionStream("deflate-raw");
+    writer = ds.writable.getWriter();
+    const reader = ds.readable.getReader();
+    (async () => {
+      let acc = new Uint8Array(0);
+      for (;;) {
+        const { value, done } = await reader.read();
+        if (done) break;
+        const merged = new Uint8Array(acc.length + value.length);
+        merged.set(acc); merged.set(value, acc.length);
+        acc = merged;
+        for (;;) {
+          const r = cborTryDecode(acc);
+          if (!r) break;
+          acc = acc.slice(r.used);
+          drawRow(new Int8Array(r.value.data.buffer,
+                                r.value.data.byteOffset,
+                                r.value.data.length));
+        }
+      }
+    })();
+  }
+
+  wfWs.onmessage = (ev) => {
+    if (typeof ev.data === "string") {
+      const d = JSON.parse(ev.data);
+      if (d.sps) {           // its own basic_info handshake
+        if (haveDS && d.waterfall_deflate_available) {
+          wfWs.send(JSON.stringify(
+            { cmd: "compression", waterfall: "deflate" }));
+          // full-band view; the server picks the pyramid level
+          wfWs.send(JSON.stringify(
+            { cmd: "window", l: 0, r: d.fft_result_size }));
+        } else {
+          statusEl.textContent =
+            "no deflate support; waterfall disabled (zstd-only)";
+        }
+      } else if (d.type === "compression" && d.waterfall === "deflate") {
+        deflated = true;
+        startInflate();
+      }
+      return;
+    }
+    // binary rows before the deflate ack are zstd -- drop them
+    if (deflated && writer) writer.write(new Uint8Array(ev.data));
+  };
+}
+
+function connectEvents() {
+  const ws = new WebSocket(wsUrl("/events"));
+  ws.onmessage = (ev) => {
+    try {
+      const d = JSON.parse(ev.data);
+      if (typeof d.signal_clients === "number")
+        statusEl.textContent =
+          `connected · ${d.signal_clients} listener` +
+          (d.signal_clients === 1 ? "" : "s");
+    } catch (e) { /* delta frames we don't render */ }
+  };
+}
+
+// ------------------------------------------------------------------ UI
+
+function bindUI() {
+  document.querySelectorAll("#modes button").forEach((b) => {
+    b.addEventListener("click", () => {
+      mode = b.dataset.mode;
+      document.querySelectorAll("#modes button").forEach((x) =>
+        x.setAttribute("aria-pressed", String(x === b)));
+      sendTune();
+    });
+  });
+
+  const tuneFromEvent = (el) => (ev) => {
+    if (!info || !rowLen) return;
+    const rect = el.getBoundingClientRect();
+    const x = (ev.clientX - rect.left) / rect.width;
+    mBin = Math.max(0, Math.min(info.fft_result_size,
+                                x * info.fft_result_size));
+    sendTune();
+  };
+  ["waterfall", "passband", "spectrum"].forEach((id) => {
+    const el = $(id);
+    el.addEventListener("click", tuneFromEvent(el));
+  });
+
+  $("power").addEventListener("click", () => startAudioCtx());
+  $("mute").addEventListener("click", () => {
+    muted = !muted;
+    $("mute").setAttribute("aria-pressed", String(muted));
+    if (audioWs && audioWs.readyState === 1)
+      audioWs.send(JSON.stringify({ cmd: "mute", mute: muted }));
+  });
+  $("vol").addEventListener("input", () => {
+    if (gain) gain.gain.value = $("vol").value / 100;
+  });
+  const sendCmd = (obj) => {
+    if (audioWs && audioWs.readyState === 1)
+      audioWs.send(JSON.stringify(obj));
+  };
+  $("nr").addEventListener("change", () =>
+    sendCmd({ cmd: "nr", enabled: $("nr").checked }));
+  $("rds").addEventListener("change", () => {
+    sendCmd({ cmd: "rds", enabled: $("rds").checked });
+    if (!$("rds").checked) $("rds-panel").hidden = true;
+  });
+  $("amsync").addEventListener("change", () =>
+    sendCmd({ cmd: "am_sync", enabled: $("amsync").checked }));
+}
+
+function drawScale() {
+  const el = $("freq-scale");
+  el.innerHTML = "";
+  for (let i = 0; i <= 8; i++) {
+    const s = document.createElement("span");
+    s.textContent =
+      (binToHz(i / 8 * info.fft_result_size) / 1e6).toFixed(2);
+    el.appendChild(s);
+  }
+}
+
+bindUI();
+connectAudio();

@@ -1,0 +1,157 @@
+/* Streaming decoder for the FLAC subset csrc/flac.cpp emits: 16-bit
+   fixed-predictor subframes (orders 0-4), rice partition order 0,
+   mono or independent stereo.  JS port of the from-spec decoder in
+   tests/test_codecs.py, made incremental: push() consumes whole frames
+   greedily and keeps a partial tail for the next packet (per-hop CBOR
+   payloads always carry whole frames, but the stream header and any
+   coalesced packets may straddle). */
+"use strict";
+
+class FlacOverrun extends Error {}
+
+class FlacBitReader {
+  constructor(d, byteStart) { this.d = d; this.pos = byteStart * 8; }
+  bits(n) {
+    let v = 0;
+    for (let i = 0; i < n; i++) {
+      const bi = this.pos >> 3;
+      if (bi >= this.d.length) throw new FlacOverrun();
+      v = v * 2 + ((this.d[bi] >> (7 - (this.pos & 7))) & 1);
+      this.pos++;
+    }
+    return v;
+  }
+  unary() {
+    let q = 0;
+    while (this.bits(1) === 0) q++;
+    return q;
+  }
+  align() { this.pos = (this.pos + 7) & ~7; }
+}
+
+function flacSigned(v, bits) {
+  return v >= 1 << (bits - 1) ? v - (1 << bits) : v;
+}
+
+const FLAC_FIXED_COEF = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]];
+
+function flacSubframe(br, n) {
+  if (br.bits(1) !== 0) throw new Error("flac: bad subframe pad");
+  const sub = br.bits(6);
+  if (sub >> 3 !== 1) throw new Error("flac: not a fixed subframe");
+  const order = sub & 7;
+  if (br.bits(1) !== 0) throw new Error("flac: wasted bits unsupported");
+  const x = new Int32Array(n);
+  for (let i = 0; i < order; i++) x[i] = flacSigned(br.bits(16), 16);
+  if (br.bits(2) !== 0) throw new Error("flac: non-rice residual");
+  if (br.bits(4) !== 0) throw new Error("flac: partition order != 0");
+  const k = br.bits(4);
+  if (k === 15) throw new Error("flac: escape code unsupported");
+  const coef = FLAC_FIXED_COEF[order];
+  for (let i = order; i < n; i++) {
+    const q = br.unary();
+    const low = k ? br.bits(k) : 0;
+    const u = q * (1 << k) + low;
+    const r = (u >> 1) ^ -(u & 1);
+    let pred = 0;
+    for (let j = 0; j < coef.length; j++) pred += coef[j] * x[i - 1 - j];
+    x[i] = r + pred;
+  }
+  return x;
+}
+
+class FlacStream {
+  constructor() {
+    this.buf = new Uint8Array(0);
+    this.gotHeader = false;
+    this.sampleRate = 0;
+    this.channels = 1;
+  }
+
+  _append(chunk) {
+    const merged = new Uint8Array(this.buf.length + chunk.length);
+    merged.set(this.buf); merged.set(chunk, this.buf.length);
+    this.buf = merged;
+  }
+
+  _header() {
+    const b = this.buf;
+    if (b.length < 4) return false;
+    if (!(b[0] === 0x66 && b[1] === 0x4c && b[2] === 0x61 && b[3] === 0x43))
+      throw new Error("flac: bad stream marker");
+    let p = 4;
+    for (;;) {
+      if (p + 4 > b.length) return false;
+      const last = b[p] & 0x80;
+      const size = (b[p + 1] << 16) | (b[p + 2] << 8) | b[p + 3];
+      if (p + 4 + size > b.length) return false;
+      p += 4 + size;
+      if (last) break;
+    }
+    this.buf = b.slice(p);
+    this.gotHeader = true;
+    return true;
+  }
+
+  _frame() {
+    const br = new FlacBitReader(this.buf, 0);
+    if (br.bits(14) !== 0x3ffe) throw new Error("flac: lost sync");
+    br.bits(2);                       // reserved + blocking strategy
+    const bsCode = br.bits(4);
+    const srCode = br.bits(4);
+    const chan = br.bits(4);
+    if (chan > 1) throw new Error("flac: channel mode " + chan);
+    const channels = chan + 1;
+    if (br.bits(3) !== 4) throw new Error("flac: not 16-bit");
+    br.bits(1);
+    let first = br.bits(8), extra = 0;  // UTF-8 coded frame number
+    if (first >= 0xc0) {
+      let x = first;
+      while (x & 0x40) { extra++; x = (x << 1) & 0xff; }
+    }
+    for (let i = 0; i < extra; i++) br.bits(8);
+    let n;
+    if (bsCode === 6) n = br.bits(8) + 1;
+    else if (bsCode === 7) n = br.bits(16) + 1;
+    else if (bsCode === 1) n = 192;
+    else if (bsCode >= 2 && bsCode <= 5) n = 576 << (bsCode - 2);
+    else n = 256 << (bsCode - 8);
+    if (srCode === 13) this.sampleRate = br.bits(16);
+    else if (srCode === 14) this.sampleRate = br.bits(16) * 10;
+    else if (srCode === 12) this.sampleRate = br.bits(8) * 1000;
+    br.bits(8);                       // crc8
+    const subs = [];
+    for (let c = 0; c < channels; c++) subs.push(flacSubframe(br, n));
+    br.align();
+    br.bits(16);                      // crc16
+    this.channels = channels;
+    const pcm = new Int32Array(n * channels);
+    for (let i = 0; i < n; i++)
+      for (let c = 0; c < channels; c++) pcm[i * channels + c] = subs[c][i];
+    return { pcm, used: br.pos >> 3 };
+  }
+
+  /* Feed one packet's payload; returns an array of Int32Array blocks
+     (interleaved when stereo) decoded from the complete frames now
+     available. */
+  push(chunk) {
+    if (chunk.length) this._append(chunk);
+    const out = [];
+    if (!this.gotHeader) {
+      try { if (!this._header()) return out; }
+      catch (e) { if (e instanceof FlacOverrun) return out; throw e; }
+    }
+    for (;;) {
+      if (this.buf.length === 0) break;
+      try {
+        const { pcm, used } = this._frame();
+        out.push(pcm);
+        this.buf = this.buf.slice(used);
+      } catch (e) {
+        if (e instanceof FlacOverrun) break;
+        throw e;
+      }
+    }
+    return out;
+  }
+}

@@ -292,3 +292,26 @@ class ZstdStream:
 
     def compress(self, data: bytes) -> bytes:
         return self._c.compress(data) + self._c.flush(self._flush_block)
+
+
+class DeflateStream:
+    """Per-client streaming RAW deflate, flush per message -- the
+    browser-native alternative to zstd for the built-in html/ frontend
+    (DecompressionStream('deflate-raw') is universal; zstd is not).
+    Extension beyond the reference wire format
+    (waterfallcompression.cpp is zstd-only); a waterfall client opts in
+    with {"cmd":"compression","waterfall":"deflate"} and the server
+    acks with a {"type":"compression"} text frame before the first
+    deflate row.  Z_SYNC_FLUSH plays the role of ZSTD_e_flush: every
+    message ends on a byte boundary the decompressor can fully drain.
+    """
+
+    def __init__(self, level: int = 6):
+        import zlib
+
+        self._zlib = zlib
+        self._c = zlib.compressobj(level, zlib.DEFLATED, -15)
+
+    def compress(self, data: bytes) -> bytes:
+        return (self._c.compress(data)
+                + self._c.flush(self._zlib.Z_SYNC_FLUSH))

@@ -1,0 +1,282 @@
+"""Built-in html/ frontend: wire-protocol mirrors.
+
+This dev image has no browser or JS runtime, so html/{flac,cbor}.js
+cannot be executed here.  These tests validate the DESIGN they
+implement with faithful Python mirrors of the streaming logic (same
+structure, same state machine, same greedy-parse/partial-tail rules):
+
+- FlacStreamMirror == html/flac.js: incremental push() over the real
+  FlacEncoder byte stream, with the stream header and frames split at
+  adversarial chunk boundaries, must reproduce the golden decoder's
+  samples exactly (mono and stereo).
+- cbor_try_decode == html/cbor.js cborTryDecode: packets reassembled
+  from a byte-dribbled stream (how the deflate chunks arrive) must
+  decode to the same objects, returning None on every partial prefix.
+
+Plus static checks that the shipped JS/HTML stay self-contained (no
+external resources -- the server may run air-gapped).
+"""
+
+import json
+import re
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from phantomsdr_tpu.runtime import cbor
+from phantomsdr_tpu.runtime.codecs import FlacEncoder
+from tests.test_codecs import decode_flac, BitReader, signed, _decode_subframe
+
+HTML = Path(__file__).resolve().parent.parent / "html"
+
+
+# ---------------------------------------------------- flac.js mirror
+
+class _Overrun(Exception):
+    pass
+
+
+class _Bits(BitReader):
+    """BitReader that raises instead of IndexError past the buffer
+    (flac.js FlacBitReader semantics)."""
+
+    def bits(self, n):
+        if self.pos + n > len(self.d) * 8:
+            raise _Overrun()
+        return super().bits(n)
+
+
+class FlacStreamMirror:
+    """Structural mirror of html/flac.js FlacStream."""
+
+    def __init__(self):
+        self.buf = b""
+        self.got_header = False
+        self.channels = 1
+
+    def _header(self):
+        b = self.buf
+        if len(b) < 4:
+            return False
+        assert b[:4] == b"fLaC"
+        p = 4
+        while True:
+            if p + 4 > len(b):
+                return False
+            last = b[p] & 0x80
+            size = int.from_bytes(b[p + 1:p + 4], "big")
+            if p + 4 + size > len(b):
+                return False
+            p += 4 + size
+            if last:
+                break
+        self.buf = b[p:]
+        self.got_header = True
+        return True
+
+    def _frame(self):
+        br = _Bits(self.buf)
+        assert br.bits(14) == 0x3FFE
+        br.bits(2)
+        bs_code = br.bits(4)
+        sr_code = br.bits(4)
+        chan = br.bits(4)
+        channels = chan + 1
+        assert br.bits(3) == 4
+        br.bits(1)
+        first = br.bits(8)
+        extra, x = 0, first
+        if first >= 0xC0:
+            while x & 0x40:
+                extra += 1
+                x <<= 1
+        for _ in range(extra):
+            br.bits(8)
+        if bs_code == 6:
+            n = br.bits(8) + 1
+        elif bs_code == 7:
+            n = br.bits(16) + 1
+        elif bs_code == 1:
+            n = 192
+        elif 2 <= bs_code <= 5:
+            n = 576 << (bs_code - 2)
+        else:
+            n = 256 << (bs_code - 8)
+        if sr_code == 13:
+            br.bits(16)
+        elif sr_code == 14:
+            br.bits(16)
+        elif sr_code == 12:
+            br.bits(8)
+        br.bits(8)
+        subs = [_decode_subframe(br, n) for _ in range(channels)]
+        br.align()
+        br.bits(16)
+        self.channels = channels
+        pcm = []
+        for i in range(n):
+            for s in subs:
+                pcm.append(s[i])
+        return pcm, br.pos >> 3
+
+    def push(self, chunk: bytes):
+        if chunk:
+            self.buf += chunk
+        out = []
+        if not self.got_header:
+            if not self._header():
+                return out
+        while self.buf:
+            try:
+                pcm, used = self._frame()
+            except _Overrun:
+                break
+            out.append(pcm)
+            self.buf = self.buf[used:]
+        return out
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+@pytest.mark.parametrize("split", ["per_hop", "dribble_17", "one_blob"])
+def test_flac_stream_mirror(channels, split):
+    r = np.random.default_rng(11)
+    enc = FlacEncoder(12000, channels=channels)
+    hops = [(r.standard_normal(512 * channels) * 7000).astype(np.int16)
+            for _ in range(12)]
+    stream = b"".join(enc.process(h) for h in hops)
+    if split == "per_hop":
+        enc2 = FlacEncoder(12000, channels=channels)
+        chunks = [enc2.process(h) for h in hops]
+    elif split == "dribble_17":
+        # worst case: bytes arrive 17 at a time, straddling the stream
+        # header, frame headers and rice codes arbitrarily
+        chunks = [stream[i:i + 17] for i in range(0, len(stream), 17)]
+    else:
+        chunks = [stream]
+    mirror = FlacStreamMirror()
+    got = []
+    for c in chunks:
+        for pcm in mirror.push(c):
+            got.extend(pcm)
+    # mirror also tolerates empty pushes (muted keep-alive packets)
+    assert mirror.push(b"") == []
+    _, want = decode_flac(stream)
+    np.testing.assert_array_equal(np.array(got, np.int64), want)
+    assert mirror.channels == channels
+
+
+# ---------------------------------------------------- cbor.js mirror
+
+def cbor_try_decode(b: bytes):
+    """Mirror of html/cbor.js cborTryDecode: (value, used) or None if
+    the buffer holds only a partial packet."""
+    import struct
+
+    pos = [0]
+
+    def need(n):
+        if pos[0] + n > len(b):
+            raise _Overrun()
+
+    def item():
+        need(1)
+        ib = b[pos[0]]
+        pos[0] += 1
+        major, info = ib >> 5, ib & 0x1F
+        if info < 24:
+            val = info
+        elif info == 24:
+            need(1); val = b[pos[0]]; pos[0] += 1
+        elif info == 25:
+            need(2); val = struct.unpack_from(">H", b, pos[0])[0]; pos[0] += 2
+        elif info == 26:
+            need(4); val = struct.unpack_from(">I", b, pos[0])[0]; pos[0] += 4
+        elif info == 27:
+            need(8)
+            if major == 7:
+                v = struct.unpack_from(">d", b, pos[0])[0]
+                pos[0] += 8
+                return v
+            val = struct.unpack_from(">Q", b, pos[0])[0]
+            pos[0] += 8
+        else:
+            raise ValueError(info)
+        if major == 0:
+            return val
+        if major == 1:
+            return -1 - val
+        if major == 2:
+            need(val)
+            v = b[pos[0]:pos[0] + val]
+            pos[0] += val
+            return v
+        if major == 3:
+            need(val)
+            v = b[pos[0]:pos[0] + val].decode()
+            pos[0] += val
+            return v
+        if major == 5:
+            out = {}
+            for _ in range(val):
+                k = item()
+                out[k] = item()
+            return out
+        raise ValueError(major)
+
+    try:
+        v = item()
+        return v, pos[0]
+    except _Overrun:
+        return None
+
+
+def test_cbor_dribble_reassembly():
+    pkts = [cbor.audio_packet(7, 0, 512.5, 300, 1.25e-3, b"\x01" * 37),
+            cbor.audio_packet(8, 0, 512.5, 300, 0.0, b""),
+            cbor.waterfall_packet(9, 1024, 3072, bytes(range(256)) * 4)]
+    stream = b"".join(pkts)
+    got, buf = [], b""
+    for i in range(0, len(stream), 13):
+        buf += stream[i:i + 13]
+        while True:
+            r = cbor_try_decode(buf)
+            if r is None:
+                break
+            got.append(r[0])
+            buf = buf[r[1]:]
+    assert buf == b""
+    assert [g["frame_num"] for g in got] == [7, 8, 9]
+    assert got[0]["data"] == b"\x01" * 37
+    assert got[0]["pwr"] == pytest.approx(1.25e-3)
+    assert got[1]["data"] == b""
+    assert got[2]["l"] == 1024 and got[2]["r"] == 3072
+
+
+# ------------------------------------------------- shipped-file checks
+
+def test_frontend_is_self_contained():
+    """The server may run air-gapped: no external URLs in the shipped
+    frontend, and every local resource index.html references exists."""
+    idx = (HTML / "index.html").read_text()
+    assert "http://" not in idx and "https://" not in idx
+    for ref in re.findall(r'(?:src|href)="([^"]+)"', idx):
+        assert (HTML / ref).is_file(), f"missing asset {ref}"
+    for js in HTML.glob("*.js"):
+        t = js.read_text()
+        assert "http://" not in t and "https://" not in t
+        # balanced delimiters (no JS runtime here to parse for real)
+        for o, c in ("{}", "()", "[]"):
+            assert t.count(o) == t.count(c), f"{js.name}: unbalanced {o}{c}"
+
+
+def test_frontend_commands_match_server_surface():
+    """Every cmd the frontend sends is one the server handles."""
+    app = (HTML / "app.js").read_text()
+    sent = set(re.findall(r'cmd:\s*"(\w+)"', app))
+    assert sent == {"window", "demodulation", "mute", "nr", "rds",
+                    "am_sync", "compression"}
+    server = Path(HTML, "..", "phantomsdr_tpu", "runtime",
+                  "server.py").read_text()
+    for c in sent:
+        assert f'"{c}"' in server, f"server missing handler for {c}"

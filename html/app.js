@@ -20,10 +20,12 @@ const statusEl = $("status");
 let info = null;          // basic_info from the server
 let mode = "USB";         // UI mode (WBFM = wide FM window)
 let mBin = 0;             // tuned center, full-resolution bins
+let viewL = 0, viewR = 0; // waterfall view window, full-res bins
 let audioWs = null, wfWs = null;
 let actx = null, gain = null, playCursor = 0;
-let flac = null;
+let flac = null, flacOk = true;
 let muted = false;
+const others = new Map(); // uid -> mid bin of other listeners (/events)
 
 // ------------------------------------------------------------ helpers
 
@@ -147,7 +149,7 @@ function connectAudio() {
     }
     const pkt = cborDecode(ev.data);
     if (typeof pkt.pwr === "number") updateSmeter(pkt.pwr);
-    if (pkt.data && pkt.data.length) {
+    if (flacOk && pkt.data && pkt.data.length) {
       for (const pcm of flac.push(pkt.data))
         enqueuePcm(pcm, flac.channels);
     }
@@ -158,6 +160,13 @@ function connectAudio() {
 function onInfo(d) {
   info = d;
   flac = new FlacStream();
+  flacOk = d.audio_compression === "flac";
+  if (!flacOk)
+    statusEl.textContent =
+      `audio is ${d.audio_compression}; built-in player decodes FLAC ` +
+      "only (S-meter/tuning still live)";
+  viewL = 0;
+  viewR = d.fft_result_size;
   mBin = d.defaults.m || d.fft_result_size / 2;
   mode = d.defaults.modulation || "USB";
   document.querySelectorAll("#modes button").forEach((b) =>
@@ -264,12 +273,42 @@ function drawPassband() {
   const pb = $("passband"), c = pb.getContext("2d");
   c.fillStyle = "#1b1e23";
   c.fillRect(0, 0, pb.width, pb.height);
+  const span = viewR - viewL;
+  const sx = rowLen / span;
+  // other listeners (otherusers/events): muted ticks, identity is
+  // position only -- no per-user colors
+  c.fillStyle = "rgba(154,162,173,0.6)";
+  for (const mid of others.values()) {
+    if (mid >= viewL && mid <= viewR)
+      c.fillRect((mid - viewL) * sx - 1, pb.height - 8, 2, 8);
+  }
   const w = windowFor(mBin, mode);
-  const sx = rowLen / info.fft_result_size;
   c.fillStyle = "rgba(124,172,248,0.25)";
-  c.fillRect(w.l * sx, 0, Math.max(1, (w.r - w.l) * sx), pb.height);
+  c.fillRect((w.l - viewL) * sx, 0,
+             Math.max(1, (w.r - w.l) * sx), pb.height);
   c.fillStyle = "#7cacf8";
-  c.fillRect(mBin * sx - 1, 0, 2, pb.height);
+  c.fillRect((mBin - viewL) * sx - 1, 0, 2, pb.height);
+}
+
+function setView(l, r) {
+  const R = info.fft_result_size;
+  const minSpan = Math.min(256, R);
+  l = Math.max(0, Math.floor(l));
+  r = Math.min(R, Math.ceil(r));
+  if (r - l < minSpan) {
+    const mid = (l + r) / 2;
+    l = Math.max(0, Math.floor(mid - minSpan / 2));
+    r = Math.min(R, l + minSpan);
+  }
+  viewL = l; viewR = r;
+  if (wfWs && wfWs.readyState === 1)
+    wfWs.send(JSON.stringify({ cmd: "window", l: viewL, r: viewR }));
+  if (wfCtx) {            // history is spatially stale after a re-view
+    wfCtx.fillStyle = "#1b1e23";
+    wfCtx.fillRect(0, 0, rowLen, wfCanvas.height);
+  }
+  drawScale();
+  drawPassband();
 }
 
 function connectWaterfall() {
@@ -309,9 +348,10 @@ function connectWaterfall() {
         if (haveDS && d.waterfall_deflate_available) {
           wfWs.send(JSON.stringify(
             { cmd: "compression", waterfall: "deflate" }));
-          // full-band view; the server picks the pyramid level
+          // current view (full band on connect); the server picks the
+          // pyramid level for the span
           wfWs.send(JSON.stringify(
-            { cmd: "window", l: 0, r: d.fft_result_size }));
+            { cmd: "window", l: viewL, r: viewR || d.fft_result_size }));
         } else {
           statusEl.textContent =
             "no deflate support; waterfall disabled (zstd-only)";
@@ -332,11 +372,18 @@ function connectEvents() {
   ws.onmessage = (ev) => {
     try {
       const d = JSON.parse(ev.data);
-      if (typeof d.signal_clients === "number")
+      if (typeof d.signal_clients === "number" && flacOk)
         statusEl.textContent =
           `connected · ${d.signal_clients} listener` +
           (d.signal_clients === 1 ? "" : "s");
-    } catch (e) { /* delta frames we don't render */ }
+      if (d.signal_changes) {
+        for (const [uid, lmr] of Object.entries(d.signal_changes)) {
+          if (lmr[1] < 0) others.delete(uid);
+          else others.set(uid, lmr[1]);
+        }
+        drawPassband();
+      }
+    } catch (e) { /* malformed frame: ignore */ }
   };
 }
 
@@ -352,17 +399,50 @@ function bindUI() {
     });
   });
 
-  const tuneFromEvent = (el) => (ev) => {
-    if (!info || !rowLen) return;
+  const binAt = (el, ev) => {
     const rect = el.getBoundingClientRect();
     const x = (ev.clientX - rect.left) / rect.width;
-    mBin = Math.max(0, Math.min(info.fft_result_size,
-                                x * info.fft_result_size));
-    sendTune();
+    return viewL + x * (viewR - viewL);
   };
+  let dragFrom = null, dragged = false;
   ["waterfall", "passband", "spectrum"].forEach((id) => {
     const el = $(id);
-    el.addEventListener("click", tuneFromEvent(el));
+    el.addEventListener("mousedown", (ev) => {
+      dragFrom = { x: ev.clientX, l: viewL, r: viewR };
+      dragged = false;
+    });
+    el.addEventListener("mousemove", (ev) => {
+      if (!dragFrom || !info) return;
+      const rect = el.getBoundingClientRect();
+      const dBins = (ev.clientX - dragFrom.x) / rect.width
+        * (dragFrom.r - dragFrom.l);
+      if (Math.abs(ev.clientX - dragFrom.x) > 3) dragged = true;
+      if (dragged) {
+        let l = dragFrom.l - dBins, r = dragFrom.r - dBins;
+        const R = info.fft_result_size;
+        if (l < 0) { r -= l; l = 0; }
+        if (r > R) { l -= r - R; r = R; }
+        setView(l, r);
+      }
+    });
+    el.addEventListener("mouseup", (ev) => {
+      if (!dragFrom) return;
+      if (!dragged && info) {
+        mBin = Math.max(0, Math.min(info.fft_result_size, binAt(el, ev)));
+        sendTune();
+      }
+      dragFrom = null;
+    });
+    el.addEventListener("mouseleave", () => { dragFrom = null; });
+    el.addEventListener("wheel", (ev) => {
+      if (!info) return;
+      ev.preventDefault();
+      const center = binAt(el, ev);
+      const f = ev.deltaY > 0 ? 1.25 : 0.8;   // out / in
+      const span = (viewR - viewL) * f;
+      const frac = (center - viewL) / (viewR - viewL);
+      setView(center - span * frac, center + span * (1 - frac));
+    }, { passive: false });
   });
 
   $("power").addEventListener("click", () => startAudioCtx());
@@ -392,10 +472,13 @@ function bindUI() {
 function drawScale() {
   const el = $("freq-scale");
   el.innerHTML = "";
+  const spanHz = (viewR - viewL) * info.total_bandwidth
+    / info.fft_result_size;
+  const digits = spanHz > 2e6 ? 2 : spanHz > 2e5 ? 3 : 4;
   for (let i = 0; i <= 8; i++) {
     const s = document.createElement("span");
     s.textContent =
-      (binToHz(i / 8 * info.fft_result_size) / 1e6).toFixed(2);
+      (binToHz(viewL + i / 8 * (viewR - viewL)) / 1e6).toFixed(digits);
     el.appendChild(s);
   }
 }

@@ -21,6 +21,10 @@ cited there):
     rds     FM MPX with the tests/test_rds RDS bitstream (known PI/PS/RT)
     both    stereo tones AND RDS on one MPX (shared-pilot path)
     nr      AM with a BURSTY 1 kHz tone + in-channel noise (nr=true)
+    lms     AM with a STEADY 1 kHz tone + noise (nr_algo=lms keeps
+            predictable tones, judged by SNR ratio)
+    nb      AM carrier with sharp impulses at a WIDE channel
+            (nr_algo=nb; clicks must stay sharp through the filter)
     de      FM with equal 1 kHz + 10 kHz tones (deemphasis=75)
     soak    10 s FM stereo+RDS at 1.92 MSPS / fft 131072 (mid-size
             serving soak; use with tools/stress.py --rds)
@@ -105,13 +109,23 @@ def make(variant: str, out: Path, port: int, secs: float,
     rng = np.random.default_rng(7)
     truth: dict = {"variant": variant, "port": port}
 
-    if variant in ("tone", "am", "nr"):
+    if variant in ("tone", "am", "nr", "lms"):
         sps, fft = 960_000, fft_override or 32_768
         f_off = 0.15 * sps if variant == "tone" else 10.0
         n = int(sps * secs)
         t = np.arange(n, dtype=np.float64) / sps
         tone = np.sin(2 * np.pi * 1000.0 * t)
-        if variant == "nr":
+        if variant == "lms":
+            # STEADY tone (LMS keeps predictable signals) + in-channel
+            # noise; judged by the tone/floor RATIO (the reference's 4x
+            # output gain raises both absolute levels)
+            wn = np.fft.rfft(rng.standard_normal(n))
+            freqs = np.fft.rfftfreq(n, 1.0 / sps)
+            wn[freqs > 4500.0] = 0.0
+            nb_noise = np.fft.irfft(wn, n)
+            nb_noise *= 0.15 / np.sqrt(np.mean(nb_noise ** 2))
+            env = 1.0 + 0.5 * tone + nb_noise
+        elif variant == "nr":
             gate = ((t % 2.0) < 1.0).astype(np.float64)  # 1 s on/off
             base = 1.0 + 0.5 * tone * gate
             # IN-CHANNEL noise: band-limit white noise to the AM
@@ -129,12 +143,49 @@ def make(variant: str, out: Path, port: int, secs: float,
             env = 1.0 + 0.5 * tone
         iq = 0.35 * env * np.exp(2j * np.pi * f_off * t)
         _write_iq(out / "capture.s16", iq)
-        extra = {"nr": True} if variant == "nr" else {}
+        extra = {}
+        if variant == "nr":
+            extra = {"nr": True}
+        elif variant == "lms":
+            extra = {"nr": True, "nr_algo": "lms"}
         _config(out, port, sps, fft, 12_000, extra_input=extra,
                 modulation="AM",
                 default_frequency=98_000_000 + sps // 2 + int(round(f_off)))
         truth.update(f_off_hz=f_off, tone_hz=1000.0, sps=sps,
                      fft_size=fft, audio_sps=12_000)
+        return truth
+
+    if variant == "nb":
+        # sharp clicks on an AM carrier; audio_sps 192k + a WIDE client
+        # window keep them sharp through the channel filter (the NB
+        # repairs impulses the filter hasn't already smeared)
+        sps, fft = 1_536_000, fft_override or 32_768
+        n = int(sps * secs)
+        t = np.arange(n, dtype=np.float64) / sps
+        env = 1.0 + 0.25 * np.sin(2 * np.pi * 1000.0 * t)
+        clicks = np.zeros(n)
+        step = int(sps * 0.1)                    # 10 clicks/s
+        # ~8 samples wide AT THE AUDIO RATE (64 here).  Width matters
+        # twice: the whitener nearly cancels 1-2 sample pulses
+        # (adjacent LPC coefficients sum to ~0 at low frequency), and a
+        # box much WIDER than the repair window survives in its middle
+        # (the blanker is built for impulses <= nb_samples, NB.c) --
+        # 8-at-audio-rate has sharp detectable edges AND fits inside
+        # one +-12 repair
+        for i in range(step // 2, n - 100, step):
+            clicks[i:i + 64] = 4.0
+        # 0.12 keeps the click peaks inside s16 full scale (no clipping)
+        iq = 0.12 * (env + clicks) * np.exp(2j * np.pi * 10.0 * t)
+        _write_iq(out / "capture.s16", iq)
+        # nb_samples 25: the wide brick-wall channel rings (sinc tails)
+        # around each click; the repair window must cover the ring
+        _config(out, port, sps, fft, 192_000,
+                extra_input={"nr": True, "nr_algo": "nb",
+                             "nb_samples": 25},
+                modulation="AM",
+                default_frequency=98_000_000 + sps // 2 + 10)
+        truth.update(f_off_hz=10.0, tone_hz=1000.0, sps=sps,
+                     fft_size=fft, audio_sps=192_000, wide_hz=90_000)
         return truth
 
     # FM family: MPX at 192 kHz, 8x upsample to 1.536 MSPS — the 8x
@@ -181,7 +232,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", required=True,
                     choices=("tone", "am", "stereo", "rds", "both",
-                             "nr", "de", "soak"))
+                             "nr", "lms", "nb", "de", "soak"))
     ap.add_argument("--out", required=True)
     ap.add_argument("--port", type=int, default=19020)
     ap.add_argument("--secs", type=float, default=6.0)

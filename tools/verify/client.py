@@ -355,6 +355,60 @@ async def run(args):
             results["nr"] = {"floor_drop_db": round(float(drop_db), 1),
                              "tone_delta_db": round(float(tone_db), 1)}
 
+        elif variant == "lms":
+            # LMS keeps the STEADY tone (predictable) and adapts the
+            # noise away; the reference's 4x output gain raises both
+            # absolute levels, so judge by the tone/noise RATIO
+            assert info.get("nr_available"), "nr_available false"
+            cmds = _audio_cmds(info, truth, "AM")
+            _, off_chunks = await collect_audio(
+                s, url, args.secs, cmds, settle=1.5)
+            _, on_chunks = await collect_audio(
+                s, url, args.secs,
+                cmds + [{"cmd": "nr", "enabled": True}], settle=2.5)
+            snr = {}
+            for name, chunks in (("off", off_chunks), ("on", on_chunks)):
+                _, x, _ = decode_audio(chunks, 1, int(1.5 * fs))
+                x = x - x.mean()
+                w = np.hanning(len(x))
+                spec = np.abs(np.fft.rfft(x * w)) ** 2
+                freqs = np.fft.rfftfreq(len(x), 1.0 / fs)
+                sig = (freqs > 970) & (freqs < 1030)
+                noise = (freqs > 200) & (freqs < 4500) & ~sig
+                snr[name] = 10 * np.log10(
+                    spec[sig].max() / max(np.mean(spec[noise]), 1e-30))
+            gain_db = snr["on"] - snr["off"]
+            assert gain_db > 6, f"LMS SNR gain only {gain_db:.1f} dB"
+            results["lms_snr_db"] = {k: round(float(v), 1)
+                                     for k, v in snr.items()}
+
+        elif variant == "nb":
+            # judge by the COUNT of samples above 4x rms (impulses in
+            # the reference's frame-start blind zone survive, NB.c:209)
+            assert info.get("nr_available"), "nr_available false"
+            rsize = info["fft_result_size"]
+            m = (0.5 + truth["f_off_hz"] / truth["sps"]) * rsize
+            off_w = int(truth["wide_hz"] * rsize / truth["sps"])
+            cmds = [{"cmd": "window", "l": int(m - off_w), "m": m,
+                     "r": int(m + off_w)},
+                    {"cmd": "demodulation", "demodulation": "AM"}]
+            _, off_chunks = await collect_audio(
+                s, url, args.secs, cmds, settle=1.5)
+            _, on_chunks = await collect_audio(
+                s, url, args.secs,
+                cmds + [{"cmd": "nr", "enabled": True}], settle=1.5)
+            counts = {}
+            for name, chunks in (("off", off_chunks), ("on", on_chunks)):
+                _, x, _ = decode_audio(chunks, 1, int(1.5 * fs))
+                x = x - x.mean()
+                thr = 4.0 * np.sqrt(np.mean(x ** 2))
+                counts[name] = int(np.sum(np.abs(x) > thr))
+            assert counts["off"] > 20, \
+                f"clicks not visible pre-NB ({counts['off']})"
+            assert counts["on"] < 0.6 * counts["off"], \
+                f"NB removed too little: {counts['off']} -> {counts['on']}"
+            results["nb_click_samples"] = counts
+
         elif variant == "de":
             assert info.get("deemphasis") == truth["tau_us"]
             cmds = _audio_cmds(info, truth, "WBFM")

@@ -70,7 +70,7 @@ def _fm_modulate(mpx: np.ndarray, fs_mpx: int, sps: int, secs: float,
 def _config(out: Path, port: int, sps: int, fft_size: int, audio_sps: int,
             extra_input: dict | None = None, modulation: str = "WBFM",
             frequency: int = 98_000_000,
-            default_frequency: int = 0) -> None:
+            default_frequency: int = 0, mesh: int = 0) -> None:
     lines = [
         "[server]", f"port = {port}", 'html_root = "html/"',
         "otherusers = 1", "",
@@ -86,6 +86,13 @@ def _config(out: Path, port: int, sps: int, fft_size: int, audio_sps: int,
             lines.append(f'{k} = "{v}"')
         else:
             lines.append(f"{k} = {v}")
+    if mesh:
+        # mesh server mode (virtual CPU devices in this environment:
+        # launch with --platform cpu --cpu-devices N); hop_batch and
+        # max_channels must divide by the mesh size.  MUST come after
+        # the [input] extras: TOML keys bind to the latest section
+        lines += ["", "[tpu]", f"mesh_devices = {mesh}",
+                  f"hop_batch = {4 * mesh}"]
     lines += ["", "[input.driver]", 'name = "stdin"', 'format = "s16"',
               "", "[input.defaults]", f'modulation = "{modulation}"']
     if default_frequency:
@@ -104,7 +111,7 @@ def _stereo_mpx(n: int, fs: int = FS_MPX) -> np.ndarray:
 
 
 def make(variant: str, out: Path, port: int, secs: float,
-         fft_override: int = 0) -> dict:
+         fft_override: int = 0, mesh: int = 0) -> dict:
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(7)
     truth: dict = {"variant": variant, "port": port}
@@ -149,7 +156,7 @@ def make(variant: str, out: Path, port: int, secs: float,
         elif variant == "lms":
             extra = {"nr": True, "nr_algo": "lms"}
         _config(out, port, sps, fft, 12_000, extra_input=extra,
-                modulation="AM",
+                modulation="AM", mesh=mesh,
                 default_frequency=98_000_000 + sps // 2 + int(round(f_off)))
         truth.update(f_off_hz=f_off, tone_hz=1000.0, sps=sps,
                      fft_size=fft, audio_sps=12_000)
@@ -182,7 +189,7 @@ def make(variant: str, out: Path, port: int, secs: float,
         _config(out, port, sps, fft, 192_000,
                 extra_input={"nr": True, "nr_algo": "nb",
                              "nb_samples": 25},
-                modulation="AM",
+                modulation="AM", mesh=mesh,
                 default_frequency=98_000_000 + sps // 2 + 10)
         truth.update(f_off_hz=10.0, tone_hz=1000.0, sps=sps,
                      fft_size=fft, audio_sps=192_000, wide_hz=90_000)
@@ -223,7 +230,7 @@ def make(variant: str, out: Path, port: int, secs: float,
     iq = _fm_modulate(mpx, FS_MPX, sps, secs)
     _write_iq(out / "capture.s16", iq)
     _config(out, port, sps, fft, 192_000, extra_input=extra,
-            modulation="WBFM")
+            modulation="WBFM", mesh=mesh)
     truth.update(f_off_hz=0.0, sps=sps, fft_size=fft, audio_sps=192_000)
     return truth
 
@@ -238,9 +245,21 @@ def main() -> None:
     ap.add_argument("--secs", type=float, default=6.0)
     ap.add_argument("--fft-size", type=int, default=0,
                     help="override the variant's fft_size")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="emit a [tpu] mesh_devices=N config (drive "
+                         "with --platform cpu --cpu-devices N)")
+    ap.add_argument("--cluster", action="store_true",
+                    help="also write config_follower.toml (port+1) for "
+                         "the 2-process multihost recipe (see the "
+                         "verify skill for the two launch lines)")
     args = ap.parse_args()
     truth = make(args.variant, Path(args.out), args.port, args.secs,
-                 args.fft_size)
+                 args.fft_size, args.mesh)
+    if args.cluster:
+        cfg = (Path(args.out) / "config.toml").read_text()
+        (Path(args.out) / "config_follower.toml").write_text(
+            cfg.replace(f"port = {args.port}", f"port = {args.port + 1}"))
+        truth["follower_port"] = args.port + 1
     (Path(args.out) / "truth.json").write_text(json.dumps(truth))
     print(json.dumps(truth))
 

@@ -245,6 +245,8 @@ async def run(args):
 
     d = Path(args.dir)
     truth = json.loads((d / "truth.json").read_text())
+    if args.port:
+        truth["port"] = args.port
     url = f"http://127.0.0.1:{truth['port']}"
     variant = truth["variant"]
     results = {}
@@ -450,6 +452,9 @@ def main():
     ap.add_argument("--dir", required=True,
                     help="capture dir made by captures.py (truth.json)")
     ap.add_argument("--secs", type=float, default=8.0)
+    ap.add_argument("--port", type=int, default=0,
+                    help="override truth.json's port (e.g. a cluster "
+                         "follower's)")
     args = ap.parse_args()
     asyncio.run(run(args))
 

@@ -318,3 +318,94 @@ class AV1Encoder:
             self.close()
         except Exception:
             pass
+
+
+class AV1Decoder:
+    """Verification-side decoder over the same libaom (aom_codec_av1_dx).
+
+    The reference decodes in the browser with the dav1d WASM build
+    (jsdsp/lib/dav1d.cpp); binding the system decoder lets tests and
+    tools close the waterfall codec loop end to end: the encoder runs
+    AV1E_SET_LOSSLESS, so the decoded luma must equal the encoded
+    int8^0x80 rows BIT-EXACTLY, and the T.35 metadata OBU must carry
+    the zstd'd per-line headers back out.  Same ABI discipline as the
+    encoder: init-probe for the version, aom_image_t read through the
+    validated word offsets above.
+    """
+
+    def __init__(self):
+        aom = _Aom.get()
+        if aom is None:
+            raise _AomError(_Aom.failure() or "libaom unavailable")
+        self.aom = aom
+        lib = aom.lib
+        lib.aom_codec_av1_dx.restype = ctypes.c_void_p
+        lib.aom_codec_dec_init_ver.restype = ctypes.c_int
+        lib.aom_codec_dec_init_ver.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_int]
+        lib.aom_codec_decode.restype = ctypes.c_int
+        lib.aom_codec_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p]
+        lib.aom_codec_get_frame.restype = ctypes.c_void_p
+        lib.aom_codec_get_frame.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p)]
+        self.iface = lib.aom_codec_av1_dx()
+        if not self.iface:
+            raise _AomError("aom_codec_av1_dx returned NULL")
+        # decoder ABI probe (dec_init_ver returns ABI_MISMATCH=3 for a
+        # wrong version, like the encoder path)
+        self.ctx = (ctypes.c_uint8 * 256)()
+        for ver in range(1, 80):
+            rc = lib.aom_codec_dec_init_ver(
+                ctypes.byref(self.ctx), self.iface, None, 0, ver)
+            if rc == 0:
+                break
+            if rc != 3:
+                raise _AomError(f"dec init rc={rc} at ver={ver}")
+        else:
+            raise _AomError("no accepted decoder ABI version in 1..79")
+
+    def decode(self, frame_bytes: bytes) -> list[np.ndarray]:
+        """Decode one wire blob (a full temporal unit from
+        AV1Encoder.send); returns the decoded frames as [8, width]
+        int8 arrays (the ^0x80 luma shift undone)."""
+        lib = self.aom.lib
+        rc = lib.aom_codec_decode(ctypes.byref(self.ctx), frame_bytes,
+                                  len(frame_bytes), None)
+        if rc != 0:
+            err = lib.aom_codec_error(ctypes.byref(self.ctx))
+            raise _AomError(f"aom_codec_decode rc={rc}: {err}")
+        out = []
+        it = ctypes.c_void_p(None)
+        while True:
+            img = lib.aom_codec_get_frame(ctypes.byref(self.ctx),
+                                          ctypes.byref(it))
+            if not img:
+                break
+            w32 = ctypes.cast(img, ctypes.POINTER(ctypes.c_uint32))
+            d_w, d_h = w32[IMG_W_DW], w32[IMG_W_DH]
+            plane0 = ctypes.cast(
+                img + IMG_B_PLANES, ctypes.POINTER(ctypes.c_void_p))[0]
+            stride0 = ctypes.cast(
+                img + IMG_B_STRIDE, ctypes.POINTER(ctypes.c_int))[0]
+            if not plane0 or stride0 < d_w:
+                raise _AomError("decoded aom_image_t layout mismatch")
+            rows = np.empty((d_h, d_w), np.uint8)
+            for y in range(d_h):
+                rows[y] = np.frombuffer(
+                    ctypes.string_at(plane0 + y * stride0, d_w), np.uint8)
+            out.append((rows ^ 0x80).astype(np.int8))
+        return out
+
+    def close(self):
+        if getattr(self, "ctx", None) is not None:
+            self.aom.lib.aom_codec_destroy(ctypes.byref(self.ctx))
+            self.ctx = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -135,3 +135,30 @@ def test_av1_lossless_actually_engages():
     # 8 KB of noise: lossless carries ~full entropy, lossy quantizes
     assert lossless > lossy * 1.3, (lossless, lossy)
     assert lossless > 8000
+
+
+def test_av1_lossless_decode_roundtrip():
+    """Close the codec loop with the system decoder (AV1Decoder binds
+    aom_codec_av1_dx -- the role dav1d WASM plays in the reference's
+    browser, jsdsp/lib/dav1d.cpp): LOSSLESS mode means every decoded
+    luma row equals the int8 waterfall row BIT-exactly, across key AND
+    inter frames, and the T.35 metadata OBU still carries the per-line
+    headers (parse_t35_headers from the stream-structure test)."""
+    if not av1mod.av1_available():
+        import pytest
+        pytest.skip(f"libaom unavailable: {av1mod._Aom.failure()}")
+
+    rng = np.random.default_rng(42)
+    enc = av1mod.AV1Encoder(1024)
+    dec = av1mod.AV1Decoder()
+    for f in range(3):                       # frame 0 key, 1-2 inter
+        rows = rng.integers(-128, 128, size=(8, 1024)).astype(np.int8)
+        blob = None
+        for i in range(8):
+            blob = enc.send(rows[i].tobytes(), 8 * f + i, 16, 1040)
+        assert blob
+        frames = dec.decode(blob)
+        assert len(frames) == 1
+        np.testing.assert_array_equal(frames[0], rows)
+    enc.close()
+    dec.close()

@@ -1,6 +1,6 @@
-"""AV1 waterfall encoder: OBU-level validation of the emitted stream
-(no AV1 decoder in this image; we parse the bitstream structure and the
-T.35 metadata payload instead)."""
+"""AV1 waterfall codec: OBU-level validation of the emitted stream
+plus a full decode round trip (AV1Decoder binds the system libaom's
+av1_dx; LOSSLESS mode makes the luma bit-exact)."""
 
 import struct
 

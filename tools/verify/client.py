@@ -156,6 +156,65 @@ async def collect_audio(session, url, secs, cmds=(), text_frames=None,
     return info, chunks
 
 
+async def check_waterfall_av1(session, url, truth):
+    """AV1-mode /waterfall: binary frames are raw AV1 temporal units;
+    decode with the libaom binding (lossless ⇒ rows bit-exact) and
+    read the per-line l/r out of the zstd'd T.35 metadata OBU."""
+    import struct
+
+    import aiohttp
+    import zstandard
+
+    from phantomsdr_tpu.runtime.av1 import AV1Decoder
+    from tests.test_av1 import parse_obus, OBU_METADATA
+
+    dec = AV1Decoder()
+    rsize_bin = None
+    rows = peak_ok = 0
+    async with session.ws_connect(url + "/waterfall",
+                                  max_msg_size=1 << 22) as ws:
+        info = json.loads((await ws.receive()).data)
+        assert info["waterfall_compression"] == "av1"
+        rsize = info["fft_result_size"]
+        m_bin = (0.5 + truth["f_off_hz"] / truth["sps"]) * rsize
+        span = min(2048, rsize)
+        l0 = int(max(0, min(rsize - span, m_bin - span / 2)))
+        await ws.send_str(json.dumps(
+            {"cmd": "window", "l": l0, "r": l0 + span}))
+        # AV1 frames flush every 8 lines (~1.2 s at 7 rows/s)
+        for _ in range(6):
+            try:
+                msg = await ws.receive(timeout=6)
+            except asyncio.TimeoutError:
+                break
+            if msg.type != aiohttp.WSMsgType.BINARY:
+                continue
+            frames = dec.decode(msg.data)
+            meta = [p for t, p in parse_obus(msg.data)
+                    if t == OBU_METADATA][0]
+            blob = zstandard.ZstdDecompressor().decompress(
+                bytes(meta[2:]), max_output_size=1 << 16)
+            for frame in frames:
+                for line in range(frame.shape[0]):
+                    fn, nb, hl, hr = struct.unpack_from(
+                        "<QIII", blob, line * 24)
+                    if nb == 0:
+                        continue
+                    rows += 1
+                    raw = frame[line, :nb]
+                    scale = max(1, round((hr - hl) / nb))
+                    peak = hl + float(np.mean(
+                        np.nonzero(raw == raw.max())[0])) * scale
+                    if abs(peak - m_bin) < 16 * scale + 8:
+                        peak_ok += 1
+            if peak_ok >= 3:
+                break
+    dec.close()
+    assert rows > 0, "no av1 waterfall lines"
+    assert peak_ok >= 1, "av1 waterfall peak never at carrier bin"
+    return {"waterfall_rows": rows, "peak_ok": peak_ok, "codec": "av1"}
+
+
 async def check_waterfall(session, url, truth):
     """One /waterfall connection: zstd rows present, peak bin at the
     carrier, l<<level coordinate scaling consistent."""
@@ -273,7 +332,11 @@ async def run(args):
                 f"tone at {f_peak:.1f} Hz, wanted {truth['tone_hz']}"
             results["tone"] = {"f_peak_hz": round(float(f_peak), 1),
                                "n_samples": len(x)}
-            results["waterfall"] = await check_waterfall(s, url, truth)
+            if info.get("waterfall_compression") == "av1":
+                results["waterfall"] = await check_waterfall_av1(
+                    s, url, truth)
+            else:
+                results["waterfall"] = await check_waterfall(s, url, truth)
             ev = await check_events(s, url)
             results["events"] = {"keys": sorted(ev)[:4]}
 

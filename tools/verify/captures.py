@@ -102,6 +102,17 @@ def _config(out: Path, port: int, sps: int, fft_size: int, audio_sps: int,
     (out / "config.toml").write_text("\n".join(lines))
 
 
+def _inchannel_noise(rng, n: int, sps: int, cutoff_hz: float = 4500.0,
+                     rms: float = 0.15) -> np.ndarray:
+    """Band-limited white noise inside the AM channel (<cutoff audio):
+    the demodulated floor must be set by it, not by wideband noise the
+    channel filter rejects."""
+    wn = np.fft.rfft(rng.standard_normal(n))
+    wn[np.fft.rfftfreq(n, 1.0 / sps) > cutoff_hz] = 0.0
+    out = np.fft.irfft(wn, n)
+    return out * (rms / np.sqrt(np.mean(out ** 2)))
+
+
 def _stereo_mpx(n: int, fs: int = FS_MPX) -> np.ndarray:
     t = np.arange(n) / fs
     th = 2 * np.pi * 19_000.0 * t
@@ -128,24 +139,10 @@ def make(variant: str, out: Path, port: int, secs: float,
             # STEADY tone (LMS keeps predictable signals) + in-channel
             # noise; judged by the tone/floor RATIO (the reference's 4x
             # output gain raises both absolute levels)
-            wn = np.fft.rfft(rng.standard_normal(n))
-            freqs = np.fft.rfftfreq(n, 1.0 / sps)
-            wn[freqs > 4500.0] = 0.0
-            nb_noise = np.fft.irfft(wn, n)
-            nb_noise *= 0.15 / np.sqrt(np.mean(nb_noise ** 2))
-            env = 1.0 + 0.5 * tone + nb_noise
+            env = 1.0 + 0.5 * tone + _inchannel_noise(rng, n, sps)
         elif variant == "nr":
             gate = ((t % 2.0) < 1.0).astype(np.float64)  # 1 s on/off
-            base = 1.0 + 0.5 * tone * gate
-            # IN-CHANNEL noise: band-limit white noise to the AM
-            # channel (<5 kHz audio) so the demodulated floor is set by
-            # it, not by the wideband floor the channel filter rejects
-            wn = np.fft.rfft(rng.standard_normal(n))
-            freqs = np.fft.rfftfreq(n, 1.0 / sps)
-            wn[freqs > 4500.0] = 0.0
-            nb_noise = np.fft.irfft(wn, n)
-            nb_noise *= 0.15 / np.sqrt(np.mean(nb_noise ** 2))
-            env = base + nb_noise
+            env = 1.0 + 0.5 * tone * gate + _inchannel_noise(rng, n, sps)
         elif variant == "am":
             env = 1.0 + 1.8 * tone  # overmodulated: envelope folds
         else:

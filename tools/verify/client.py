@@ -156,6 +156,31 @@ async def collect_audio(session, url, secs, cmds=(), text_frames=None,
     return info, chunks
 
 
+async def collect_ab_audio(session, url, secs, cmds, fs, settle=1.5,
+                           extra=({"cmd": "nr", "enabled": True},)):
+    """The A/B pattern the NR-family checks share: collect one
+    connection without the opt-in commands and one with, decode both,
+    trim the settle.  Returns (x_off, x_on), each mean-removed."""
+    out = []
+    for add in ((), tuple(extra)):
+        _, chunks = await collect_audio(
+            session, url, secs, list(cmds) + list(add), settle=settle)
+        _, x, _ = decode_audio(chunks, 1, int(settle * fs))
+        out.append(x - x.mean())
+    return out
+
+
+def row_peak(raw, hl, hr):
+    """Full-resolution peak bin of one waterfall row whose wire coords
+    are [hl, hr).  A strong carrier CLIPS a run of bins at int8 127
+    (exact int8-dB parity with the reference quantizer), so take the
+    centroid of the max-valued run, not argmax's first bin.  Returns
+    (peak_bin, scale) with scale = 1 << level."""
+    scale = max(1, round((hr - hl) / len(raw)))
+    peak = hl + float(np.mean(np.nonzero(raw == raw.max())[0])) * scale
+    return peak, scale
+
+
 async def check_waterfall_av1(session, url, truth):
     """AV1-mode /waterfall: binary frames are raw AV1 temporal units;
     decode with the libaom binding (lossless ⇒ rows bit-exact) and
@@ -169,7 +194,6 @@ async def check_waterfall_av1(session, url, truth):
     from tests.test_av1 import parse_obus, OBU_METADATA
 
     dec = AV1Decoder()
-    rsize_bin = None
     rows = peak_ok = 0
     async with session.ws_connect(url + "/waterfall",
                                   max_msg_size=1 << 22) as ws:
@@ -201,10 +225,7 @@ async def check_waterfall_av1(session, url, truth):
                     if nb == 0:
                         continue
                     rows += 1
-                    raw = frame[line, :nb]
-                    scale = max(1, round((hr - hl) / nb))
-                    peak = hl + float(np.mean(
-                        np.nonzero(raw == raw.max())[0])) * scale
+                    peak, scale = row_peak(frame[line, :nb], hl, hr)
                     if abs(peak - m_bin) < 16 * scale + 8:
                         peak_ok += 1
             if peak_ok >= 3:
@@ -257,13 +278,8 @@ async def check_waterfall(session, url, truth):
             if not len(raw):
                 continue
             # packet l/r are full-resolution coords (sl << level), the
-            # row is at level resolution: scale = 1 << level.  A strong
-            # carrier CLIPS a run of bins at int8 127 (exact int8-dB
-            # parity with the reference quantizer), so take the
-            # centroid of the max-valued run, not argmax's first bin.
-            scale = max(1, round((pkt["r"] - pkt["l"]) / len(raw)))
-            peak = pkt["l"] + float(
-                np.mean(np.nonzero(raw == raw.max())[0])) * scale
+            # row is at level resolution (see row_peak)
+            peak, scale = row_peak(raw, pkt["l"], pkt["r"])
             if abs(peak - m_bin) < 16 * scale + 8:
                 peak_ok += 1
             if peak_ok >= 3:
@@ -393,15 +409,9 @@ async def run(args):
         elif variant == "nr":
             assert info.get("nr_available"), "nr_available false"
             cmds = _audio_cmds(info, truth, "AM")
-            _, off_chunks = await collect_audio(
-                s, url, args.secs, cmds, settle=1.5)
-            _, on_chunks = await collect_audio(
-                s, url, args.secs,
-                cmds + [{"cmd": "nr", "enabled": True}], settle=1.5)
+            ab = await collect_ab_audio(s, url, args.secs, cmds, fs)
             out = {}
-            for name, chunks in (("off", off_chunks), ("on", on_chunks)):
-                _, x, _ = decode_audio(chunks, 1, int(1.5 * fs))
-                x = x - x.mean()
+            for name, x in zip(("off", "on"), ab):
                 n_win = max(1, len(x) // (fs // 4))
                 wins = np.array_split(x, n_win)
                 floors = sorted(float(np.sqrt(np.mean(w ** 2)))
@@ -426,15 +436,10 @@ async def run(args):
             # absolute levels, so judge by the tone/noise RATIO
             assert info.get("nr_available"), "nr_available false"
             cmds = _audio_cmds(info, truth, "AM")
-            _, off_chunks = await collect_audio(
-                s, url, args.secs, cmds, settle=1.5)
-            _, on_chunks = await collect_audio(
-                s, url, args.secs,
-                cmds + [{"cmd": "nr", "enabled": True}], settle=2.5)
+            ab = await collect_ab_audio(s, url, args.secs, cmds, fs,
+                                        settle=2.5)
             snr = {}
-            for name, chunks in (("off", off_chunks), ("on", on_chunks)):
-                _, x, _ = decode_audio(chunks, 1, int(1.5 * fs))
-                x = x - x.mean()
+            for name, x in zip(("off", "on"), ab):
                 w = np.hanning(len(x))
                 spec = np.abs(np.fft.rfft(x * w)) ** 2
                 freqs = np.fft.rfftfreq(len(x), 1.0 / fs)
@@ -457,15 +462,9 @@ async def run(args):
             cmds = [{"cmd": "window", "l": int(m - off_w), "m": m,
                      "r": int(m + off_w)},
                     {"cmd": "demodulation", "demodulation": "AM"}]
-            _, off_chunks = await collect_audio(
-                s, url, args.secs, cmds, settle=1.5)
-            _, on_chunks = await collect_audio(
-                s, url, args.secs,
-                cmds + [{"cmd": "nr", "enabled": True}], settle=1.5)
+            ab = await collect_ab_audio(s, url, args.secs, cmds, fs)
             counts = {}
-            for name, chunks in (("off", off_chunks), ("on", on_chunks)):
-                _, x, _ = decode_audio(chunks, 1, int(1.5 * fs))
-                x = x - x.mean()
+            for name, x in zip(("off", "on"), ab):
                 thr = 4.0 * np.sqrt(np.mean(x ** 2))
                 counts[name] = int(np.sum(np.abs(x) > thr))
             assert counts["off"] > 20, \

@@ -286,6 +286,73 @@ async def test_waterfall_deflate_switch(cfg):
 
 
 @async_test
+async def test_waterfall_deflate_switch_mid_stream(cfg):
+    """Switching compression AFTER zstd rows already flowed: the rows
+    before the {"type":"compression"} ack stay zstd (one continuous
+    stream), everything after it is ONE FRESH deflate stream -- the
+    client-side contract the built-in frontend relies on (drop binary
+    until ack, then start a new decompressor)."""
+    import zlib
+
+    import zstandard
+
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        ws = await client.ws_connect("/waterfall")
+        json.loads((await ws.receive()).data)
+        slot = next(iter(server.waterfalls.clients.values()))
+
+        pyrs = {}  # step frame0 -> that step's pyramid
+
+        async def pump(n, frame0, sink):
+            for st in range(n):
+                audio, pwr, wf, due, pyr = synth_outputs(cfg, server,
+                                                         frame0 + st)
+                f0 = (frame0 + st) * cfg.hop_batch
+                pyrs[f0] = pyr
+                server.dispatch(f0, audio, pwr, wf, due)
+                while True:
+                    try:
+                        msg = await ws.receive(timeout=0.05)
+                    except asyncio.TimeoutError:
+                        break
+                    sink.append(msg)
+
+        pre, post = [], []
+        await pump(3, 0, pre)
+        zstd_rows = [m for m in pre if m.type.name == "BINARY"]
+        assert zstd_rows
+        zd = zstandard.ZstdDecompressor().decompressobj()
+        for m in zstd_rows:  # continuous zstd stream pre-switch
+            decode_cbor(zd.decompress(m.data))
+
+        await ws.send_str(json.dumps(
+            {"cmd": "compression", "waterfall": "deflate"}))
+        await asyncio.sleep(0.05)
+        await pump(3, 3, post)
+        acked = False
+        dec = zlib.decompressobj(-15)
+        got = []
+        for m in post:
+            if m.type.name == "TEXT":
+                if json.loads(m.data).get("type") == "compression":
+                    acked = True
+            elif acked:  # fresh deflate stream strictly after the ack
+                got.append(decode_cbor(dec.decompress(m.data)))
+        assert acked and got
+        off = server.level_offsets[slot.level]
+        fn = got[0]["frame_num"]
+        f0 = (fn // cfg.hop_batch) * cfg.hop_batch
+        row = np.frombuffer(bytes(got[0]["data"]), np.int8)
+        np.testing.assert_array_equal(
+            row, pyrs[f0][fn - f0, off + slot.l: off + slot.r])
+        await ws.close()
+    finally:
+        await client.close()
+
+
+@async_test
 async def test_events_and_metrics(cfg):
     server = SpectrumServer(cfg)
     client = await run_app(server)

@@ -173,7 +173,7 @@ function onInfo(d) {
     b.setAttribute("aria-pressed", String(b.dataset.mode === mode)));
   $("nr-wrap").hidden = !d.nr_available;
   $("rds-wrap").hidden = !d.rds_available;
-  statusEl.textContent = "connected";
+  if (flacOk) statusEl.textContent = "connected";  // keep opus notice
   $("info-line").textContent =
     `${(d.sps / 1e6).toFixed(2)} MSPS · fft ${d.fft_size} · ` +
     `audio ${d.audio_max_sps} Hz ${d.audio_channels === 2 ? "stereo" : "mono"}` +

@@ -35,7 +35,9 @@ function wsUrl(path) {
 }
 
 function offBins(hz) {
-  return Math.floor(hz * info.fft_result_size / info.sps);
+  // bins span total_bandwidth (= sps for IQ, sps/2 for real input),
+  // matching binToHz/drawScale below.
+  return Math.floor(hz * info.fft_result_size / info.total_bandwidth);
 }
 
 function windowFor(m, md) {
@@ -48,8 +50,15 @@ function windowFor(m, md) {
   else { l = mi - offBins(5000); r = mi + offBins(5000); } // AM / FM
   l = Math.max(0, Math.min(R, l));
   r = Math.max(0, Math.min(R, r));
-  const a = info.audio_max_fft;
-  if (r - l > a) r = l + a;       // audio slice capacity (basic_info)
+  const a = info.audio_max_fft;   // audio slice capacity (basic_info)
+  if (r - l > a) {
+    // clamp toward the tuned bin so the side carrying the signal
+    // survives: LSB's passband is entirely left of m, USB's right;
+    // symmetric modes shrink around m.
+    if (md === "LSB") l = r - a;
+    else if (md === "USB") r = l + a;
+    else { l = Math.max(0, Math.min(R - a, mi - Math.floor(a / 2))); r = l + a; }
+  }
   return { l, m, r };
 }
 

@@ -18,6 +18,7 @@ external resources -- the server may run air-gapped).
 """
 
 import json
+import math
 import re
 from pathlib import Path
 
@@ -268,6 +269,80 @@ def test_frontend_is_self_contained():
         # balanced delimiters (no JS runtime here to parse for real)
         for o, c in ("{}", "()", "[]"):
             assert t.count(o) == t.count(c), f"{js.name}: unbalanced {o}{c}"
+
+
+# ---------------------------------------------- tuning-window mirror
+# Python mirror of app.js offBins()/windowFor().  Keep in sync with the
+# JS (no JS runtime in this image to execute it directly).
+
+def _off_bins(info, hz):
+    return math.floor(hz * info["fft_result_size"] / info["total_bandwidth"])
+
+
+def _window_for(info, m, md):
+    R = info["fft_result_size"]
+    mi = math.floor(m)
+    if md == "USB":
+        l, r = mi, mi + _off_bins(info, 3000)
+    elif md == "LSB":
+        l, r = mi - _off_bins(info, 3000), mi
+    elif md == "WBFM":
+        l, r = mi - _off_bins(info, 96000), mi + _off_bins(info, 96000)
+    else:
+        l, r = mi - _off_bins(info, 5000), mi + _off_bins(info, 5000)
+    l = max(0, min(R, l))
+    r = max(0, min(R, r))
+    a = info["audio_max_fft"]
+    if r - l > a:
+        if md == "LSB":
+            l = r - a
+        elif md == "USB":
+            r = l + a
+        else:
+            l = max(0, min(R - a, mi - a // 2))
+            r = l + a
+    return l, m, r
+
+
+def test_window_for_real_input_width():
+    """offBins must divide by total_bandwidth (sps/2 for real input),
+    not sps, or every demod window is half as wide as intended."""
+    info = {"fft_result_size": 1 << 19, "total_bandwidth": 500_000,
+            "sps": 1_000_000, "audio_max_fft": 99999}
+    l, _, r = _window_for(info, 1000.0, "USB")
+    assert r - l == 3000 * (1 << 19) // 500_000  # spans 3 kHz of sps/2
+
+
+def test_window_for_clamps_toward_tuned_bin():
+    """When the ideal window exceeds audio_max_fft, the surviving slice
+    must stay on the side of the tuned bin that carries the signal."""
+    info = {"fft_result_size": 4096, "total_bandwidth": 100_000,
+            "sps": 100_000, "audio_max_fft": 64}
+    mi = 2000
+    # LSB: passband entirely left of m -> keep the carrier at r.
+    l, _, r = _window_for(info, mi, "LSB")
+    assert r == mi and r - l == 64
+    # USB: passband right of m -> keep the carrier at l.
+    l, _, r = _window_for(info, mi, "USB")
+    assert l == mi and r - l == 64
+    # Symmetric modes shrink around m.
+    for md in ("AM", "FM", "WBFM"):
+        l, _, r = _window_for(info, mi, md)
+        assert r - l == 64 and l <= mi <= r
+    # Edge safety: clamped windows stay inside [0, R] at both ends.
+    for mi in (1, 4095):
+        for md in ("USB", "LSB", "AM", "WBFM"):
+            l, _, r = _window_for(info, mi, md)
+            assert 0 <= l <= r <= 4096
+
+
+def test_window_for_mirror_matches_js():
+    """The mirror above must textually track app.js's windowFor."""
+    app = (HTML / "app.js").read_text()
+    assert "info.fft_result_size / info.total_bandwidth" in app
+    assert "l = r - a" in app          # LSB clamp toward carrier
+    assert "r = l + a" in app
+    assert "mi - Math.floor(a / 2)" in app
 
 
 def test_frontend_commands_match_server_surface():

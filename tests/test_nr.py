@@ -187,10 +187,10 @@ def test_nr_registry_command():
 # ---------------------------------------------------------------- ANR (LMS)
 
 def test_anr_matches_oracle_chunked():
-    """ops/anr.py vs the straight-line ANR.c oracle, both modes,
-    chunked streaming (delay line + weights + leak carried)."""
+    """anr_process_exact vs the straight-line ANR.c oracle, both
+    modes, chunked streaming (delay line + weights + leak carried)."""
     from phantomsdr_tpu.ops.anr import (
-        anr_process, init_anr_state, make_anr_params,
+        anr_process_exact, init_anr_state, make_anr_params,
     )
     from tests.oracle_anr import ANROracle
 
@@ -206,11 +206,73 @@ def test_anr_matches_oracle_chunked():
         st = init_anr_state(1, p)
         outs = []
         for i in range(0, T, 1000):
-            st, y = anr_process(st, p, jnp.asarray(x[None, i:i + 1000]))
+            st, y = anr_process_exact(st, p,
+                                      jnp.asarray(x[None, i:i + 1000]))
             outs.append(np.asarray(y)[0])
         got = np.concatenate(outs)
         scale = np.abs(want).max()
         assert np.abs(got - want).max() / scale < 1e-4  # f32 vs f64
+
+
+def test_anr_block1_matches_exact():
+    """The shipped block-LMS path at block=1 IS the per-sample filter:
+    every frozen-block quantity collapses to the exact step's, so the
+    two paths must agree to f32 reassociation noise on both modes."""
+    from phantomsdr_tpu.ops.anr import (
+        anr_process, anr_process_exact, init_anr_state, make_anr_params,
+    )
+
+    rng = np.random.default_rng(3)
+    T = 1500
+    t = np.arange(T) / FS
+    x = (5000 * np.sin(2 * np.pi * 800 * t)
+         + 1000 * rng.standard_normal(2 * T).reshape(2, T)
+         ).astype(np.float32)
+    for notch in (False, True):
+        pe = make_anr_params(notch=notch)
+        pb = make_anr_params(notch=notch, block=1)
+        se = init_anr_state(2, pe)
+        sb = init_anr_state(2, pb)
+        se, ye = anr_process_exact(se, pe, jnp.asarray(x))
+        sb, yb = anr_process(sb, pb, jnp.asarray(x))
+        scale = np.abs(np.asarray(ye)).max()
+        assert np.abs(np.asarray(ye) - np.asarray(yb)).max() / scale < 1e-5
+        np.testing.assert_allclose(np.asarray(se.w), np.asarray(sb.w),
+                                   rtol=0, atol=1e-5)
+
+
+def test_anr_block_tracks_exact():
+    """Block-LMS deviation pin (the documented deviation, ops/anr.py
+    module docstring): after the adaptation transient the default
+    block=256 output must track the exact per-sample filter within a
+    small relative RMS on a converged tone+noise stream, and must not
+    restart adaptation at chunk boundaries (state carried)."""
+    from phantomsdr_tpu.ops.anr import (
+        anr_process, anr_process_exact, init_anr_state, make_anr_params,
+    )
+
+    rng = np.random.default_rng(4)
+    T = 24000
+    t = np.arange(T) / FS
+    x = (5000 * np.sin(2 * np.pi * 800 * t)
+         + 1000 * rng.standard_normal(T)).astype(np.float32)[None]
+    for notch in (False, True):
+        p = make_anr_params(notch=notch)
+        se = init_anr_state(1, p)
+        sb = init_anr_state(1, p)
+        _, ye = anr_process_exact(se, p, jnp.asarray(x))
+        # chunked (uneven sizes: exercises the remainder block + the
+        # cross-call history carry)
+        outs = []
+        for i in range(0, T, 7000):
+            sb, y = anr_process(sb, p, jnp.asarray(x[:, i:i + 7000]))
+            outs.append(np.asarray(y)[0])
+        yb = np.concatenate(outs)
+        ye = np.asarray(ye)[0]
+        q = 3 * T // 4
+        num = np.sqrt(((yb[q:] - ye[q:]) ** 2).mean())
+        den = np.sqrt((ye[q:] ** 2).mean())
+        assert num / den < 0.05, (notch, num / den)
 
 
 def test_anr_nr_improves_tone_to_noise():

@@ -13,6 +13,7 @@ import asyncio
 import faulthandler
 import os
 import signal
+import socket
 import sys
 
 # kill -USR1 <pid> dumps all thread stacks to stderr (debugging aid)
@@ -23,6 +24,29 @@ from aiohttp import web
 from .config import load_config
 from .runtime.driver import DSPDriver, SampleSource
 from .runtime.server import SpectrumServer
+
+
+def make_site(runner, host: str, port: int):
+    """Listening site for the serving edge, reference listen semantics
+    (src/spectrumserver.cpp:239-243: try IPv6 first, fall back to
+    IPv4).  For the default all-interfaces bind this opens one IPv6
+    dual-stack socket (IPV6_V6ONLY off), so v4 AND v6 clients reach a
+    default deployment through the single listener; hosts without v6
+    support fall back to the plain v4 bind.  An explicit ``[server]
+    host`` is honored verbatim.  Returns (site, display_host)."""
+    if host == "0.0.0.0":
+        sock = None
+        try:
+            sock = socket.socket(socket.AF_INET6, socket.SOCK_STREAM)
+            sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            sock.setsockopt(socket.IPPROTO_IPV6, socket.IPV6_V6ONLY, 0)
+            sock.bind(("::", port))
+            return web.SockSite(runner, sock, backlog=8192), "[::]"
+        except OSError:
+            if sock is not None:
+                sock.close()
+    return (web.TCPSite(runner, host, port, backlog=8192,
+                        reuse_address=True), host)
 
 
 def build(cfg, stream, loop_file=False, throttle=0.0):
@@ -145,8 +169,7 @@ def main(argv=None):
     async def _run():
         runner = web.AppRunner(server.app)
         await runner.setup()
-        site = web.TCPSite(runner, cfg.host, cfg.port, backlog=8192,
-                           reuse_address=True)
+        site, bind_host = make_site(runner, cfg.host, cfg.port)
         try:
             await site.start()
         except OSError:
@@ -154,7 +177,7 @@ def main(argv=None):
             # interpreter teardown races the device thread
             driver.stop()
             raise
-        print(f"phantomsdr-tpu serving on {cfg.host}:{cfg.port} "
+        print(f"phantomsdr-tpu serving on {bind_host}:{cfg.port} "
               f"(fft_size={cfg.fft_size}, sps={cfg.sps}, "
               f"{'real' if cfg.is_real else 'iq'})")
         if cfg.register_enable:

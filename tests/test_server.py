@@ -976,3 +976,56 @@ async def test_command_fuzz_survival(cfg):
         await ws.close()
     finally:
         await client.close()
+
+
+@async_test
+async def test_dual_stack_listen():
+    """make_site on the default 0.0.0.0 binds one IPv6 dual-stack
+    socket (reference: src/spectrumserver.cpp:239-243 tries IPv6 then
+    falls back to IPv4): the same listener must serve a v4 loopback
+    client AND a v6 loopback client; an explicit host stays a plain
+    v4 bind."""
+    import aiohttp
+    from aiohttp import web as aioweb
+    from phantomsdr_tpu.main import make_site
+
+    app = aioweb.Application()
+
+    async def ping(request):
+        return aioweb.Response(text="pong")
+
+    app.router.add_get("/ping", ping)
+    runner = aioweb.AppRunner(app)
+    await runner.setup()
+    # ephemeral port: bind a throwaway socket to find a free one
+    import socket as pysock
+    probe = pysock.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    site, disp = make_site(runner, "0.0.0.0", port)
+    has_v6 = disp == "[::]"
+    await site.start()
+    try:
+        async with aiohttp.ClientSession() as s:
+            async with s.get(f"http://127.0.0.1:{port}/ping") as r:
+                assert await r.text() == "pong"
+            if has_v6:
+                async with s.get(f"http://[::1]:{port}/ping") as r:
+                    assert await r.text() == "pong"
+    finally:
+        await runner.cleanup()
+
+    # explicit host: honored verbatim (no dual-stack rewrite)
+    runner2 = aioweb.AppRunner(app)
+    await runner2.setup()
+    site2, disp2 = make_site(runner2, "127.0.0.1", port)
+    assert disp2 == "127.0.0.1"
+    await site2.start()
+    try:
+        async with aiohttp.ClientSession() as s:
+            async with s.get(f"http://127.0.0.1:{port}/ping") as r:
+                assert r.status == 200
+    finally:
+        await runner2.cleanup()

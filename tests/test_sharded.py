@@ -143,14 +143,14 @@ def test_sharded_due_layout():
     assert sum(counts) == 1 and counts[0] == 1 and idx[0, 0] == 1
 
 
-@pytest.mark.skipif(
-    not __import__("os").environ.get("PHANTOMSDR_SLOW_TESTS"),
-    reason="big-shape compile test; set PHANTOMSDR_SLOW_TESTS=1")
 def test_sharded_flagship_shape_compiles():
     """Compile + run ONE sharded step at the flagship fft_size (2^20,
     four-step decomposition path, FOUR_STEP_THRESHOLD = 2^19) on the
-     8-device CPU mesh: pins compile health of the 2^20 sharded config
-    (VERDICT round 1, item 9)."""
+    8-device CPU mesh: pins compile health of the 2^20 sharded config
+    (VERDICT round 1, item 9).  Formerly gated behind
+    PHANTOMSDR_SLOW_TESTS — the round-2 batched pipeline restructure
+    made the CPU compile flat (~3 s), so since round 4 it runs in
+    every suite invocation (VERDICT round 3, item 4)."""
     import time
 
     cfg = config_from_dict({

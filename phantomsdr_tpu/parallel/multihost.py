@@ -492,7 +492,14 @@ class MultihostDriver:
                     else:
                         _record()
         except (ConnectionError, OSError):
-            pass
+            # a dropped link is a DEFINITIVE follower-loss signal --
+            # fail the cluster now rather than waiting for the next
+            # send to error or the 60 s ack barrier to time out
+            # (tests/test_multihost.py::test_multihost_follower_death).
+            # After stop() or ingest EOF the close is orderly teardown,
+            # not a fault.
+            if not (self._stop.is_set() or self.metrics.eof):
+                self._fail_cluster(f"follower {pid} link lost")
 
     def _fail_cluster(self, why: str):
         """Fail LOUDLY and promptly.  The jitted step is a collective

@@ -190,6 +190,170 @@ max_channels=8
                 p.kill()
 
 
+def _spawn_cluster(tmp_path, ports, coordinator, link_port, loop=True,
+                   capture_blocks=400, env_extra=None):
+    """Start the real 2-process cluster (same shape as the pipelined-
+    acks test); returns (procs, metrics_fn).  Caller must terminate."""
+    import os
+
+    raw = np.random.default_rng(0).integers(
+        -20000, 20000, size=16384 * capture_blocks, dtype=np.int16)
+    capture = tmp_path / "capture.s16"
+    raw.tofile(capture)
+    cfg_text = """
+[server]
+port={port}
+
+[input]
+sps=192000
+fft_size=2048
+frequency=7166000
+signal="iq"
+audio_sps=12000
+waterfall_size=256
+
+[input.driver]
+name="stdin"
+format="s16"
+
+[tpu]
+hop_batch=8
+max_channels=8
+"""
+    for pid, port in enumerate(ports):
+        (tmp_path / f"config{pid}.toml").write_text(
+            cfg_text.format(port=port))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", **(env_extra or {}))
+    common = [sys.executable, "-m", "phantomsdr_tpu",
+              "--platform", "cpu", "--cpu-devices", "2",
+              "--coordinator", f"127.0.0.1:{coordinator}",
+              "--num-processes", "2",
+              "--input-file", str(capture)] + (["--loop"] if loop else [])
+    logs = [open(tmp_path / f"s{i}.log", "wb") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            common + ["-c", str(tmp_path / "config0.toml"),
+                      "--process-id", "0", "--link-port", str(link_port)],
+            env=env, stdout=logs[0], stderr=subprocess.STDOUT,
+            cwd="/root/repo"),
+        subprocess.Popen(
+            common + ["-c", str(tmp_path / "config1.toml"),
+                      "--process-id", "1",
+                      "--link-addr", f"127.0.0.1:{link_port}"],
+            env=env, stdout=logs[1], stderr=subprocess.STDOUT,
+            cwd="/root/repo", stdin=subprocess.DEVNULL),
+    ]
+
+    def metrics(which=0):
+        import json
+        import urllib.request
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{ports[which]}/metrics",
+                timeout=2) as r:
+            return json.loads(r.read())
+
+    return procs, metrics
+
+
+def _wait_metrics(procs, metrics, pred, deadline_s, tmp_path, which=0):
+    import time
+
+    deadline = time.monotonic() + deadline_s
+    m = None
+    while time.monotonic() < deadline:
+        try:
+            m = metrics(which)
+            if pred(m):
+                return m
+        except OSError:
+            pass
+        # the polled process must stay up; its peer may legitimately be
+        # dead (the fault being injected)
+        assert procs[which].poll() is None, (
+            (tmp_path / f"s{which}.log").read_text()[-2000:])
+        time.sleep(0.3)
+    raise AssertionError(f"metrics predicate not met in {deadline_s}s: {m}")
+
+
+def test_multihost_follower_death(tmp_path):
+    """Fault injection (VERDICT r3 item 5a): SIGKILL the follower
+    mid-stream.  The jitted step is a collective over every process's
+    devices, so the cluster CANNOT keep stepping without it (the next
+    collective would hang all hosts) -- the contract under test is
+    _fail_cluster's: the ingest host detects the dropped link
+    promptly (reader-thread link-loss signal, not the 60 s ack
+    timeout), surfaces the loss in /metrics (device_errors +
+    last_device_error), stops issuing steps, and its serving edge
+    stays up.  Reference analogue: per-client try/catch + backpressure
+    drop (signal.cpp:295-297, websocket.cpp:174) -- scaled to the
+    cluster, where 'drop the client' becomes 'fail the cluster
+    loudly for the supervisor'."""
+    import time
+
+    procs, metrics = _spawn_cluster(
+        tmp_path, ports=(19031, 19032), coordinator=29656,
+        link_port=28756, loop=True)
+    try:
+        _wait_metrics(procs, metrics, lambda m: m["frames"] >= 3 * 8,
+                      90, tmp_path)
+        procs[1].kill()                       # follower dies mid-stream
+        t_kill = time.monotonic()
+        m = _wait_metrics(procs, metrics,
+                          lambda m: m["device_errors"] >= 1,
+                          30, tmp_path)
+        detect_s = time.monotonic() - t_kill
+        assert "cluster failed" in m["last_device_error"], m
+        # prompt detection: the dropped link, not the 60 s ack barrier
+        assert detect_s < 20, f"detection took {detect_s:.1f}s"
+        # ingest stops issuing steps (frames freeze) but keeps serving
+        f0 = metrics()["frames"]
+        time.sleep(2.0)
+        m2 = metrics()
+        assert m2["frames"] == f0, (f0, m2)
+        assert procs[0].poll() is None
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+
+def test_multihost_eof_propagates_shutdown(tmp_path):
+    """Fault injection (VERDICT r3 item 5b): input EOF at the ingest
+    host propagates a CLEAN shutdown to the follower -- both hosts end
+    with eof=true and zero device_errors in /metrics (the eof link
+    message, parallel/multihost.py _run_ingest/_run_follower; the
+    reader threads must treat the post-eof link close as orderly
+    teardown, not follower loss), and both serving edges stay up for
+    still-connected listeners (reference: stdin EOF isn't even
+    handled, SURVEY section 5 -- this is a deliberate improvement)."""
+    procs, metrics = _spawn_cluster(
+        tmp_path, ports=(19033, 19034), coordinator=29657,
+        link_port=28757, loop=False, capture_blocks=60)
+    try:
+        m0 = _wait_metrics(procs, metrics, lambda m: m["eof"], 120,
+                           tmp_path, which=0)
+        m1 = _wait_metrics(procs, metrics, lambda m: m["eof"], 30,
+                           tmp_path, which=1)
+        assert m0["device_errors"] == 0, m0
+        assert m1["device_errors"] == 0, m1
+        # all 60 blocks were stepped (or skipped) on both hosts
+        assert m0["frames"] == m1["frames"] == 60 * 8, (m0, m1)
+        assert procs[0].poll() is None and procs[1].poll() is None
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+
 def test_multihost_dryrun_two_processes(tmp_path):
     tool = Path(__file__).resolve().parent.parent / "tools" / "multihost_dryrun.py"
     res = subprocess.run(

@@ -6,11 +6,12 @@
                  pwr, r} packets carrying a FLAC stream; JSON commands
                  window/demodulation/mute (+ server extensions
                  nr/rds/am_sync); {"type":"rds"} text frames.
-     /waterfall  basic_info JSON, then compressed CBOR rows; this
-                 frontend switches its connection to raw deflate
-                 ({"cmd":"compression","waterfall":"deflate"}, a
-                 phantomsdr-tpu extension) so the browser-native
-                 DecompressionStream('deflate-raw') decodes it.
+     /waterfall  basic_info JSON, then compressed CBOR rows decoded by
+                 the built-in RFC 8878 decoder (zstd.js) -- the STOCK
+                 zstd stream, same as the reference's browsers
+                 (jsdsp/src/libzstd.js); no protocol extension needed.
+                 (The server's deflate extension remains available to
+                 other clients.)
      /events     cluster state JSON (listener count in the footer). */
 "use strict";
 
@@ -320,59 +321,63 @@ function setView(l, r) {
   drawPassband();
 }
 
+let av1Feed = null;  // set by startAv1Waterfall (av1.js + WebCodecs)
+
+function startAv1Waterfall() {
+  av1Feed = av1MakeFeed(
+    (row) => drawRow(row),
+    (e) => { statusEl.textContent =
+      "av1 decode error: " + ((e && e.message) || e); });
+  if (!av1Feed)
+    statusEl.textContent =
+      "av1 waterfall needs WebCodecs; unavailable in this browser";
+}
+
 function connectWaterfall() {
   wfWs = new WebSocket(wsUrl("/waterfall"));
   wfWs.binaryType = "arraybuffer";
-  let deflated = false, writer = null;
-  const haveDS = typeof DecompressionStream === "function";
+  let zstd = null;              // zstd.js ZstdStream (stock protocol)
+  let acc = new Uint8Array(0);  // CBOR packet reassembly
 
-  function startInflate() {
-    const ds = new DecompressionStream("deflate-raw");
-    writer = ds.writable.getWriter();
-    const reader = ds.readable.getReader();
-    (async () => {
-      let acc = new Uint8Array(0);
-      for (;;) {
-        const { value, done } = await reader.read();
-        if (done) break;
-        const merged = new Uint8Array(acc.length + value.length);
-        merged.set(acc); merged.set(value, acc.length);
-        acc = merged;
-        for (;;) {
-          const r = cborTryDecode(acc);
-          if (!r) break;
-          acc = acc.slice(r.used);
-          drawRow(new Int8Array(r.value.data.buffer,
-                                r.value.data.byteOffset,
-                                r.value.data.length));
-        }
-      }
-    })();
+  function drainCbor(dec) {
+    const merged = new Uint8Array(acc.length + dec.length);
+    merged.set(acc); merged.set(dec, acc.length);
+    acc = merged;
+    for (;;) {
+      const r = cborTryDecode(acc);
+      if (!r) break;
+      acc = acc.slice(r.used);
+      drawRow(new Int8Array(r.value.data.buffer,
+                            r.value.data.byteOffset,
+                            r.value.data.length));
+    }
   }
 
   wfWs.onmessage = (ev) => {
     if (typeof ev.data === "string") {
       const d = JSON.parse(ev.data);
       if (d.sps) {           // its own basic_info handshake
-        if (haveDS && d.waterfall_deflate_available) {
-          wfWs.send(JSON.stringify(
-            { cmd: "compression", waterfall: "deflate" }));
-          // current view (full band on connect); the server picks the
-          // pyramid level for the span
-          wfWs.send(JSON.stringify(
-            { cmd: "window", l: viewL, r: viewR || d.fft_result_size }));
+        if (d.waterfall_compression === "zstd") {
+          zstd = new ZstdStream();
+        } else if (d.waterfall_compression === "av1") {
+          startAv1Waterfall();
         } else {
           statusEl.textContent =
-            "no deflate support; waterfall disabled (zstd-only)";
+            `waterfall is ${d.waterfall_compression}; no built-in decoder`;
         }
-      } else if (d.type === "compression" && d.waterfall === "deflate") {
-        deflated = true;
-        startInflate();
+        // current view (full band on connect); the server picks the
+        // pyramid level for the span
+        wfWs.send(JSON.stringify(
+          { cmd: "window", l: viewL, r: viewR || d.fft_result_size }));
       }
       return;
     }
-    // binary rows before the deflate ack are zstd -- drop them
-    if (deflated && writer) writer.write(new Uint8Array(ev.data));
+    if (zstd) {
+      const dec = zstd.push(new Uint8Array(ev.data));
+      if (dec.length) drainCbor(dec);
+    } else if (av1Feed) {
+      av1Feed(new Uint8Array(ev.data));
+    }
   };
 }
 

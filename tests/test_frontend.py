@@ -349,8 +349,11 @@ def test_frontend_commands_match_server_surface():
     """Every cmd the frontend sends is one the server handles."""
     app = (HTML / "app.js").read_text()
     sent = set(re.findall(r'cmd:\s*"(\w+)"', app))
+    # no "compression": since zstd.js the frontend consumes the STOCK
+    # zstd stream (the server's deflate extension remains for other
+    # clients and is covered by tests/test_server.py)
     assert sent == {"window", "demodulation", "mute", "nr", "rds",
-                    "am_sync", "compression"}
+                    "am_sync"}
     server = Path(HTML, "..", "phantomsdr_tpu", "runtime",
                   "server.py").read_text()
     for c in sent:

@@ -1,0 +1,174 @@
+"""Empirical validation of the html/zstd.js decoder design (via its
+Python mirror, tests/zstd_mirror.py) against the REAL libzstd
+compressor, across the format features a stock waterfall stream can
+contain: raw/RLE/compressed blocks, 1- and 4-stream Huffman literals,
+direct and FSE-compressed weights, treeless (repeat-table) literals,
+predefined/RLE/compressed/repeat sequence tables, repeat offsets,
+cross-block match windows, checksums, multi-frame and skippable
+frames, and arbitrary wire chunking."""
+
+import zstandard
+import numpy as np
+import pytest
+
+from tests.zstd_mirror import ZstdStream, ZstdError
+from phantomsdr_tpu.runtime.codecs import ZstdStream as ServerZstd
+
+R = np.random.default_rng(42)
+
+
+def roundtrip_stream(messages, level=3, dribble=None):
+    """Compress per-message with flush (the server's exact mode), feed
+    the wire bytes to the mirror decoder, compare per-message."""
+    c = zstandard.ZstdCompressor(level=level).compressobj()
+    d = ZstdStream()
+    for msg in messages:
+        wire = c.compress(msg) + c.flush(zstandard.COMPRESSOBJ_FLUSH_BLOCK)
+        if dribble:
+            got = b"".join(d.push(wire[i:i + dribble])
+                           for i in range(0, len(wire), dribble))
+        else:
+            got = d.push(wire)
+        assert got == msg
+
+
+def _shapes():
+    text = b"The quick brown fox jumps over the lazy dog. " * 150
+    return {
+        "text": text,
+        "random": R.integers(0, 256, 9000, dtype=np.uint8).tobytes(),
+        "zeros": b"\x00" * 4096,
+        "rle_byte": b"\x7f" * 3000,
+        "periodic": bytes(range(251)) * 40,
+        "waterfall_db": np.clip(R.normal(-70, 6, 4096), -128,
+                                127).astype(np.int8).tobytes(),
+        "tiny": b"x",
+        "empty_then_data": b"",
+        "big": (text + R.integers(0, 256, 500,
+                                  dtype=np.uint8).tobytes()) * 60,
+    }
+
+
+@pytest.mark.parametrize("level", [1, 3, 6, 12, 19])
+@pytest.mark.parametrize("shape", sorted(_shapes()))
+def test_single_message(level, shape):
+    data = _shapes()[shape]
+    c = zstandard.ZstdCompressor(level=level).compressobj()
+    wire = c.compress(data) + c.flush(zstandard.COMPRESSOBJ_FLUSH_BLOCK)
+    assert ZstdStream().push(wire) == data
+
+
+@pytest.mark.parametrize("level", [1, 3, 19])
+def test_streaming_waterfall_like(level):
+    """The real use: a long-lived stream of similar ~4 kB rows.  Later
+    rows compress with treeless literals + repeat tables + cross-
+    message match offsets -- the decoder must carry table and window
+    state across push() calls exactly."""
+    base = np.clip(R.normal(-70, 6, 4096), -128, 127).astype(np.int8)
+    messages = []
+    for k in range(40):
+        row = base + R.integers(-2, 3, 4096).astype(np.int8)
+        row[100 + 7 * k] = 40  # a moving carrier
+        messages.append(row.tobytes())
+    roundtrip_stream(messages, level=level)
+
+
+def test_dribble_chunking():
+    """Wire bytes arriving 7 at a time must decode identically --
+    frame header, block headers and block bodies all straddle pushes."""
+    msgs = [_shapes()["text"], _shapes()["waterfall_db"],
+            _shapes()["periodic"]]
+    roundtrip_stream(msgs, level=3, dribble=7)
+
+
+def test_server_zstdstream_compatible():
+    """Decode the server's OWN compressor class output (codecs.py
+    ZstdStream) -- the exact wire the frontend sees."""
+    enc = ServerZstd()
+    dec = ZstdStream()
+    rows = [np.clip(R.normal(-65, 7, 2048), -128, 127)
+            .astype(np.int8).tobytes() for _ in range(25)]
+    for row in rows:
+        assert dec.push(enc.compress(row)) == row
+
+
+def test_oneshot_frames_with_content_size():
+    for level in (1, 3, 22):
+        data = _shapes()["big"]
+        wire = zstandard.compress(data, level)
+        assert ZstdStream().push(wire) == data
+
+
+def test_checksummed_frame():
+    c = zstandard.ZstdCompressor(level=3, write_checksum=True)
+    data = _shapes()["text"]
+    wire = c.compress(data)
+    d = ZstdStream()
+    assert d.push(wire) == data
+    assert d.buf == b"" and not d.need_checksum
+    # and again with the checksum bytes dribbled across pushes
+    d = ZstdStream()
+    got = b"".join(d.push(wire[i:i + 5]) for i in range(0, len(wire), 5))
+    assert got == data and d.buf == b"" and not d.need_checksum
+
+
+def test_multiple_frames_back_to_back():
+    a, b = _shapes()["text"], _shapes()["random"]
+    wire = zstandard.compress(a, 3) + zstandard.compress(b, 5)
+    assert ZstdStream().push(wire) == a + b
+
+
+def test_skippable_frame():
+    payload = b"\x50\x2a\x4d\x18" + (8).to_bytes(4, "little") + b"metadata"
+    wire = payload + zstandard.compress(b"after skip", 3)
+    assert ZstdStream().push(wire) == b"after skip"
+
+
+def test_bad_magic_raises():
+    with pytest.raises(ZstdError):
+        ZstdStream().push(b"\x00\x01\x02\x03" + b"\x00" * 16)
+
+
+def test_truncation_is_silent_until_completion():
+    """A partial message yields no output and no error; completing it
+    yields the data (the websocket never truncates, but the state
+    machine must be re-entrant at every byte)."""
+    data = _shapes()["periodic"]
+    wire = zstandard.compress(data, 3)
+    d = ZstdStream()
+    assert d.push(wire[:len(wire) // 2]) == b""
+    assert d.push(wire[len(wire) // 2:]) == data
+
+
+def test_huge_highly_compressible():
+    """> 128 kB of regenerated data forces multiple blocks per frame
+    and long matches (match lengths through the ML extra-bits tail)."""
+    data = (b"abcdefgh" * 70000)  # 560 kB
+    wire = zstandard.compress(data, 3)
+    assert ZstdStream().push(wire) == data
+
+
+def test_incompressible_multiblock():
+    """> 128 kB of random data forces RAW blocks mid-frame."""
+    data = R.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
+    wire = zstandard.compress(data, 1)
+    assert ZstdStream().push(wire) == data
+
+
+def test_mirror_matches_js():
+    """The shipped html/zstd.js must textually track this mirror's
+    structure (no JS runtime in this image to execute it)."""
+    from pathlib import Path
+
+    js = (Path(__file__).resolve().parent.parent / "html"
+          / "zstd.js").read_text()
+    for marker in [
+        "0xFD2FB528",            # frame magic
+        "(size >> 1) + (size >> 3) + 3",   # FSE spread step
+        "rep = [1, 4, 8]",       # repeat-offset init
+        "65539",                 # ML_BASE tail (RFC table)
+        "fseReadCounts",         # FSE normalized-count parser
+        "hufReadWeights",        # huffman description parser
+        "needChecksum",          # split-checksum state
+    ]:
+        assert marker in js, f"html/zstd.js missing mirror marker {marker}"

@@ -249,6 +249,13 @@ async def check_waterfall(session, url, truth):
         dec = dobj.decompress
     except ImportError:
         dec = None
+    # live cross-check of the built-in frontend's from-scratch zstd
+    # decoder (html/zstd.js, via its Python mirror) on the real wire
+    try:
+        from tests.zstd_mirror import ZstdStream as MirrorZstd
+        mirror = MirrorZstd()
+    except ImportError:
+        mirror = None
     rows = 0
     async with session.ws_connect(url + "/waterfall",
                                   max_msg_size=1 << 22) as ws:
@@ -272,7 +279,13 @@ async def check_waterfall(session, url, truth):
                 continue
             # wire = zstd(CBOR{data, frame_num, l, r}): the whole CBOR
             # packet rides the per-client zstd stream
-            pkt = cbor_decode(dec(msg.data))
+            blob = dec(msg.data)
+            if mirror is not None:
+                got = mirror.push(msg.data)
+                assert got == blob, (
+                    "frontend zstd mirror diverged from libzstd on live "
+                    f"wire bytes ({len(got)} vs {len(blob)})")
+            pkt = cbor_decode(blob)
             rows += 1
             raw = np.frombuffer(bytes(pkt["data"]), dtype=np.int8)
             if not len(raw):

@@ -25,6 +25,7 @@ let viewL = 0, viewR = 0; // waterfall view window, full-res bins
 let audioWs = null, wfWs = null;
 let actx = null, gain = null, playCursor = 0;
 let flac = null, flacOk = true;
+let opusDec = null, opusTs = 0;  // WebCodecs AudioDecoder (opus mode)
 let muted = false;
 const others = new Map(); // uid -> mid bin of other listeners (/events)
 
@@ -110,6 +111,16 @@ function resample(f32, from, to) {
   return out;
 }
 
+function scheduleBuf(buf) {
+  const src = actx.createBufferSource();
+  src.buffer = buf;
+  src.connect(gain);
+  const now = actx.currentTime;
+  if (playCursor < now + 0.04) playCursor = now + 0.12;  // resync
+  src.start(playCursor);
+  playCursor += buf.duration;
+}
+
 function enqueuePcm(int32, channels) {
   if (!actx) return;
   const n = int32.length / channels;
@@ -123,13 +134,25 @@ function enqueuePcm(int32, channels) {
   }
   const buf = actx.createBuffer(channels, chans[0].length, actx.sampleRate);
   for (let c = 0; c < channels; c++) buf.copyToChannel(chans[c], c);
-  const src = actx.createBufferSource();
-  src.buffer = buf;
-  src.connect(gain);
-  const now = actx.currentTime;
-  if (playCursor < now + 0.04) playCursor = now + 0.12;  // resync
-  src.start(playCursor);
-  playCursor += buf.duration;
+  scheduleBuf(buf);
+}
+
+function enqueueAudioData(ad) {
+  // a decoded WebCodecs AudioData (opus mode): planar f32 per channel
+  if (!actx) { ad.close(); return; }
+  const n = ad.numberOfFrames, ch = ad.numberOfChannels;
+  if (!n) { ad.close(); return; }
+  const chans = [];
+  for (let c = 0; c < ch; c++) {
+    let f = new Float32Array(n);
+    ad.copyTo(f, { planeIndex: c, format: "f32-planar" });
+    f = resample(f, ad.sampleRate, actx.sampleRate);
+    chans.push(f);
+  }
+  ad.close();
+  const buf = actx.createBuffer(ch, chans[0].length, actx.sampleRate);
+  for (let c = 0; c < ch; c++) buf.copyToChannel(chans[c], c);
+  scheduleBuf(buf);
 }
 
 function updateSmeter(pwr) {
@@ -159,9 +182,16 @@ function connectAudio() {
     }
     const pkt = cborDecode(ev.data);
     if (typeof pkt.pwr === "number") updateSmeter(pkt.pwr);
-    if (flacOk && pkt.data && pkt.data.length) {
+    if (!pkt.data || !pkt.data.length) return;  // muted keep-alive
+    if (flacOk) {
       for (const pcm of flac.push(pkt.data))
         enqueuePcm(pcm, flac.channels);
+    } else if (opusDec && opusDec.state === "configured") {
+      // one raw opus packet per CBOR data field (20 ms frames);
+      // every opus packet is independently decodable -> type "key"
+      opusDec.decode(new EncodedAudioChunk(
+        { type: "key", timestamp: opusTs, data: pkt.data }));
+      opusTs += 20000;  // µs
     }
   };
   audioWs.onclose = () => { statusEl.textContent = "audio disconnected"; };
@@ -171,10 +201,25 @@ function onInfo(d) {
   info = d;
   flac = new FlacStream();
   flacOk = d.audio_compression === "flac";
-  if (!flacOk)
+  opusDec = null;
+  opusTs = 0;
+  if (!flacOk && d.audio_compression === "opus"
+      && typeof AudioDecoder === "function") {
+    opusDec = new AudioDecoder({
+      output: (ad) => enqueueAudioData(ad),
+      error: (e) => {
+        statusEl.textContent = "opus decode error: " + e.message;
+        opusDec = null;
+      },
+    });
+    // raw opus packets, no description: 48 kHz output per WebCodecs
+    opusDec.configure({ codec: "opus", sampleRate: 48000,
+                        numberOfChannels: d.audio_channels || 1 });
+  }
+  if (!flacOk && !opusDec)
     statusEl.textContent =
-      `audio is ${d.audio_compression}; built-in player decodes FLAC ` +
-      "only (S-meter/tuning still live)";
+      `audio is ${d.audio_compression}; no built-in decoder for it ` +
+      "in this browser (S-meter/tuning still live)";
   viewL = 0;
   viewR = d.fft_result_size;
   mBin = d.defaults.m || d.fft_result_size / 2;
@@ -183,7 +228,7 @@ function onInfo(d) {
     b.setAttribute("aria-pressed", String(b.dataset.mode === mode)));
   $("nr-wrap").hidden = !d.nr_available;
   $("rds-wrap").hidden = !d.rds_available;
-  if (flacOk) statusEl.textContent = "connected";  // keep opus notice
+  if (flacOk || opusDec) statusEl.textContent = "connected";
   $("info-line").textContent =
     `${(d.sps / 1e6).toFixed(2)} MSPS · fft ${d.fft_size} · ` +
     `audio ${d.audio_max_sps} Hz ${d.audio_channels === 2 ? "stereo" : "mono"}` +
@@ -386,7 +431,7 @@ function connectEvents() {
   ws.onmessage = (ev) => {
     try {
       const d = JSON.parse(ev.data);
-      if (typeof d.signal_clients === "number" && flacOk)
+      if (typeof d.signal_clients === "number" && (flacOk || opusDec))
         statusEl.textContent =
           `connected · ${d.signal_clients} listener` +
           (d.signal_clients === 1 ? "" : "s");

@@ -277,6 +277,60 @@ class OpusChunkEncoder:
             pass
 
 
+class OpusChunkDecoder:
+    """Decode the opus audio stream (one raw opus packet per CBOR
+    ``data`` field, OpusChunkEncoder above).  This is the Python
+    stand-in for the browser's WebCodecs AudioDecoder -- html/app.js
+    feeds the same packets to AudioDecoder({codec:"opus"}); tests and
+    tools/verify/client.py close the loop here at signal level
+    (reference browsers decode opus in their WASM module,
+    jsdsp/src/index.js:17-39)."""
+
+    def __init__(self, rate: int = 48000, channels: int = 1):
+        lib = _load_opus()
+        if not hasattr(lib, "_dec_proto"):
+            lib.opus_decoder_create.restype = ctypes.c_void_p
+            lib.opus_decoder_create.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+            lib.opus_decode.restype = ctypes.c_int
+            lib.opus_decode.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+            lib.opus_decoder_destroy.argtypes = [ctypes.c_void_p]
+            lib._dec_proto = True
+        self._lib = lib
+        self.rate = rate
+        self.channels = channels
+        err = ctypes.c_int(0)
+        self._dec = lib.opus_decoder_create(rate, channels,
+                                            ctypes.byref(err))
+        if err.value != 0 or not self._dec:
+            raise RuntimeError(f"opus_decoder_create failed: {err.value}")
+        # max opus frame: 120 ms
+        self._max = rate * 120 // 1000
+        self._buf = np.zeros(self._max * channels, np.int16)
+
+    def decode(self, packet: bytes) -> np.ndarray:
+        """One opus packet -> interleaved int16 PCM at self.rate."""
+        n = self._lib.opus_decode(
+            self._dec, packet, len(packet),
+            self._buf.ctypes.data, self._max, 0)
+        if n < 0:
+            raise RuntimeError(f"opus_decode rc={n}")
+        return self._buf[:n * self.channels].copy()
+
+    def close(self):
+        if self._dec:
+            self._lib.opus_decoder_destroy(self._dec)
+            self._dec = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 # --------------------------------------------------------------------- zstd
 
 class ZstdStream:

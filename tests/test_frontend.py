@@ -254,6 +254,57 @@ def test_cbor_dribble_reassembly():
     assert got[2]["l"] == 1024 and got[2]["r"] == 3072
 
 
+# ------------------------------------------------- opus player mirror
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_opus_player_mirror(channels):
+    """Mirror of html/app.js opus mode: each CBOR packet's data is ONE
+    raw opus packet fed to AudioDecoder({codec:"opus", sampleRate:
+    48000}) as an independently-decodable 'key' chunk.  Stand-in:
+    OpusChunkDecoder(48000) (same libopus the browser wraps).  The
+    encoded tone must come back at its frequency (and, for stereo, in
+    its channel)."""
+    from phantomsdr_tpu.runtime.codecs import (OpusChunkEncoder,
+                                               OpusChunkDecoder)
+
+    fs_in = 12000
+    n = fs_in  # 1 s
+    t = np.arange(n) / fs_in
+    tone = (9000 * np.sin(2 * np.pi * 700 * t)).astype(np.int16)
+    if channels == 2:
+        pcm = np.stack([tone, np.zeros_like(tone)], 1).reshape(-1)
+    else:
+        pcm = tone
+    enc = OpusChunkEncoder(fs_in, channels=channels)
+    packets = enc.process(pcm)        # = the CBOR data fields
+    assert len(packets) >= 40         # 20 ms frames
+    dec = OpusChunkDecoder(48000, channels)   # the JS config
+    out = np.concatenate([dec.decode(p) for p in packets])
+    dec.close()
+    enc.close()
+    x = out.reshape(-1, channels).astype(np.float64) / 32768.0
+    skip = x.shape[0] // 4            # codec warmup
+    spec = np.abs(np.fft.rfft(x[skip:, 0] * np.hanning(x.shape[0] - skip)))
+    freqs = np.fft.rfftfreq(x.shape[0] - skip, 1 / 48000)
+    f_peak = freqs[1 + int(np.argmax(spec[1:]))]
+    assert abs(f_peak - 700) < 15, f_peak
+    if channels == 2:
+        # left-only tone stays left through the opus loop (>20 dB)
+        pl = np.mean(x[skip:, 0] ** 2)
+        pr = np.mean(x[skip:, 1] ** 2)
+        assert pl > 100 * pr, (pl, pr)
+
+
+def test_opus_player_js_markers():
+    """app.js must wire the opus path the way the mirror models it."""
+    app = (HTML / "app.js").read_text()
+    assert 'codec: "opus", sampleRate: 48000' in app
+    assert "EncodedAudioChunk" in app
+    assert 'type: "key"' in app          # every opus packet standalone
+    assert "enqueueAudioData" in app
+    assert 'f32-planar' in app
+
+
 # ------------------------------------------------- shipped-file checks
 
 def test_frontend_is_self_contained():

@@ -71,13 +71,14 @@ def _config(out: Path, port: int, sps: int, fft_size: int, audio_sps: int,
             extra_input: dict | None = None, modulation: str = "WBFM",
             frequency: int = 98_000_000,
             default_frequency: int = 0, mesh: int = 0,
-            wf_compression: str = "zstd") -> None:
+            wf_compression: str = "zstd",
+            audio_compression: str = "flac") -> None:
     lines = [
         "[server]", f"port = {port}", 'html_root = "html/"',
         "otherusers = 1", "",
         "[input]", f"sps = {sps}", f"fft_size = {fft_size}",
         f"frequency = {frequency}", 'signal = "iq"',
-        f"audio_sps = {audio_sps}", 'audio_compression = "flac"',
+        f"audio_sps = {audio_sps}", f'audio_compression = "{audio_compression}"',
         f'waterfall_compression = "{wf_compression}"', "waterfall_size = 1024",
     ]
     for k, v in (extra_input or {}).items():
@@ -124,7 +125,8 @@ def _stereo_mpx(n: int, fs: int = FS_MPX) -> np.ndarray:
 
 def make(variant: str, out: Path, port: int, secs: float,
          fft_override: int = 0, mesh: int = 0,
-         wf_compression: str = "zstd") -> dict:
+         wf_compression: str = "zstd",
+         audio_compression: str = "flac") -> dict:
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(7)
     truth: dict = {"variant": variant, "port": port}
@@ -157,6 +159,7 @@ def make(variant: str, out: Path, port: int, secs: float,
         _config(out, port, sps, fft, 12_000, extra_input=extra,
                 modulation="AM", mesh=mesh,
                 wf_compression=wf_compression,
+                audio_compression=audio_compression,
                 default_frequency=98_000_000 + sps // 2 + int(round(f_off)))
         truth.update(f_off_hz=f_off, tone_hz=1000.0, sps=sps,
                      fft_size=fft, audio_sps=12_000)
@@ -248,6 +251,10 @@ def main() -> None:
     ap.add_argument("--mesh", type=int, default=0,
                     help="emit a [tpu] mesh_devices=N config (drive "
                          "with --platform cpu --cpu-devices N)")
+    ap.add_argument("--audio-compression", choices=("flac", "opus"),
+                    default="flac",
+                    help="audio codec (opus: client.py decodes with "
+                         "the libopus binding, the WebCodecs stand-in)")
     ap.add_argument("--wf-compression", choices=("zstd", "av1"),
                     default="zstd",
                     help="waterfall codec (av1: client.py decodes via "
@@ -258,7 +265,8 @@ def main() -> None:
                          "verify skill for the two launch lines)")
     args = ap.parse_args()
     truth = make(args.variant, Path(args.out), args.port, args.secs,
-                 args.fft_size, args.mesh, args.wf_compression)
+                 args.fft_size, args.mesh, args.wf_compression,
+                 args.audio_compression)
     if args.cluster:
         cfg = (Path(args.out) / "config.toml").read_text()
         (Path(args.out) / "config_follower.toml").write_text(

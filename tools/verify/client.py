@@ -97,11 +97,26 @@ def _cb(b: bytes, p: int):
 
 # ------------------------------------------------------ audio helpers
 
-def decode_audio(chunks: list[bytes], channels: int, trim: int = 0):
-    """Decode the reassembled FLAC stream; `trim` discards that many
-    leading samples per channel (PLL lock / AGC ramp settle)."""
-    from tests.test_codecs import decode_flac
-    sr, samples = decode_flac(b"".join(chunks))
+def decode_audio(chunks: list[bytes], channels: int, trim: int = 0,
+                 compression: str = "flac"):
+    """Decode the audio stream; `trim` discards that many leading
+    samples per channel (PLL lock / AGC ramp settle).  FLAC: reassemble
+    the stream and decode (tests/test_codecs).  Opus: one raw opus
+    packet per CBOR data field, decoded at 48 kHz with the libopus
+    binding -- the exact flow html/app.js runs through WebCodecs
+    AudioDecoder."""
+    if compression == "opus":
+        from phantomsdr_tpu.runtime.codecs import OpusChunkDecoder
+
+        dec = OpusChunkDecoder(48000, channels)
+        pcm = [dec.decode(bytes(c)) for c in chunks if len(c)]
+        dec.close()
+        samples = (np.concatenate(pcm) if pcm
+                   else np.zeros(0, np.int16))
+        sr = 48000
+    else:
+        from tests.test_codecs import decode_flac
+        sr, samples = decode_flac(b"".join(chunks))
     x = samples.astype(np.float64) / 32768.0
     if channels == 2:
         return sr, x[0::2][trim:], x[1::2][trim:]
@@ -349,10 +364,13 @@ async def run(args):
         ch = info.get("audio_channels", 1)
 
         if variant == "tone":
+            comp = info.get("audio_compression", "flac")
+            dec_fs = 48000 if comp == "opus" else fs
             cmds = _audio_cmds(info, truth, "AM")
             _, chunks = await collect_audio(
                 s, url, args.secs, cmds, probes=True, settle=1.0)
-            sr, x, _ = decode_audio(chunks, 1, int(1.0 * fs))
+            sr, x, _ = decode_audio(chunks, 1, int(1.0 * dec_fs), comp)
+            fs = dec_fs
             w = np.hanning(len(x))
             spec = np.abs(np.fft.rfft((x - x.mean()) * w))
             freqs = np.fft.rfftfreq(len(x), 1.0 / fs)

@@ -28,6 +28,7 @@ let flac = null, flacOk = true;
 let opusDec = null, opusTs = 0;  // WebCodecs AudioDecoder (opus mode)
 let muted = false;
 const others = new Map(); // uid -> mid bin of other listeners (/events)
+let stations = [];        // shortwavestations.json rows {f,d,m}, by f
 
 // ------------------------------------------------------------ helpers
 
@@ -67,6 +68,30 @@ function windowFor(m, md) {
 function binToHz(bin) {
   return info.basefreq
     + bin * (info.total_bandwidth / info.fft_result_size);
+}
+
+function hzToBin(hz) {
+  return (hz - info.basefreq) * info.fft_result_size
+    / info.total_bandwidth;
+}
+
+// stations within the current view, with label election: a label is
+// drawn only if it sits >= minPx from the previously elected one
+// (ticks always draw).  Mirrored by tests/test_frontend.py.
+function stationsInView(minPx, widthPx) {
+  const out = [];
+  if (!info || viewR <= viewL) return out;
+  const sx = widthPx / (viewR - viewL);
+  let lastX = -1e9;
+  for (const s of stations) {
+    const b = hzToBin(s.f);
+    if (b < viewL || b > viewR) continue;
+    const x = (b - viewL) * sx;
+    const labeled = x - lastX >= minPx;
+    if (labeled) lastX = x;
+    out.push({ x, labeled, name: String(s.d).split("\n")[0].slice(0, 18) });
+  }
+  return out;
 }
 
 function updateReadout() {
@@ -343,6 +368,27 @@ function drawPassband() {
              Math.max(1, (w.r - w.l) * sx), pb.height);
   c.fillStyle = "#7cacf8";
   c.fillRect((mBin - viewL) * sx - 1, 0, 2, pb.height);
+  // station labels (shortwavestations.json, when present): ticks for
+  // every station in view, names where they fit
+  const sv = stationsInView(70, rowLen);
+  c.font = "10px system-ui, sans-serif";
+  for (const s of sv) {
+    c.fillStyle = "rgba(236,200,120,0.8)";
+    c.fillRect(s.x, 0, 1, 6);
+    if (s.labeled) c.fillText(s.name, s.x + 3, 10);
+  }
+}
+
+function loadStations() {
+  fetch("shortwavestations.json")
+    .then((r) => (r.ok ? r.json() : []))
+    .then((rows) => {
+      if (Array.isArray(rows)) {
+        stations = rows;
+        drawPassband();
+      }
+    })
+    .catch(() => {});  // absent DB: no labels (air-gapped default)
 }
 
 function setView(l, r) {
@@ -526,6 +572,71 @@ function bindUI() {
   });
   $("amsync").addEventListener("change", () =>
     sendCmd({ cmd: "am_sync", enabled: $("amsync").checked }));
+
+  window.addEventListener("keydown", onKeyTune);
+}
+
+// ------------------------------------------------------ keyboard tuning
+
+// Hz per arrow-key press, by mode (x10 with Shift).  Mirrored by
+// tests/test_frontend.py.
+const TUNE_STEP_HZ = { USB: 100, LSB: 100, AM: 1000, FM: 2500,
+                       WBFM: 100000 };
+
+function tuneStepBins(md, shift) {
+  return Math.max(1, offBins(TUNE_STEP_HZ[md] * (shift ? 10 : 1)));
+}
+
+function ensureInView() {
+  if (mBin >= viewL && mBin <= viewR) return;
+  const span = viewR - viewL;
+  setView(mBin - span / 2, mBin + span / 2);
+}
+
+// next (dir=+1) / previous (dir=-1) station bin after mBin, or null
+function nextStationBin(dir) {
+  let best = null;
+  for (const s of stations) {
+    const b = hzToBin(s.f);
+    if (b < 0 || b > info.fft_result_size) continue;
+    if (dir > 0 ? b > mBin + 1 : b < mBin - 1) {
+      if (best === null || (dir > 0 ? b < best : b > best)) best = b;
+    }
+  }
+  return best;
+}
+
+function onKeyTune(ev) {
+  if (!info) return;
+  const t = ev.target;
+  if (t && (t.tagName === "INPUT" || t.tagName === "TEXTAREA")) return;
+  const R = info.fft_result_size;
+  if (ev.key === "ArrowLeft" || ev.key === "ArrowRight") {
+    const d = (ev.key === "ArrowRight" ? 1 : -1)
+      * tuneStepBins(mode, ev.shiftKey);
+    mBin = Math.max(0, Math.min(R, mBin + d));
+    sendTune();
+    ensureInView();
+    drawPassband();
+  } else if (ev.key === "PageDown" || ev.key === "PageUp"
+             || "[]".indexOf(ev.key) >= 0) {
+    const dir = (ev.key === "PageDown" || "[]".indexOf(ev.key) === 1)
+      ? 1 : -1;
+    const b = nextStationBin(dir);
+    if (b !== null) {
+      mBin = b;
+      sendTune();
+      ensureInView();
+      drawPassband();
+    }
+  } else if (ev.key === "+" || ev.key === "=" || ev.key === "-") {
+    const f = ev.key === "-" ? 1.6 : 0.625;
+    const span = (viewR - viewL) * f;
+    setView(mBin - span / 2, mBin + span / 2);
+  } else {
+    return;
+  }
+  ev.preventDefault();
 }
 
 function drawScale() {
@@ -543,4 +654,5 @@ function drawScale() {
 }
 
 bindUI();
+loadStations();
 connectAudio();

@@ -396,6 +396,97 @@ def test_window_for_mirror_matches_js():
     assert "mi - Math.floor(a / 2)" in app
 
 
+# ------------------------------- station labels + keyboard tuning mirror
+# Python mirrors of app.js stationsInView()/nextStationBin()/
+# tuneStepBins().  Keep in sync with the JS.
+
+def _hz_to_bin(info, hz):
+    return (hz - info["basefreq"]) * info["fft_result_size"] \
+        / info["total_bandwidth"]
+
+
+def _stations_in_view(info, stations, view_l, view_r, min_px, width_px):
+    out = []
+    sx = width_px / (view_r - view_l)
+    last_x = -1e9
+    for s in stations:
+        b = _hz_to_bin(info, s["f"])
+        if b < view_l or b > view_r:
+            continue
+        x = (b - view_l) * sx
+        labeled = x - last_x >= min_px
+        if labeled:
+            last_x = x
+        out.append({"x": x, "labeled": labeled,
+                    "name": str(s["d"]).split("\n")[0][:18]})
+    return out
+
+
+def _next_station_bin(info, stations, m_bin, direction):
+    best = None
+    for s in stations:
+        b = _hz_to_bin(info, s["f"])
+        if b < 0 or b > info["fft_result_size"]:
+            continue
+        if (b > m_bin + 1) if direction > 0 else (b < m_bin - 1):
+            if best is None or ((b < best) if direction > 0 else (b > best)):
+                best = b
+    return best
+
+
+_INFO = {"fft_result_size": 1 << 16, "total_bandwidth": 30_000_000,
+         "basefreq": 0}
+
+
+def test_station_labels_in_view():
+    """Ticks for every in-view station; names elected with min pixel
+    spacing so a crowded band degrades to ticks, not overdraw."""
+    stations = [{"f": f, "d": f"Station {i}\nsecond line", "m": "AM"}
+                for i, f in enumerate(range(5_950_000, 6_200_000, 5_000))]
+    # zoomed out: all 50 get ticks, labels are thinned by spacing
+    sv = _stations_in_view(_INFO, stations, 12000, 14000, 70, 1024)
+    in_view = [s for s in stations
+               if 12000 <= _hz_to_bin(_INFO, s["f"]) <= 14000]
+    assert len(sv) == len(in_view) > 10
+    labeled = [s for s in sv if s["labeled"]]
+    assert 0 < len(labeled) < len(sv)
+    xs = [s["x"] for s in labeled]
+    assert all(b - a >= 70 for a, b in zip(xs, xs[1:]))
+    # first line only, truncated
+    assert all("\n" not in s["name"] and len(s["name"]) <= 18 for s in sv)
+    # zoomed in tight: the lone station in view is labeled
+    b = _hz_to_bin(_INFO, stations[10]["f"])
+    one = _stations_in_view(_INFO, stations, b - 2, b + 2, 70, 1024)
+    assert len(one) == 1 and one[0]["labeled"]
+
+
+def test_station_jump_next_prev():
+    stations = [{"f": f, "d": "x", "m": "AM"}
+                for f in (5_000_000, 6_000_000, 7_000_000)]
+    m = _hz_to_bin(_INFO, 6_000_000)
+    nxt = _next_station_bin(_INFO, stations, m, +1)
+    prv = _next_station_bin(_INFO, stations, m, -1)
+    assert nxt == pytest.approx(_hz_to_bin(_INFO, 7_000_000))
+    assert prv == pytest.approx(_hz_to_bin(_INFO, 5_000_000))
+    # at the band edges: no wraparound
+    assert _next_station_bin(_INFO, stations,
+                             _hz_to_bin(_INFO, 7_000_000), +1) is None
+    assert _next_station_bin(_INFO, stations,
+                             _hz_to_bin(_INFO, 5_000_000), -1) is None
+
+
+def test_keyboard_tuning_js_markers():
+    app = (HTML / "app.js").read_text()
+    assert "shortwavestations.json" in app     # DB consumed by the UI
+    assert "stationsInView" in app and "nextStationBin" in app
+    assert "TUNE_STEP_HZ" in app and "keydown" in app
+    # step table: mode-dependent Hz steps, shift multiplies
+    assert "USB: 100" in app and "WBFM: 100000" in app
+    assert "shift ? 10 : 1" in app
+    idx = (HTML / "index.html").read_text()
+    assert "keys-help" in idx                  # discoverability
+
+
 def test_frontend_commands_match_server_surface():
     """Every cmd the frontend sends is one the server handles."""
     app = (HTML / "app.js").read_text()

@@ -93,6 +93,12 @@ def main():
                     help="also profile the opt-in stages (WBFM stereo, "
                          "the three noise processors, RDS) at the "
                          "192 kHz WBFM-profile block shape")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="measure the channel-sharded e2e step on an "
+                         "N-device mesh instead of the per-stage table "
+                         "(CPU: combine with --platform cpu and "
+                         "XLA_FLAGS=--xla_force_host_platform_device_"
+                         "count=N; hops/channels must divide by N)")
     args = ap.parse_args()
 
     import jax
@@ -136,6 +142,49 @@ def main():
     dev = jax.devices()[0]
     print(f"# profiling on {dev} fft=2^{args.fft_log2} B={b} C={c}",
           file=sys.stderr, flush=True)
+
+    if args.mesh:
+        # ---- channel-sharded mesh scaling row (VERDICT r3 item 7) ----
+        # e2e sharded step only: per-stage fori_loop slopes don't
+        # compose with shard_map, and the scaling signal is the step.
+        from phantomsdr_tpu.parallel.sharded import (
+            ShardedHopPipeline, make_mesh,
+        )
+        from phantomsdr_tpu.pipeline import channels_from_numpy
+
+        mesh = make_mesh(args.mesh)
+        sp = ShardedHopPipeline(cfg, mesh)
+        l64 = np.linspace(1000, r - 2000, c).astype(np.int64)
+        table = channels_from_numpy(
+            l=l64, r=l64 + min(a, 300), m_idx=l64 + min(a, 300) // 2,
+            mode=np.arange(c) % 4, active=np.ones(c, bool))
+        rng_ = np.random.default_rng(0)
+        raws = [rng_.integers(0, 256, size=b * sp.wire_per_hop,
+                              dtype=np.uint8) for _ in range(2)]
+        state = sp.init_state()
+        state, out = sp.step(state, jnp.asarray(sp.shard_raw(raws[0])),
+                             table, waterfall="views")
+        jax.block_until_ready(out.packed)
+        times = []
+        for i in range(8):
+            t0 = time.monotonic()
+            state, out = sp.step(
+                state, jnp.asarray(sp.shard_raw(raws[i % 2])), table,
+                waterfall="views")
+            jax.block_until_ready(out.packed)
+            times.append(time.monotonic() - t0)
+        times.sort()
+        res = {"config": {
+            "fft_size": cfg.fft_size, "hop_batch": b, "channels": c,
+            "mesh_devices": args.mesh, "device": str(dev),
+            "backend": jax.default_backend(),
+        }, "step_ms_sharded_p50": round(times[len(times) // 2] * 1e3, 2),
+            "step_ms_sharded_min": round(times[0] * 1e3, 2),
+            "samples_per_step": b * cfg.hop_size}
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=1)
+        print(json.dumps(res, indent=1))
+        return
 
     # ---- stage inputs (device-resident, created via jit) ----
     n_cplx = (b + 1) * cfg.hop_size

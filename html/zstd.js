@@ -356,13 +356,25 @@ class ZstdStream {
     const last = h & 1;
     const btype = (h >> 1) & 3;
     const bsize = h >> 3;
+    if (btype !== 0 && bsize > 1 << 17)
+      // Block_Maximum_Size: regenerated size <= 128 kB (raw blocks
+      // are bounded by the wire bytes themselves)
+      throw new ZstdError("block size exceeds 128 kB");
     const body = btype === 1 ? 1 : bsize;
     if (b.length < 3 + body) return false;
     let dec;
     if (btype === 0) dec = Array.from(b.subarray(3, 3 + bsize));
     else if (btype === 1) dec = new Array(bsize).fill(b[3]);
-    else if (btype === 2) dec = this._compressedBlock(b, 3, 3 + bsize);
-    else throw new ZstdError("reserved block type");
+    else if (btype === 2) {
+      try {
+        dec = this._compressedBlock(b, 3, 3 + bsize);
+      } catch (e) {
+        // corrupt lengths walking off the block: surface every parse
+        // failure as ZstdError (fuzz-pinned via the Python mirror)
+        if (e instanceof ZstdError) throw e;
+        throw new ZstdError("corrupt block (" + e + ")");
+      }
+    } else throw new ZstdError("reserved block type");
     for (const x of dec) { out.push(x); this.hist.push(x); }
     if (this.windowSize && this.hist.length > 2 * this.windowSize)
       this.hist = this.hist.slice(this.hist.length - this.windowSize);
@@ -512,6 +524,8 @@ class ZstdStream {
         }
       }
       if (lpos + llen > lits.length) throw new ZstdError("literals overrun");
+      if (out.length + llen + mlen > 1 << 17)  // zstd block max 128 kB
+        throw new ZstdError("block output exceeds 128 kB");
       for (let k = 0; k < llen; k++) out.push(lits[lpos + k]);
       lpos += llen;
       if (off > hlen + out.length)

@@ -155,6 +155,26 @@ def test_incompressible_multiblock():
     assert ZstdStream().push(wire) == data
 
 
+def test_fuzz_corruption_is_contained():
+    """Single-byte corruptions of valid wire bytes must either decode
+    (the byte was don't-care / produced consistent-but-wrong output)
+    or raise ZstdError -- never an uncontrolled exception, and never
+    unbounded output (128 kB/block cap)."""
+    rng = np.random.default_rng(9)
+    data = b"the quick brown fox " * 300
+    wire = bytearray(zstandard.compress(data, 3))
+    for _ in range(600):
+        w = bytearray(wire)
+        i = int(rng.integers(4, len(w)))  # keep the magic intact
+        w[i] = int(rng.integers(0, 256))
+        d = ZstdStream()
+        try:
+            out = d.push(bytes(w))
+            assert len(out) <= (1 << 17) + len(data)
+        except ZstdError:
+            pass
+
+
 def test_mirror_matches_js():
     """The shipped html/zstd.js must textually track this mirror's
     structure (no JS runtime in this image to execute it)."""

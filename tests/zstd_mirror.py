@@ -410,6 +410,10 @@ class ZstdStream:
         last = h & 1
         btype = (h >> 1) & 3
         bsize = h >> 3
+        if btype != 0 and bsize > 1 << 17:
+            # Block_Maximum_Size: regenerated size <= 128 kB (raw
+            # blocks are bounded by the wire bytes themselves)
+            raise ZstdError("block size exceeds 128 kB")
         body = 1 if btype == 1 else bsize
         if len(b) < 3 + body:
             return False
@@ -418,7 +422,14 @@ class ZstdStream:
         elif btype == 1:  # RLE
             dec = bytes([b[3]]) * bsize
         elif btype == 2:
-            dec = self._compressed_block(b, 3, 3 + bsize)
+            try:
+                dec = self._compressed_block(b, 3, 3 + bsize)
+            except ZstdError:
+                raise
+            except (IndexError, ValueError, OverflowError) as e:
+                # corrupt lengths walking off the block: surface every
+                # parse failure as ZstdError (fuzz-pinned)
+                raise ZstdError(f"corrupt block ({e!r})") from e
         else:
             raise ZstdError("reserved block type")
         out += dec
@@ -594,6 +605,8 @@ class ZstdStream:
                     rep[0] = off
             if lpos + llen > len(lits):
                 raise ZstdError("literals overrun")
+            if len(out) + llen + mlen > 1 << 17:  # zstd block max 128 kB
+                raise ZstdError("block output exceeds 128 kB")
             out += lits[lpos:lpos + llen]
             lpos += llen
             if off > hlen + len(out):

@@ -109,9 +109,53 @@ def _sliding_max_abs(y: jnp.ndarray, w: int, out_len: int) -> jnp.ndarray:
     """max |y[..., i : i+w]| for i in [0, out_len) via block prefix/suffix max.
 
     y: [..., M] with M >= out_len + w - 1.
+
+    Two formulations, both exact; picked statically by shape:
+
+    - w > out_len (the production case: AGC look-ahead w = 200 ms of
+      audio >> out_len = one hop of samples): block by OUT_LEN.  The
+      window [i, i+w) then always covers the tail of block 0
+      (suffix-cummax over out_len lanes), a run of FULLY-covered
+      interior blocks (plain per-block max + one tiny cummax over the
+      block axis), and a partial final block k1 = (i+w-1)//out_len
+      which takes at most two distinct values over i (prefix-cummax of
+      those <=2 blocks; the per-i position (i+w-1) % out_len is a
+      static lane rotation).  Lane-axis cummax work drops from
+      O(nblocks*w) lanes to O(3*out_len): measured 15.4 -> sub-ms at
+      [18*2048, 180] with w=2400 on a v5e (PERF.md round 4; the old
+      blocking made the AGC the scaling bottleneck past 1024 channels).
+    - w <= out_len: the original block-by-w prefix/suffix scheme.
     """
     a = jnp.abs(y)
     m = a.shape[-1]
+
+    if w > out_len > 0:
+        ln = out_len
+        nblocks = -(-m // ln)
+        pad = nblocks * ln - m
+        if pad:
+            neg = jnp.full(a.shape[:-1] + (pad,), -1.0, a.dtype)
+            a = jnp.concatenate([a, neg], axis=-1)
+        ab = a.reshape(a.shape[:-1] + (nblocks, ln))
+        lastx = a.ndim - 1  # lax.cummax rejects negative axes
+        suffix0 = jax.lax.cummax(ab[..., 0, ::-1], axis=lastx)[..., ::-1]
+        block_max = jnp.max(ab, axis=-1)              # [..., nblocks]
+        k1 = (np.arange(ln) + w - 1) // ln            # static, <=2 values
+        shift = (w - 1) % ln
+        out = suffix0
+        for kv in np.unique(k1):
+            pref = jax.lax.cummax(ab[..., int(kv), :], axis=lastx)
+            pref_r = jnp.roll(pref, -shift, axis=-1)  # pref[(i+w-1) % ln]
+            if kv >= 2:
+                interior = jnp.max(block_max[..., 1:int(kv)], axis=-1,
+                                   keepdims=True)
+                cand = jnp.maximum(pref_r, interior)
+            else:
+                cand = pref_r
+            out = jnp.where(jnp.asarray(k1 == kv), jnp.maximum(out, cand),
+                            out)
+        return out
+
     nblocks = -(-m // w)
     pad = nblocks * w - m
     neg = jnp.full(a.shape[:-1] + (pad,), -1.0, a.dtype)

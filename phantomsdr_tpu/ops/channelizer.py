@@ -342,6 +342,7 @@ def demodulate_batch(
     is_real: bool,
     am_sync: bool = False,
     carrier_cutoff: int = 0,
+    fusion_barriers: bool | None = None,
 ) -> tuple[ChannelState, jnp.ndarray, jnp.ndarray]:
     """All-hops batched demodulation: [B, R+A] -> (state,
     audio [B, C, A/2], avg_power [B, C]).
@@ -361,6 +362,18 @@ def demodulate_batch(
     half = a // 2
     b = spec_ext.shape[0]
     c = chans.l.shape[0]
+
+    # Above ~1024 channels XLA's fused gather+IFFT+demod mega-kernel
+    # leaves the VMEM-friendly regime and the composed stage goes
+    # super-linear (12.3 -> 40.6 ms for 1024 -> 2048 on a v5e) while
+    # every sub-stage stays linear in isolation (PERF.md round-4
+    # scaling section; tools/chunk_exp.py).  Materialization barriers
+    # at the gather->IFFT and IFFT->demod-math seams keep the fusions
+    # sized to what was measured linear.  Semantically the identity.
+    if fusion_barriers is None:
+        fusion_barriers = c > 1024
+    barrier = (jax.lax.optimization_barrier if fusion_barriers
+               else (lambda x: x))
 
     start = (chans.l + base_idx) % fft_result_size
     audio_r = chans.r - chans.l
@@ -387,8 +400,8 @@ def demodulate_batch(
     is_lsb = (chans.mode == MODE_LSB)[:, None]
     ssb_rel = jnp.where(is_lsb, lsb_rel, usb_rel)
     ssb_valid = (ssb_rel >= 0) & (ssb_rel < audio_r[:, None])
-    ssb_bins = gather(ssb_rel, ssb_valid)                # [B, C, A/2+1]
-    ssb_wave = jnp.fft.irfft(ssb_bins, n=a) * a          # [B, C, A]
+    ssb_bins = barrier(gather(ssb_rel, ssb_valid))       # [B, C, A/2+1]
+    ssb_wave = barrier(jnp.fft.irfft(ssb_bins, n=a) * a)  # [B, C, A]
     ssb_wave = jnp.where(is_lsb[None], ssb_wave[..., ::-1], ssb_wave)
 
     # ---- AM/FM bins + batched c2c IFFT (signal.cpp:173-214) ----
@@ -400,8 +413,8 @@ def demodulate_batch(
     cplx_rel = jnp.where(is_pos, pos_rel, neg_rel)
     cplx_valid = ((is_pos | is_neg) & (cplx_rel >= 0)
                   & (cplx_rel < audio_r[:, None]))
-    cplx_bins = gather(cplx_rel, cplx_valid)             # [B, C, A]
-    cplx_wave = jnp.fft.ifft(cplx_bins) * a
+    cplx_bins = barrier(gather(cplx_rel, cplx_valid))    # [B, C, A]
+    cplx_wave = barrier(jnp.fft.ifft(cplx_bins) * a)
 
     # ---- parity fix-up, vectorized over hops (signal.cpp:160-168) ----
     m_even = (chans.m_idx % 2) == 0

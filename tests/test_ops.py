@@ -140,3 +140,34 @@ def test_forward_spectrum(is_real):
     wf = frames * np.asarray(w)
     want = np.stack([oracle.forward_spectrum(wf[i], is_real) for i in range(2)])
     np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-4)
+
+
+def test_sliding_max_abs_exact():
+    """Both _sliding_max_abs formulations (block-by-out_len for the
+    production w > out_len case, block-by-w otherwise) must equal the
+    brute-force sliding window max exactly -- the AGC look-ahead peak
+    feeds the gain recursion, so any off-by-one shows up as gain
+    pumping.  (The w > out_len path is the round-4 rewrite that cut
+    lane-axis cummax work ~13x at 2048 channels, PERF.md.)"""
+    import jax.numpy as jnp
+    from phantomsdr_tpu.ops.agc import _sliding_max_abs
+
+    rng = np.random.default_rng(3)
+
+    def brute(y, w, out_len):
+        a = np.abs(y)
+        return np.stack([a[..., i:i + w].max(-1) for i in range(out_len)],
+                        -1)
+
+    cases = [(int(rng.integers(1, 40)), int(rng.integers(1, 90)),
+              int(rng.integers(0, 30))) for _ in range(60)]
+    # production-like and boundary shapes (w == out_len +- 1 crosses
+    # the formulation switch)
+    cases += [(180, 2400, 0), (1024, 38400, 0), (180, 7, 0),
+              (180, 180, 0), (180, 181, 0), (1, 1, 0), (3, 500, 11)]
+    for out_len, w, extra in cases:
+        m = out_len + w - 1 + extra
+        y = rng.standard_normal((3, m)).astype(np.float32)
+        got = np.asarray(_sliding_max_abs(jnp.asarray(y), w, out_len))
+        np.testing.assert_array_equal(got, brute(y, w, out_len),
+                                      err_msg=f"w={w} L={out_len} m={m}")

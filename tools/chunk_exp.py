@@ -30,6 +30,15 @@ def main():
                     default=[1024, 1536, 2048])
     ap.add_argument("--chunks", type=int, nargs="*", default=[0, 1024, 512],
                     help="0 = unchunked")
+    ap.add_argument("--sub", action="store_true",
+                    help="measure demod SUB-stages (gather / irfft / "
+                         "ifft / rest) instead of chunk variants")
+    ap.add_argument("--barrier", action="store_true",
+                    help="measure composed demod with fusion_barriers "
+                         "False vs True")
+    ap.add_argument("--dcagc", action="store_true",
+                    help="measure the dc+agc stage with/without a "
+                         "barrier between the two and around peaks")
     ap.add_argument("--out", default="/tmp/chunk_exp.json")
     args = ap.parse_args()
 
@@ -81,6 +90,173 @@ def main():
             pll_phase=np.zeros((c,), np.float32),
             pll_freq=np.zeros((c,), np.float32),
         )
+
+        if args.barrier:
+            for fb in (False, True):
+                def s_demod(s, fb_=fb):
+                    se = extend_spectrum(s, cfg.is_real, r, a)
+                    _, audio, _ = demodulate_batch(
+                        se, table, st, jnp.int32(0), audio_fft_size=a,
+                        fft_result_size=r, base_idx=cfg.base_idx,
+                        is_real=cfg.is_real, fusion_barriers=fb_)
+                    return audio
+
+                t = slope(s_demod, lambda y: jnp.sum(y), spec, args.kbig)
+                key = f"demod_c{c}_barrier{int(fb)}"
+                results[key] = round(t * 1e3, 3)
+                print(key, results[key], flush=True)
+            continue
+
+        if args.dcagc:
+            agc_params = make_agc_params(cfg.audio_sps)
+            dc_delay = dc_blocker_delay(cfg.audio_sps)
+            audio_blk = jax.jit(
+                lambda k: jax.random.normal(k, (b, c, half)))(
+                    jax.random.PRNGKey(2))
+            jax.block_until_ready(audio_blk)
+
+            def make(bar_mid):
+                def s(ab):
+                    def hop_body(carry, x):
+                        dc_st, agc_st = carry
+                        dc_st, y = dc_blocker(dc_st, x, dc_delay)
+                        if bar_mid:
+                            y = jax.lax.optimization_barrier(y)
+                        agc_st, y = agc_process(agc_st, y, agc_params)
+                        return (dc_st, agc_st), y
+
+                    _, out = jax.lax.scan(
+                        hop_body, (init_dc_state(c, dc_delay),
+                                   init_agc_state(c, agc_params.window)),
+                        ab)
+                    return out
+                return s
+
+            for name, bar in (("plain", False), ("mid", True)):
+                t = slope(make(bar), lambda y: jnp.sum(y), audio_blk,
+                          args.kbig)
+                key = f"dcagc_c{c}_{name}"
+                results[key] = round(t * 1e3, 3)
+                print(key, results[key], flush=True)
+
+            # decomposition: dc alone / agc alone, scanned over hops
+            from phantomsdr_tpu.ops.agc import _sliding_max_abs
+
+            def s_dc(ab):
+                def hop_body(dc_st, x):
+                    dc_st, y = dc_blocker(dc_st, x, dc_delay)
+                    return dc_st, y
+                _, out = jax.lax.scan(hop_body,
+                                      init_dc_state(c, dc_delay), ab)
+                return out
+
+            def s_agc(ab):
+                def hop_body(agc_st, x):
+                    agc_st, y = agc_process(agc_st, x, agc_params)
+                    return agc_st, y
+                _, out = jax.lax.scan(
+                    hop_body, init_agc_state(c, agc_params.window), ab)
+                return out
+
+            def s_slidemax(ab):
+                w = agc_params.window
+                tail = np.zeros((c, w - 1), np.float32)
+                def hop_body(carry, x):
+                    y = jnp.concatenate([carry, x], axis=-1)
+                    return y[..., -(w - 1):], _sliding_max_abs(
+                        y, w, x.shape[-1])
+                _, out = jax.lax.scan(hop_body, jnp.asarray(tail), ab)
+                return out
+
+            for name, fn in (("dconly", s_dc), ("agconly", s_agc),
+                             ("slidemax", s_slidemax)):
+                t = slope(fn, lambda y: jnp.sum(y), audio_blk, args.kbig)
+                key = f"dcagc_c{c}_{name}"
+                results[key] = round(t * 1e3, 3)
+                print(key, results[key], flush=True)
+            continue
+
+        if args.sub:
+            import jax.numpy as jnp2  # noqa: F401
+
+            half_ = half
+            start = (table.l + cfg.base_idx) % r
+            m_rel = table.m_idx - table.l
+            audio_r = table.r - table.l
+            k_r = np.arange(half_ + 1, dtype=np.int32)
+            usb_rel = m_rel[:, None] + k_r[None, :]
+            ssb_valid = (usb_rel >= 0) & (usb_rel < audio_r[:, None])
+
+            def s_gather(s):
+                se = extend_spectrum(s, cfg.is_real, r, a)
+                safe = jnp.clip(start[:, None] + usb_rel, 0,
+                                se.shape[-1] - 1)
+                vals = se[:, safe]
+                return jnp.where(ssb_valid[None], vals,
+                                 jnp.zeros((), se.dtype))
+
+            t = slope(s_gather, lambda y: jnp.sum(jnp.real(y)), spec,
+                      args.kbig)
+            results[f"sub_gather_c{c}"] = round(t * 1e3, 3)
+            print(f"sub_gather_c{c}", results[f"sub_gather_c{c}"],
+                  flush=True)
+
+            bins = jax.jit(lambda k: jax.lax.complex(
+                jax.random.normal(k, (b, c, half_ + 1)),
+                jax.random.normal(k, (b, c, half_ + 1))))(
+                    jax.random.PRNGKey(5))
+            binsc = jax.jit(lambda k: jax.lax.complex(
+                jax.random.normal(k, (b, c, a)),
+                jax.random.normal(k, (b, c, a))))(jax.random.PRNGKey(6))
+            jax.block_until_ready((bins, binsc))
+
+            t = slope(lambda x: jnp.fft.irfft(x, n=a) * a,
+                      lambda y: jnp.sum(y), bins, args.kbig)
+            results[f"sub_irfft_c{c}"] = round(t * 1e3, 3)
+            print(f"sub_irfft_c{c}", results[f"sub_irfft_c{c}"], flush=True)
+
+            t = slope(lambda x: jnp.fft.ifft(x) * a,
+                      lambda y: jnp.sum(jnp.real(y)), binsc, args.kbig)
+            results[f"sub_ifft_c{c}"] = round(t * 1e3, 3)
+            print(f"sub_ifft_c{c}", results[f"sub_ifft_c{c}"], flush=True)
+
+            # the FM discriminator's [B,C,half] -> [C,B*half] -> back
+            # transpose round-trip (demodulate_batch tail)
+            cplx_out = jax.jit(lambda k: jax.lax.complex(
+                jax.random.normal(k, (b, c, half_)),
+                jax.random.normal(k, (b, c, half_))))(
+                    jax.random.PRNGKey(7))
+            fm_prev = np.zeros((c,), np.complex64)
+            jax.block_until_ready(cplx_out)
+
+            def s_fm(co):
+                flat = co.transpose(1, 0, 2).reshape(c, b * half_)
+                prev = jnp.concatenate([fm_prev[:, None], flat[:, :-1]], 1)
+                return (jnp.angle(flat * jnp.conj(prev))
+                        .reshape(c, b, half_).transpose(1, 0, 2))
+
+            t = slope(s_fm, lambda y: jnp.sum(y), cplx_out, args.kbig)
+            results[f"sub_fmdisc_c{c}"] = round(t * 1e3, 3)
+            print(f"sub_fmdisc_c{c}", results[f"sub_fmdisc_c{c}"],
+                  flush=True)
+
+            # overlap-add + envelope block
+            wave = jax.jit(lambda k: jax.lax.complex(
+                jax.random.normal(k, (b, c, a)),
+                jax.random.normal(k, (b, c, a))))(jax.random.PRNGKey(8))
+            prev0 = np.zeros((c, half_), np.complex64)
+            jax.block_until_ready(wave)
+
+            def s_ola(w):
+                out = w[:, :, :half_] + jnp.concatenate(
+                    [prev0[None], w[:-1, :, half_:]])
+                return jnp.sqrt(jnp.real(out) ** 2 + jnp.imag(out) ** 2)
+
+            t = slope(s_ola, lambda y: jnp.sum(y), wave, args.kbig)
+            results[f"sub_ola_env_c{c}"] = round(t * 1e3, 3)
+            print(f"sub_ola_env_c{c}", results[f"sub_ola_env_c{c}"],
+                  flush=True)
+            continue
 
         def tbl_slice(i0, n):
             return (ChannelTable(*[None if x is None else x[i0:i0 + n]

@@ -187,3 +187,42 @@ def test_demodulate_batch_matches_per_hop_scan():
                         jax.tree_util.tree_leaves(st_b)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_demodulate_batch_fusion_barriers_identity():
+    """fusion_barriers (auto-on above 1024 channels: the round-4
+    scaling fix, PERF.md) must be bit-identical to the unbarriered
+    path -- optimization_barrier only constrains scheduling."""
+    import jax
+    import jax.numpy as jnp
+    from phantomsdr_tpu.ops.channelizer import (
+        ChannelTable, init_channel_state, demodulate_batch,
+        extend_spectrum,
+    )
+
+    a, rsz, c, b = 64, 1024, 8, 4
+    rng = np.random.default_rng(11)
+    l = rng.integers(0, rsz - 200, c).astype(np.int32)
+    width = rng.integers(40, 160, c).astype(np.int32)
+    chans = ChannelTable(
+        l=l, r=(l + width).astype(np.int32),
+        m_idx=(l + width // 2).astype(np.int32),
+        mode=(np.arange(c) % 4).astype(np.int32),
+        active=np.ones(c, bool))
+    st = init_channel_state(c, a)
+    spec = (rng.standard_normal((b, rsz))
+            + 1j * rng.standard_normal((b, rsz))).astype(np.complex64)
+    se = extend_spectrum(jnp.asarray(spec), False, rsz, a)
+    outs = []
+    for fb in (False, True):
+        s2, audio, pwr = demodulate_batch(
+            se, chans, st, jnp.int32(3), audio_fft_size=a,
+            fft_result_size=rsz, base_idx=rsz // 2 + 1, is_real=False,
+            am_sync=True, fusion_barriers=fb)
+        outs.append((np.asarray(audio), np.asarray(pwr),
+                     [np.asarray(x) for x in
+                      jax.tree_util.tree_leaves(s2)]))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+    for x, y in zip(outs[0][2], outs[1][2]):
+        np.testing.assert_array_equal(x, y)

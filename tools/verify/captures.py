@@ -233,7 +233,8 @@ def make(variant: str, out: Path, port: int, secs: float,
     iq = _fm_modulate(mpx, FS_MPX, sps, secs)
     _write_iq(out / "capture.s16", iq)
     _config(out, port, sps, fft, 192_000, extra_input=extra,
-            modulation="WBFM", mesh=mesh)
+            modulation="WBFM", mesh=mesh,
+            audio_compression=audio_compression)
     truth.update(f_off_hz=0.0, sps=sps, fft_size=fft, audio_sps=192_000)
     return truth
 

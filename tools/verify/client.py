@@ -412,9 +412,12 @@ async def run(args):
             text = None if variant == "stereo" else []
             if text is not None:
                 cmds.append({"cmd": "rds", "enabled": True})
+            comp = info.get("audio_compression", "flac")
+            if comp == "opus":
+                fs = 48000  # opus decodes at 48 kHz (decimated stereo)
             _, chunks = await collect_audio(
                 s, url, args.secs, cmds, text_frames=text, settle=2.0)
-            sr, L, R = decode_audio(chunks, 2, int(2.0 * fs))
+            sr, L, R = decode_audio(chunks, 2, int(2.0 * fs), comp)
             lp_l = tone_power(L, fs, truth["left_hz"])
             lp_r = tone_power(R, fs, truth["left_hz"])
             rp_r = tone_power(R, fs, truth["right_hz"])

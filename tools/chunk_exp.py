@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--dcagc", action="store_true",
                     help="measure the dc+agc stage with/without a "
                          "barrier between the two and around peaks")
+    ap.add_argument("--slice", action="store_true",
+                    help="gather formulations: per-element index "
+                         "gather (production) vs vmapped dynamic_slice "
+                         "(contiguity visible to XLA)")
     ap.add_argument("--out", default="/tmp/chunk_exp.json")
     args = ap.parse_args()
 
@@ -103,6 +107,50 @@ def main():
 
                 t = slope(s_demod, lambda y: jnp.sum(y), spec, args.kbig)
                 key = f"demod_c{c}_barrier{int(fb)}"
+                results[key] = round(t * 1e3, 3)
+                print(key, results[key], flush=True)
+            continue
+
+        if args.slice:
+            # Hypothesis: demod's gathers are contiguous slices hidden
+            # behind arbitrary [C, K] index matrices; a batched
+            # dynamic_slice exposes the contiguity.
+            k = half + 1
+            start = ((table.l + cfg.base_idx) % r).astype(np.int32)
+            m_rel = (table.m_idx - table.l).astype(np.int32)
+            audio_r = (table.r - table.l).astype(np.int32)
+            usb_rel = m_rel[:, None] + np.arange(k, dtype=np.int32)
+            valid = (usb_rel >= 0) & (usb_rel < audio_r[:, None])
+            offsets = start + m_rel  # [C]
+
+            def s_gather(s):
+                se = extend_spectrum(s, cfg.is_real, r, a)
+                safe = jnp.clip(jnp.asarray(start)[:, None]
+                                + jnp.asarray(usb_rel - m_rel[:, None]
+                                              + m_rel[:, None]), 0,
+                                se.shape[-1] - 1)
+                vals = se[:, safe]
+                return jnp.where(jnp.asarray(valid)[None], vals,
+                                 jnp.zeros((), se.dtype))
+
+            def s_slice(s):
+                se = extend_spectrum(s, cfg.is_real, r, a)
+                se2 = jnp.pad(se, ((0, 0), (a, 0)))
+                offs = jnp.asarray(offsets + a)
+
+                def one_row(row):
+                    return jax.vmap(lambda o: jax.lax.dynamic_slice(
+                        row, (o,), (k,)))(offs)
+
+                vals = jax.vmap(one_row)(se2)          # [B, C, K]
+                return jnp.where(jnp.asarray(valid)[None], vals,
+                                 jnp.zeros((), se.dtype))
+
+            for name, fn in (("idxgather", s_gather),
+                             ("dynslice", s_slice)):
+                t = slope(fn, lambda y: jnp.sum(jnp.real(y)), spec,
+                          args.kbig)
+                key = f"gather_c{c}_{name}"
                 results[key] = round(t * 1e3, 3)
                 print(key, results[key], flush=True)
             continue

@@ -155,6 +155,25 @@ def test_incompressible_multiblock():
     assert ZstdStream().push(wire) == data
 
 
+def test_window_history_trim():
+    """Matches reaching back through a long-lived stream must survive
+    the decoder's history trimming (hist capped at 2x window, cut back
+    to window).  A 1 kB window (ZstdCompressionParameters) forces the
+    trim path ~70x over 140 kB of rotated-repeat messages -- the
+    default 2 MB window never trims in the other tests."""
+    params = zstandard.ZstdCompressionParameters(window_log=10,
+                                                 compression_level=3)
+    c = zstandard.ZstdCompressor(compression_params=params).compressobj()
+    d = ZstdStream()
+    base = bytes(R.integers(0, 64, 700, dtype=np.uint8))
+    for i in range(200):
+        msg = base[i % 17:] + base[:i % 17]
+        wire = c.compress(msg) + c.flush(zstandard.COMPRESSOBJ_FLUSH_BLOCK)
+        assert d.push(wire) == msg, f"message {i} diverged"
+    assert d.window_size == 1024
+    assert len(d.hist) <= 2 * d.window_size  # the cap actually binds
+
+
 def test_fuzz_corruption_is_contained():
     """Single-byte corruptions of valid wire bytes must either decode
     (the byte was don't-care / produced consistent-but-wrong output)

@@ -126,8 +126,7 @@ def main():
             def s_gather(s):
                 se = extend_spectrum(s, cfg.is_real, r, a)
                 safe = jnp.clip(jnp.asarray(start)[:, None]
-                                + jnp.asarray(usb_rel - m_rel[:, None]
-                                              + m_rel[:, None]), 0,
+                                + jnp.asarray(usb_rel), 0,
                                 se.shape[-1] - 1)
                 vals = se[:, safe]
                 return jnp.where(jnp.asarray(valid)[None], vals,

@@ -126,6 +126,12 @@ function fseReadCounts(fb, maxSymbols, maxAl) {
     }
   }
   if (remaining !== 1) throw new ZstdError("corrupt FSE counts");
+  // The zero-repeat loop can overshoot the loop-entry bound; truncated
+  // inputs would otherwise read undefined bytes -> NaN downstream
+  // (the Python mirror raises here too).
+  if (counts.length > maxSymbols + 1)
+    throw new ZstdError("FSE counts for " + counts.length +
+      " symbols > " + (maxSymbols + 1));
   fb.bit = fb.bytepos() * 8;  // descriptions end byte-aligned
   return { counts, al };
 }
@@ -418,7 +424,10 @@ class ZstdStream {
       cs = (d[p + 2] >> 6) | (d[p + 3] << 2) | (d[p + 4] << 10);
       p += 5;
     }
-    const streams = ltype === 2 && sf === 0 ? 1 : 4;
+    // RFC 8878 3.1.1.3.1.2: Size_Format 00 = ONE stream for BOTH
+    // Compressed and Treeless literals (libzstd emits treeless
+    // single-stream whenever it reuses a tree on a <256 B section).
+    const streams = sf === 0 ? 1 : 4;
     const cend = p + cs;
     if (cend > end) throw new ZstdError("literals overrun block");
     if (ltype === 2) {
@@ -501,10 +510,13 @@ class ZstdStream {
     const rep = this.rep;
     for (let i = 0; i < nseq; i++) {
       const ofcode = of.symbol();
+      if (!(ofcode <= 31)) throw new ZstdError("offset code " + ofcode);
       const ov = Math.pow(2, ofcode) + bb.read(ofcode);
       const mlcode = ml.symbol();
+      if (!(mlcode < 53)) throw new ZstdError("match-length code " + mlcode);
       const mlen = ML_BASE[mlcode] + bb.read(ML_BITS[mlcode]);
       const llcode = ll.symbol();
+      if (!(llcode < 36)) throw new ZstdError("literal-length code " + llcode);
       const llen = LL_BASE[llcode] + bb.read(LL_BITS[llcode]);
       if (bb.overflow) throw new ZstdError("sequence bitstream overrun");
       let off;

@@ -73,6 +73,47 @@ def test_streaming_waterfall_like(level):
     roundtrip_stream(messages, level=level)
 
 
+class _LiteralsSpy(ZstdStream):
+    """Counts (ltype, size_format) of every literals section decoded --
+    lets a test PROVE a given literals shape was actually exercised."""
+
+    def __init__(self):
+        super().__init__()
+        self.literal_kinds = []
+
+    def _literals(self, d, p, end):
+        b0 = d[p]
+        self.literal_kinds.append((b0 & 3, (b0 >> 2) & 3))
+        return super()._literals(d, p, end)
+
+
+@pytest.mark.parametrize("level", [1, 3, 6, 9, 19])
+def test_treeless_single_stream_literals(level):
+    """Regression (round-5 advisor finding): RFC 8878 3.1.1.3.1.2 says
+    Size_Format 00 means ONE Huffman stream for BOTH Compressed and
+    Treeless literals.  libzstd emits treeless single-stream whenever it
+    reuses a tree on a <256 B literal section -- exactly the long-lived
+    waterfall shape (mostly-match rows + a little fresh compressible
+    content).  The old `ltype==2 and sf==0` condition decoded these as
+    4 streams and died with 'corrupt 4-stream literals' mid-stream."""
+    rng = np.random.default_rng(7)
+    row = rng.integers(0, 40, 2048, dtype=np.uint8).tobytes()
+    c = zstandard.ZstdCompressor(level=level).compressobj()
+    d = _LiteralsSpy()
+    assert d.push(c.compress(row)
+                  + c.flush(zstandard.COMPRESSOBJ_FLUSH_BLOCK)) == row
+    hit = False
+    for k in range(12):  # mostly-match follow-ups with ~80 fresh bytes
+        nxt = bytearray(row)
+        pos = int(rng.integers(0, 2048 - 80))
+        nxt[pos:pos + 80] = rng.integers(0, 40, 80, dtype=np.uint8).tobytes()
+        row = bytes(nxt)
+        wire = c.compress(row) + c.flush(zstandard.COMPRESSOBJ_FLUSH_BLOCK)
+        assert d.push(wire) == row  # old code: ZstdError here
+        hit = hit or (3, 0) in d.literal_kinds
+    assert hit, "probe never produced treeless Size_Format-00 literals"
+
+
 def test_dribble_chunking():
     """Wire bytes arriving 7 at a time must decode identically --
     frame header, block headers and block bodies all straddle pushes."""
@@ -209,5 +250,8 @@ def test_mirror_matches_js():
         "fseReadCounts",         # FSE normalized-count parser
         "hufReadWeights",        # huffman description parser
         "needChecksum",          # split-checksum state
+        "sf === 0 ? 1 : 4",      # treeless+compressed single-stream rule
+        "counts.length > maxSymbols + 1",  # FSE count bound containment
+        "llcode < 36",           # sequence symbol-code validation
     ]:
         assert marker in js, f"html/zstd.js missing mirror marker {marker}"

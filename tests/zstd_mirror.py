@@ -154,6 +154,12 @@ def fse_read_counts(fb, max_symbols, max_al):
             counts.extend([0] * rep)
     if remaining != 1:
         raise ZstdError("corrupt FSE counts")
+    # The zero-repeat loop can overshoot the loop-entry bound; bound it
+    # explicitly (in lockstep with html/zstd.js) so corrupt streams are
+    # contained as ZstdError, not downstream index behavior.
+    if len(counts) > max_symbols + 1:
+        raise ZstdError(
+            f"FSE counts for {len(counts)} symbols > {max_symbols + 1}")
     fb.bit = fb.bytepos() * 8  # descriptions end byte-aligned
     return counts, al
 
@@ -482,7 +488,10 @@ class ZstdStream:
             rs = (b0 >> 4) | (d[p + 1] << 4) | ((d[p + 2] & 0x3F) << 12)
             cs = (d[p + 2] >> 6) | (d[p + 3] << 2) | (d[p + 4] << 10)
             p += 5
-        streams = 1 if (ltype == 2 and sf == 0) else 4
+        # RFC 8878 3.1.1.3.1.2: Size_Format 00 means ONE stream for BOTH
+        # Compressed and Treeless literals (libzstd emits treeless
+        # single-stream whenever it reuses a tree on a <256 B section).
+        streams = 1 if sf == 0 else 4
         cend = p + cs
         if cend > end:
             raise ZstdError("literals overrun block")

@@ -3,10 +3,16 @@
 // The reference links libFLAC++ and encodes each listener's int16 mono
 // stream at compression level 5 (reference: src/signal.cpp:17-28,
 // src/audio.cpp:38-52).  This image has no libFLAC, so this is a
-// from-scratch encoder emitting spec-conformant FLAC: fixed predictors
-// (orders 0-4) with Rice-coded residuals, 16-bit mono or independent
-// 2-channel stereo (the device-side WBFM stereo path), streamable
-// subset (sample rate coded in each frame header), fixed blocksize.
+// from-scratch encoder emitting spec-conformant FLAC at level-5-like
+// quality: LPC predictors (Tukey(0.5) apodization, Levinson-Durbin,
+// orders <= 8 -- libFLAC level 5's max_lpc_order) with error-feedback
+// coefficient quantization, fixed predictors (orders 0-4), CONSTANT
+// subframes, and an exact Rice partition-order search (orders 0-6);
+// per subframe the cheaper of the best-fixed and best-LPC encodings
+// is emitted, each under its own best partitioning.  16-bit mono or
+// independent 2-channel stereo (the device-side WBFM stereo path),
+// streamable subset (sample rate coded in each frame header), fixed
+// blocksize.
 //
 // C ABI (used from Python via ctypes, one encoder per audio client):
 //   void*   phantom_flac_create(int sample_rate, int blocksize,
@@ -20,16 +26,93 @@
 //   int     phantom_flac_take(void*, uint8_t* out, int cap)
 //     (process*/finish return -(needed) when `out` is too small; the
 //      encoded bytes stay stashed and take() retrieves them)
+//   void    phantom_flac_set_lpc(void*, int enabled)  // A/B measuring
 //   void    phantom_flac_destroy(void*)
 //
 // Build: make -C csrc   (produces libphantomhost.so)
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
 #include <algorithm>
 
 namespace {
+
+constexpr int KMAX = 15;           // rice parameters 0..14 (15 = escape,
+                                   // never needed for 16-bit input)
+constexpr int MAX_PART_ORDER = 6;  // rice partition orders searched
+constexpr int MAX_LPC_ORDER = 8;   // libFLAC compression level 5
+constexpr int QLP_PRECISION = 15;  // 4-bit field codes precision-1 <= 14
+
+// Exact Rice cost/partition plan for one subframe's residuals.
+// u = zigzag residuals for sample positions [order, n); partition
+// boundaries are at SAMPLE positions (multiples of n>>p), so the
+// first partition is `order` samples short (RFC 9639 9.2.7).
+struct RicePlan {
+    int porder = 0;
+    uint64_t bits = 0;             // 2+4 header + per-partition 4+data
+    std::vector<uint8_t> ks;       // parameter per partition
+};
+
+RicePlan plan_rice(const std::vector<uint64_t> &u, int n, int order) {
+    int pmax = 0;
+    while (pmax < MAX_PART_ORDER && (n % (1 << (pmax + 1))) == 0 &&
+           (n >> (pmax + 1)) > order)
+        pmax++;
+    int parts = 1 << pmax;
+    int psize = n >> pmax;
+    // exact per-k unary+remainder sums at the deepest level:
+    // bits(part, k) = cnt*(k+1) + sum_i(u_i >> k)
+    std::vector<uint64_t> sums((size_t)parts * KMAX, 0);
+    std::vector<uint32_t> cnt(parts, 0);
+    for (int i = order; i < n; i++) {
+        uint64_t v = u[i - order];
+        uint64_t *s = &sums[(size_t)(i / psize) * KMAX];
+        for (int k = 0; k < KMAX; k++) s[k] += v >> k;
+        cnt[i / psize]++;
+    }
+    RicePlan best;
+    best.bits = ~0ull;
+    for (int p = pmax;; p--) {
+        int np = 1 << p;
+        uint64_t total = 6;
+        std::vector<uint8_t> ks(np);
+        for (int j = 0; j < np; j++) {
+            uint64_t bb = ~0ull;
+            int bk = 0;
+            const uint64_t *s = &sums[(size_t)j * KMAX];
+            for (int k = 0; k < KMAX; k++) {
+                uint64_t b = (uint64_t)cnt[j] * (uint32_t)(k + 1) + s[k];
+                if (b < bb) { bb = b; bk = k; }
+            }
+            ks[j] = (uint8_t)bk;
+            total += 4 + bb;
+        }
+        if (total < best.bits) {
+            best.bits = total;
+            best.porder = p;
+            best.ks = std::move(ks);
+        }
+        if (p == 0) break;
+        for (int j = 0; j < np / 2; j++) {  // merge partition pairs
+            for (int k = 0; k < KMAX; k++)
+                sums[(size_t)j * KMAX + k] =
+                    sums[(size_t)(2 * j) * KMAX + k] +
+                    sums[(size_t)(2 * j + 1) * KMAX + k];
+            cnt[j] = cnt[2 * j] + cnt[2 * j + 1];
+        }
+    }
+    return best;
+}
+
+// Quantized-LPC candidate for one subframe.
+struct LpcCand {
+    bool ok = false;
+    int order = 0;
+    int shift = 0;
+    int32_t qlp[MAX_LPC_ORDER] = {0};
+};
 
 struct BitWriter {
     std::vector<uint8_t> buf;
@@ -115,7 +198,13 @@ struct FlacEncoder {
     bool header_sent = false;
     std::vector<int16_t> pending;   // interleaved when channels == 2
     std::vector<int16_t> chbuf;     // deinterleave scratch
-    std::vector<int64_t> residual;  // scratch
+    std::vector<int64_t> residual;  // scratch (fixed-predictor residual)
+    std::vector<int64_t> lpcres;    // scratch (LPC residual)
+    std::vector<uint64_t> uzz;      // scratch (zigzag residual)
+    std::vector<double> window;     // Tukey(0.5) apodization cache
+    int window_n = -1;
+    bool lpc_enabled = true;        // phantom_flac_set_lpc: fixed-only
+                                    // mode for A/B measurement
     std::vector<uint8_t> stash;     // encoded bytes awaiting pickup when
     //                                 the caller's buffer was too small
     //                                 (input is consumed before the size
@@ -173,47 +262,184 @@ struct FlacEncoder {
                 residual[i] -= residual[i - 1];
     }
 
-    static int best_rice_param(const int64_t *r, int n) {
-        if (n == 0) return 0;
-        uint64_t usum = 0;
-        for (int i = 0; i < n; i++) {
-            int64_t v = r[i];
-            usum += (uint64_t)((v << 1) ^ (v >> 63));
-        }
-        // bits(k) = n*(k+1) + sum(u >> k); minimize over k
-        int best_k = 0;
-        uint64_t best_bits = ~0ull;
-        for (int k = 0; k < 30; k++) {
-            uint64_t bits = (uint64_t)n * (uint64_t)(k + 1) + (usum >> k);
-            if (bits < best_bits) {
-                best_bits = bits;
-                best_k = k;
+    // Tukey(0.5) window -- libFLAC level 5's default apodization.
+    const std::vector<double> &tukey(int n) {
+        if (window_n != n) {
+            window.resize(n);
+            double edge = 0.25 * (n - 1);  // p/2 * (n-1), p = 0.5
+            for (int i = 0; i < n; i++) {
+                double w = 1.0;
+                if (i < edge)
+                    w = 0.5 * (1.0 + std::cos(M_PI * (i / edge - 1.0)));
+                else if (i > (n - 1) - edge)
+                    w = 0.5 * (1.0 + std::cos(
+                        M_PI * ((n - 1 - i) / edge - 1.0)));
+                window[i] = w;
             }
-            if ((usum >> k) == 0) break;
+            window_n = n;
         }
-        return std::min(best_k, 14);  // 4-bit rice parameter, 15 = escape
+        return window;
     }
 
-    // fixed-order subframe with a single rice partition
-    void encode_subframe(const int16_t *x, int n, BitWriter &bw) {
-        int order = best_order(x, n);
-        bw.put(0, 1);                          // zero pad
-        bw.put(0x08 | order, 6);               // fixed subframe, order
-        bw.put(0, 1);                          // no wasted bits
-        for (int i = 0; i < order; i++)
-            bw.put((uint16_t)x[i], 16);        // warmup (signed 16)
-        compute_residual(x, n, order);
-        const int64_t *res = residual.data() + order;
-        int nres = n - order;
-        int k = best_rice_param(res, nres);
-        bw.put(0, 2);                          // residual method: rice 4-bit
-        bw.put(0, 4);                          // partition order 0
-        bw.put(k, 4);
-        for (int i = 0; i < nres; i++) {
+    // Windowed autocorrelation -> Levinson-Durbin -> order pick by the
+    // prediction-error bit estimate -> error-feedback quantization.
+    LpcCand analyze_lpc(const int16_t *x, int n) {
+        LpcCand c;
+        if (n < 4 * MAX_LPC_ORDER) return c;
+        const std::vector<double> &w = tukey(n);
+        std::vector<double> wd(n);
+        for (int i = 0; i < n; i++) wd[i] = w[i] * x[i];
+        double autoc[MAX_LPC_ORDER + 1];
+        for (int lag = 0; lag <= MAX_LPC_ORDER; lag++) {
+            double s = 0;
+            for (int i = lag; i < n; i++) s += wd[i] * wd[i - lag];
+            autoc[lag] = s;
+        }
+        if (!(autoc[0] > 0)) return c;
+        double a[MAX_LPC_ORDER] = {0};
+        double cand[MAX_LPC_ORDER][MAX_LPC_ORDER];
+        double cerr[MAX_LPC_ORDER];
+        double err = autoc[0];
+        int max_m = 0;
+        for (int m = 1; m <= MAX_LPC_ORDER; m++) {
+            double acc = autoc[m];
+            for (int j = 1; j < m; j++) acc -= a[j - 1] * autoc[m - j];
+            double k = acc / err;
+            if (!std::isfinite(k)) break;
+            double na[MAX_LPC_ORDER];
+            na[m - 1] = k;
+            for (int j = 0; j < m - 1; j++) na[j] = a[j] - k * a[m - 2 - j];
+            std::memcpy(a, na, sizeof(double) * m);
+            err *= (1.0 - k * k);
+            if (!(err > 0)) err = 1e-9;
+            std::memcpy(cand[m - 1], a, sizeof(double) * m);
+            cerr[m - 1] = err;
+            max_m = m;
+        }
+        if (max_m == 0) return c;
+        // estimated total bits: warmup+coef header grows with order,
+        // residual shrinks ~0.5*log2(err) per sample (constant terms
+        // cancel in the argmin)
+        double best_est = 1e300;
+        int best_m = 1;
+        for (int m = 1; m <= max_m; m++) {
+            double bps = 0.5 * std::log2(std::max(cerr[m - 1], 1e-9) / n);
+            double est = (double)m * (16 + QLP_PRECISION) +
+                         (double)(n - m) * std::max(bps, 0.0);
+            if (est < best_est) { best_est = est; best_m = m; }
+        }
+        const double *lp = cand[best_m - 1];
+        double cmax = 0;
+        for (int j = 0; j < best_m; j++)
+            cmax = std::max(cmax, std::fabs(lp[j]));
+        if (!(cmax > 0)) return c;
+        int e;
+        std::frexp(cmax, &e);            // cmax < 2^e
+        int shift = (QLP_PRECISION - 1) - e;
+        if (shift > 15) shift = 15;      // tiny coefs: cap the 5-bit field
+        if (shift < 0) return c;         // unstable filter; use fixed
+        const int32_t qmax = (1 << (QLP_PRECISION - 1)) - 1;
+        double fb = 0;                   // error feedback (libFLAC-style)
+        for (int j = 0; j < best_m; j++) {
+            double v = lp[j] * (double)(1 << shift) + fb;
+            int32_t q = (int32_t)std::lround(v);
+            q = std::min(std::max(q, -qmax - 1), qmax);
+            fb = v - q;
+            c.qlp[j] = q;
+        }
+        c.order = best_m;
+        c.shift = shift;
+        c.ok = true;
+        return c;
+    }
+
+    void lpc_residual(const int16_t *x, int n, const LpcCand &c) {
+        lpcres.resize(n);
+        for (int i = c.order; i < n; i++) {
+            int64_t pred = 0;
+            for (int j = 0; j < c.order; j++)
+                pred += (int64_t)c.qlp[j] * x[i - 1 - j];
+            lpcres[i] = (int64_t)x[i] - (pred >> c.shift);
+        }
+    }
+
+    // zigzag res[order..n) into uzz
+    void zigzag(const std::vector<int64_t> &res, int n, int order) {
+        uzz.resize(n - order);
+        for (int i = order; i < n; i++) {
             int64_t v = res[i];
-            uint64_t u = (uint64_t)((v << 1) ^ (v >> 63));
-            bw.put_unary((uint32_t)(u >> k));
-            if (k) bw.put((uint32_t)(u & ((1u << k) - 1)), k);
+            uzz[i - order] = (uint64_t)((v << 1) ^ (v >> 63));
+        }
+    }
+
+    void write_residual(BitWriter &bw, const std::vector<uint64_t> &u,
+                        int n, int order, const RicePlan &plan) {
+        bw.put(0, 2);                    // residual method: rice 4-bit
+        bw.put(plan.porder, 4);
+        int psize = n >> plan.porder;
+        for (int part = 0; part < (1 << plan.porder); part++) {
+            int k = plan.ks[part];
+            bw.put(k, 4);
+            int start = part == 0 ? order : part * psize;
+            int stop = (part + 1) * psize;
+            for (int i = start; i < stop; i++) {
+                uint64_t uu = u[i - order];
+                bw.put_unary((uint32_t)(uu >> k));
+                if (k) bw.put((uint32_t)(uu & ((1u << k) - 1)), k);
+            }
+        }
+    }
+
+    // Best of CONSTANT / best-fixed / best-LPC, each rice-partitioned.
+    void encode_subframe(const int16_t *x, int n, BitWriter &bw) {
+        bool constant = true;
+        for (int i = 1; i < n; i++)
+            if (x[i] != x[0]) { constant = false; break; }
+        if (constant) {
+            bw.put(0, 1);
+            bw.put(0, 6);                // CONSTANT subframe
+            bw.put(0, 1);
+            bw.put((uint16_t)x[0], 16);
+            return;
+        }
+        // fixed candidate (the round-4 encoder's path)
+        int forder = best_order(x, n);
+        compute_residual(x, n, forder);
+        zigzag(residual, n, forder);
+        RicePlan fplan = plan_rice(uzz, n, forder);
+        std::vector<uint64_t> fzz;
+        uint64_t fbits = 8 + (uint64_t)forder * 16 + fplan.bits;
+        // LPC candidate
+        LpcCand c = lpc_enabled ? analyze_lpc(x, n) : LpcCand{};
+        RicePlan lplan;
+        uint64_t lbits = ~0ull;
+        if (c.ok) {
+            fzz = std::move(uzz);        // keep the fixed zigzags
+            lpc_residual(x, n, c);
+            zigzag(lpcres, n, c.order);
+            lplan = plan_rice(uzz, n, c.order);
+            lbits = 8 + (uint64_t)c.order * 16 + 4 + 5 +
+                    (uint64_t)c.order * QLP_PRECISION + lplan.bits;
+        }
+        if (c.ok && lbits < fbits) {
+            bw.put(0, 1);
+            bw.put(0x20 | (c.order - 1), 6);   // LPC subframe
+            bw.put(0, 1);                      // no wasted bits
+            for (int i = 0; i < c.order; i++)
+                bw.put((uint16_t)x[i], 16);    // warmup
+            bw.put(QLP_PRECISION - 1, 4);
+            bw.put(c.shift, 5);
+            for (int j = 0; j < c.order; j++)
+                bw.put((uint32_t)c.qlp[j], QLP_PRECISION);
+            write_residual(bw, uzz, n, c.order, lplan);
+        } else {
+            const std::vector<uint64_t> &fu = c.ok ? fzz : uzz;
+            bw.put(0, 1);
+            bw.put(0x08 | forder, 6);          // fixed subframe
+            bw.put(0, 1);
+            for (int i = 0; i < forder; i++)
+                bw.put((uint16_t)x[i], 16);
+            write_residual(bw, fu, n, forder, fplan);
         }
     }
 
@@ -378,6 +604,12 @@ int phantom_flac_process_chunks(void *enc, const int16_t *samples,
 // finish, with a buffer of at least `needed` bytes.
 int phantom_flac_take(void *enc, uint8_t *out, int cap) {
     return ((FlacEncoder *)enc)->drain(out, cap);
+}
+
+// Disable/enable the LPC path (fixed predictors only when 0) -- used
+// by tools/flac_bench.py to measure the LPC compression gain A/B.
+void phantom_flac_set_lpc(void *enc, int enabled) {
+    ((FlacEncoder *)enc)->lpc_enabled = enabled != 0;
 }
 
 void phantom_flac_destroy(void *enc) { delete (FlacEncoder *)enc; }

@@ -1,10 +1,11 @@
 /* Streaming decoder for the FLAC subset csrc/flac.cpp emits: 16-bit
-   fixed-predictor subframes (orders 0-4), rice partition order 0,
-   mono or independent stereo.  JS port of the from-spec decoder in
-   tests/test_codecs.py, made incremental: push() consumes whole frames
-   greedily and keeps a partial tail for the next packet (per-hop CBOR
-   payloads always carry whole frames, but the stream header and any
-   coalesced packets may straddle). */
+   constant / fixed-predictor (orders 0-4) / LPC (orders 1-8)
+   subframes, rice partitions of any order, mono or independent
+   stereo.  JS port of the from-spec decoder in tests/test_codecs.py,
+   made incremental: push() consumes whole frames greedily and keeps a
+   partial tail for the next packet (per-hop CBOR payloads always
+   carry whole frames, but the stream header and any coalesced packets
+   may straddle). */
 "use strict";
 
 class FlacOverrun extends Error {}
@@ -38,24 +39,53 @@ const FLAC_FIXED_COEF = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]];
 function flacSubframe(br, n) {
   if (br.bits(1) !== 0) throw new Error("flac: bad subframe pad");
   const sub = br.bits(6);
-  if (sub >> 3 !== 1) throw new Error("flac: not a fixed subframe");
-  const order = sub & 7;
   if (br.bits(1) !== 0) throw new Error("flac: wasted bits unsupported");
   const x = new Int32Array(n);
-  for (let i = 0; i < order; i++) x[i] = flacSigned(br.bits(16), 16);
+  if (sub === 0) {                             // CONSTANT
+    x.fill(flacSigned(br.bits(16), 16));
+    return x;
+  }
+  if (sub === 1) {                             // VERBATIM
+    for (let i = 0; i < n; i++) x[i] = flacSigned(br.bits(16), 16);
+    return x;
+  }
+  let order, coef, shift;
+  if (sub >> 3 === 1) {                        // FIXED
+    order = sub & 7;
+    for (let i = 0; i < order; i++) x[i] = flacSigned(br.bits(16), 16);
+    coef = FLAC_FIXED_COEF[order];
+    shift = 0;
+  } else if (sub & 0x20) {                     // LPC
+    order = (sub & 0x1f) + 1;
+    for (let i = 0; i < order; i++) x[i] = flacSigned(br.bits(16), 16);
+    const precision = br.bits(4) + 1;
+    if (precision === 16) throw new Error("flac: invalid qlp precision");
+    shift = br.bits(5);
+    coef = new Int32Array(order);
+    for (let j = 0; j < order; j++)
+      coef[j] = flacSigned(br.bits(precision), precision);
+  } else throw new Error("flac: unknown subframe type " + sub);
   if (br.bits(2) !== 0) throw new Error("flac: non-rice residual");
-  if (br.bits(4) !== 0) throw new Error("flac: partition order != 0");
-  const k = br.bits(4);
-  if (k === 15) throw new Error("flac: escape code unsupported");
-  const coef = FLAC_FIXED_COEF[order];
-  for (let i = order; i < n; i++) {
-    const q = br.unary();
-    const low = k ? br.bits(k) : 0;
-    const u = q * (1 << k) + low;
-    const r = (u >> 1) ^ -(u & 1);
-    let pred = 0;
-    for (let j = 0; j < coef.length; j++) pred += coef[j] * x[i - 1 - j];
-    x[i] = r + pred;
+  const po = br.bits(4);
+  const psize = n >> po;
+  const div = Math.pow(2, shift);
+  let i = order;
+  for (let part = 0; part < 1 << po; part++) {
+    const k = br.bits(4);
+    if (k === 15) throw new Error("flac: escape code unsupported");
+    const stop = (part + 1) * psize;
+    for (; i < stop; i++) {
+      const q = br.unary();
+      const low = k ? br.bits(k) : 0;
+      const u = q * (1 << k) + low;
+      const r = (u >> 1) ^ -(u & 1);
+      let pred = 0;
+      for (let j = 0; j < coef.length; j++) pred += coef[j] * x[i - 1 - j];
+      // Math.floor(p / 2^s) == arithmetic >> for negatives, without
+      // the 32-bit truncation of JS bitwise ops (15-bit coefs * 16-bit
+      // samples * order 8 exceeds 2^31)
+      x[i] = r + Math.floor(pred / div);
+    }
   }
   return x;
 }

@@ -65,6 +65,8 @@ def _load_hostlib():
     lib.phantom_flac_take.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
     ]
+    lib.phantom_flac_set_lpc.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.phantom_flac_set_lpc.restype = None
     lib.phantom_flac_destroy.argtypes = [ctypes.c_void_p]
     _hostlib = lib
     return lib
@@ -90,6 +92,10 @@ class FlacEncoder:
         # edge's client scale, for typically a few hundred bytes/step)
         self._cap = 1 << 16
         self._out = ctypes.create_string_buffer(self._cap)
+
+    def set_lpc(self, enabled: bool):
+        """Fixed-predictors-only when False (tools/flac_bench.py A/B)."""
+        self._lib.phantom_flac_set_lpc(self._enc, 1 if enabled else 0)
 
     def _retake(self, n: int) -> int:
         """n < 0 = -(bytes needed): the C side consumed the input and

@@ -37,41 +37,61 @@ def signed(v: int, bits: int) -> int:
     return v - (1 << bits) if v >= (1 << (bits - 1)) else v
 
 
+def _decode_residual(br: "BitReader", n: int, order: int) -> list[int]:
+    """Rice-coded residual, any partition order (RFC 9639 9.2.7: the
+    first partition is `order` samples short)."""
+    method = br.bits(2)
+    assert method == 0  # 4-bit rice (we never emit rice2 / escapes)
+    po = br.bits(4)
+    psize = n >> po
+    res = []
+    for part in range(1 << po):
+        k = br.bits(4)
+        assert k != 15
+        cnt = psize - (order if part == 0 else 0)
+        for _ in range(cnt):
+            q = br.unary()
+            low = br.bits(k) if k else 0
+            u = (q << k) | low
+            res.append((u >> 1) ^ -(u & 1))
+    return res
+
+
 def _decode_subframe(br: "BitReader", n: int) -> list[int]:
     assert br.bits(1) == 0
     sub = br.bits(6)
-    assert (sub >> 3) == 1, f"not a fixed subframe: {sub:06b}"
-    order = sub & 7
     assert br.bits(1) == 0  # no wasted bits
-    warm = [signed(br.bits(16), 16) for _ in range(order)]
-    # residual
-    method = br.bits(2)
-    assert method == 0
-    po = br.bits(4)
-    assert po == 0
-    k = br.bits(4)
-    assert k != 15
-    res = []
-    for _ in range(n - order):
-        q = br.unary()
-        low = br.bits(k) if k else 0
-        u = (q << k) | low
-        res.append((u >> 1) ^ -(u & 1))
-    # reconstruct
-    x = list(warm)
-    coef = {
-        0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1],
-    }[order]
+    if sub == 0:  # CONSTANT
+        return [signed(br.bits(16), 16)] * n
+    if sub == 1:  # VERBATIM
+        return [signed(br.bits(16), 16) for _ in range(n)]
+    if (sub >> 3) == 1:  # FIXED, integer coefficients, no shift
+        order = sub & 7
+        x = [signed(br.bits(16), 16) for _ in range(order)]
+        coef = {
+            0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1],
+        }[order]
+        shift = 0
+    else:  # LPC: quantized coefficients, arithmetic-shifted prediction
+        assert sub & 0x20, f"unknown subframe type: {sub:06b}"
+        order = (sub & 0x1F) + 1
+        x = [signed(br.bits(16), 16) for _ in range(order)]
+        precision = br.bits(4) + 1
+        assert precision != 16  # 15 = invalid field value
+        shift = br.bits(5)
+        coef = [signed(br.bits(precision), precision) for _ in range(order)]
+    res = _decode_residual(br, n, order)
     for i, r in enumerate(res):
         pred = sum(c * x[order + i - 1 - j] for j, c in enumerate(coef))
-        x.append(r + pred)
+        x.append(r + (pred >> shift))  # python >> floors = arithmetic
     return x
 
 
 def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
-    """Decode the subset our encoder emits: 16-bit fixed subframes,
-    rice partition order 0, mono or independent stereo.  Returns
-    (sample_rate, samples) -- stereo interleaved L0 R0 L1 R1 ..."""
+    """Decode the subset our encoder emits: 16-bit constant / fixed /
+    LPC subframes, any rice partition order, mono or independent
+    stereo.  Returns (sample_rate, samples) -- stereo interleaved
+    L0 R0 L1 R1 ..."""
     assert data[:4] == b"fLaC"
     pos = 4
     # metadata blocks

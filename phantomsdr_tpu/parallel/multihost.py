@@ -110,6 +110,16 @@ class Link:
         return header, blob
 
     def close(self):
+        # shutdown BEFORE close: socket.close() only marks the fd when
+        # another thread is blocked in recv() on it (CPython io_refs
+        # defer the real close), so no FIN would ever reach the peer --
+        # a surviving follower would then block in recv() forever after
+        # _fail_cluster "closed every link".  shutdown() sends FIN
+        # immediately and also unblocks local blocked recvs.
+        try:
+            self.sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
         try:
             self.sock.close()
         except OSError:

@@ -1,11 +1,14 @@
-"""Multi-host runtime validation: runs the 2-process CPU-cluster dryrun
-(tools/multihost_dryrun.py) as a subprocess cluster.
+"""Multi-host runtime validation: CPU-cluster dryruns
+(tools/multihost_dryrun.py) and real N-process server clusters.
 
-Covers: jax.distributed bootstrap (2 processes x 2 virtual devices, one
-4-device mesh, gloo collectives across the process boundary), DCN raw-
-row feeding over a real TCP link, replicated control-block distribution,
-a follower-side retune flowing upstream, per-host channel-range audio
-extraction, and bit-identity against the single-process pipeline."""
+Covers: jax.distributed bootstrap (N processes x 2 virtual devices, one
+2N-device mesh, gloo collectives across process boundaries), DCN raw-
+row feeding over real TCP links, replicated control-block distribution,
+follower-side retunes flowing upstream (incl. CONCURRENT retunes from
+two followers -- the merge_rows fan-in), per-host channel-range audio
+extraction, bit-identity against the single-process pipeline, live
+listeners served on every host of a 3-process cluster, and fault
+injection (follower SIGKILL in 2- and 3-process topologies, EOF)."""
 
 import subprocess
 import sys
@@ -192,10 +195,12 @@ max_channels=8
 
 def _spawn_cluster(tmp_path, ports, coordinator, link_port, loop=True,
                    capture_blocks=400, env_extra=None):
-    """Start the real 2-process cluster (same shape as the pipelined-
-    acks test); returns (procs, metrics_fn).  Caller must terminate."""
+    """Start the real N-process cluster (N = len(ports): 1 ingest +
+    N-1 followers); returns (procs, metrics_fn).  Caller terminates."""
     import os
 
+    n_proc = len(ports)
+    n_dev = 2 * n_proc
     raw = np.random.default_rng(0).integers(
         -20000, 20000, size=16384 * capture_blocks, dtype=np.int16)
     capture = tmp_path / "capture.s16"
@@ -217,32 +222,35 @@ name="stdin"
 format="s16"
 
 [tpu]
-hop_batch=8
-max_channels=8
+hop_batch={hop}
+max_channels={chans}
 """
+    # hop_batch/max_channels must divide over the mesh (sharded.py);
+    # the historical 2-proc shape is 8/8
+    hop = 8 if n_dev == 4 else 2 * n_dev
+    chans = 8 if n_dev == 4 else 2 * n_dev
     for pid, port in enumerate(ports):
         (tmp_path / f"config{pid}.toml").write_text(
-            cfg_text.format(port=port))
+            cfg_text.format(port=port, hop=hop, chans=chans))
     env = dict(os.environ, JAX_PLATFORMS="cpu", **(env_extra or {}))
     common = [sys.executable, "-m", "phantomsdr_tpu",
               "--platform", "cpu", "--cpu-devices", "2",
               "--coordinator", f"127.0.0.1:{coordinator}",
-              "--num-processes", "2",
+              "--num-processes", str(n_proc),
               "--input-file", str(capture)] + (["--loop"] if loop else [])
-    logs = [open(tmp_path / f"s{i}.log", "wb") for i in range(2)]
-    procs = [
-        subprocess.Popen(
-            common + ["-c", str(tmp_path / "config0.toml"),
-                      "--process-id", "0", "--link-port", str(link_port)],
-            env=env, stdout=logs[0], stderr=subprocess.STDOUT,
-            cwd="/root/repo"),
-        subprocess.Popen(
-            common + ["-c", str(tmp_path / "config1.toml"),
-                      "--process-id", "1",
+    logs = [open(tmp_path / f"s{i}.log", "wb") for i in range(n_proc)]
+    procs = [subprocess.Popen(
+        common + ["-c", str(tmp_path / "config0.toml"),
+                  "--process-id", "0", "--link-port", str(link_port)],
+        env=env, stdout=logs[0], stderr=subprocess.STDOUT,
+        cwd="/root/repo")]
+    for pid in range(1, n_proc):
+        procs.append(subprocess.Popen(
+            common + ["-c", str(tmp_path / f"config{pid}.toml"),
+                      "--process-id", str(pid),
                       "--link-addr", f"127.0.0.1:{link_port}"],
-            env=env, stdout=logs[1], stderr=subprocess.STDOUT,
-            cwd="/root/repo", stdin=subprocess.DEVNULL),
-    ]
+            env=env, stdout=logs[pid], stderr=subprocess.STDOUT,
+            cwd="/root/repo", stdin=subprocess.DEVNULL))
 
     def metrics(which=0):
         import json
@@ -354,6 +362,140 @@ def test_multihost_eof_propagates_shutdown(tmp_path):
                 p.kill()
 
 
+def test_multihost_three_process_serving(tmp_path):
+    """First N>2 run of the real cluster (VERDICT r4 item 2): 1 ingest
+    + 2 followers (6 devices), one live audio listener on EVERY host.
+    The two follower listeners allocate slots in their hosts' ranges
+    and their window commands flow UP the two links concurrently
+    (merge_rows fan-in, the path a pod deployment hits first); every
+    listener must then receive decodable audio packets served from its
+    host's LOCAL channel shard, and the ingest host's /events must
+    report the CLUSTER-WIDE listener count (3) via the replicated
+    control block."""
+    import asyncio
+    import json as _json
+
+    procs, metrics = _spawn_cluster(
+        tmp_path, ports=(19061, 19062, 19063), coordinator=29661,
+        link_port=28761, loop=True)
+    hop = 12  # 3-proc cluster config (2*6 devices)
+    try:
+        for which in range(3):
+            _wait_metrics(procs, metrics, lambda m: m["frames"] >= 3 * hop,
+                          180, tmp_path, which=which)
+
+        async def drive():
+            import aiohttp
+
+            async def listen(port):
+                async with aiohttp.ClientSession() as s:
+                    url = f"http://127.0.0.1:{port}"
+                    async with s.ws_connect(url + "/audio",
+                                            max_msg_size=1 << 22) as ws:
+                        info = _json.loads((await ws.receive()).data)
+                        m = info["fft_result_size"] // 2
+                        await ws.send_str(_json.dumps(
+                            {"cmd": "window", "l": m - 32, "m": m,
+                             "r": m + 32}))
+                        await ws.send_str(_json.dumps(
+                            {"cmd": "demodulation",
+                             "demodulation": "AM"}))
+                        pkts = 0
+                        deadline = (asyncio.get_event_loop().time()
+                                    + 30)
+                        while pkts < 3:
+                            timeout = deadline - \
+                                asyncio.get_event_loop().time()
+                            assert timeout > 0, \
+                                f"port {port}: {pkts} audio pkts only"
+                            msg = await ws.receive(timeout=timeout)
+                            if msg.type == aiohttp.WSMsgType.BINARY:
+                                pkts += 1
+                        # hold the slot while the others sync so the
+                        # events probe sees all three listeners
+                        async with s.ws_connect(
+                                "http://127.0.0.1:19061/events") as ev:
+                            deadline = (asyncio.get_event_loop().time()
+                                        + 20)
+                            while True:
+                                msg = await ev.receive(
+                                    timeout=deadline
+                                    - asyncio.get_event_loop().time())
+                                st = _json.loads(msg.data)
+                                if st.get("signal_clients") == 3:
+                                    break
+                        # still inside the audio ws: this host must be
+                        # serving ITS listener from its local shard
+                        async with s.get(
+                                f"http://127.0.0.1:{port}/metrics") as r:
+                            st["local"] = _json.loads(await r.text())
+                        return st
+                return None
+
+            return await asyncio.gather(*(listen(p) for p in
+                                          (19061, 19062, 19063)))
+
+        states = asyncio.run(drive())
+        assert all(st and st["signal_clients"] == 3 for st in states), \
+            states
+        for st in states:  # each host served its listener locally
+            assert st["local"]["audio_clients"] == 1, st["local"]
+            assert st["local"]["device_errors"] == 0, st["local"]
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+
+def test_multihost_one_follower_death_among_several(tmp_path):
+    """SIGKILL ONE follower of two (VERDICT r4 item 2).  The jitted
+    step is a collective over every process's devices, so the designed
+    outcome is a LOUD whole-cluster failure, not silent degradation:
+    the ingest host detects the dropped link promptly, fails the
+    cluster, and closes every link -- which unblocks the SURVIVING
+    follower's recv() so it surfaces the failure too; both survivors'
+    serving edges stay up for an external supervisor to restart."""
+    import time
+
+    procs, metrics = _spawn_cluster(
+        tmp_path, ports=(19064, 19065, 19066), coordinator=29662,
+        link_port=28762, loop=True)
+    hop = 12
+    try:
+        _wait_metrics(procs, metrics, lambda m: m["frames"] >= 3 * hop,
+                      180, tmp_path)
+        procs[2].kill()                   # one of two followers dies
+        t_kill = time.monotonic()
+        m = _wait_metrics(procs, metrics,
+                          lambda m: m["device_errors"] >= 1,
+                          30, tmp_path)
+        assert "cluster failed" in m["last_device_error"], m
+        assert time.monotonic() - t_kill < 20
+        # the SURVIVING follower is unblocked and reports too
+        m1 = _wait_metrics(procs, metrics,
+                           lambda m: m["device_errors"] >= 1,
+                           30, tmp_path, which=1)
+        assert "cluster failed" in m1["last_device_error"], m1
+        # both survivors stopped stepping but their edges serve on
+        f0, f1 = metrics(0)["frames"], metrics(1)["frames"]
+        time.sleep(2.0)
+        assert metrics(0)["frames"] == f0
+        assert metrics(1)["frames"] == f1
+        assert procs[0].poll() is None and procs[1].poll() is None
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+
 def test_multihost_dryrun_two_processes(tmp_path):
     tool = Path(__file__).resolve().parent.parent / "tools" / "multihost_dryrun.py"
     res = subprocess.run(
@@ -364,3 +506,18 @@ def test_multihost_dryrun_two_processes(tmp_path):
     assert "MULTIHOST_DRYRUN_OK" in res.stdout, res.stdout + res.stderr
     # the comparison itself printed per-host zero-error lines
     assert "max |err| = 0" in res.stdout
+
+
+def test_multihost_dryrun_three_processes(tmp_path):
+    """Bit-identity of the 1-ingest + 2-follower topology against the
+    single-device pipeline, with BOTH followers retuning concurrently
+    in the same step (multi-link table_update fan-in)."""
+    tool = Path(__file__).resolve().parent.parent / "tools" / "multihost_dryrun.py"
+    res = subprocess.run(
+        [sys.executable, str(tool), "--out", str(tmp_path),
+         "--n-proc", "3"],
+        capture_output=True, text=True, timeout=380,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "MULTIHOST_DRYRUN_OK" in res.stdout, res.stdout + res.stderr
+    assert res.stdout.count("max |err| = 0") == 3, res.stdout

@@ -1,24 +1,26 @@
-"""2-process CPU-cluster dryrun of the multi-host runtime.
+"""N-process CPU-cluster dryrun of the multi-host runtime.
 
 Proves, without a TPU pod, that the multi-host path is real code end to
-end (VERDICT round 1, item 2):
+end (VERDICT round 1, item 2; N>2 topologies VERDICT round 4, item 2):
 
-- `jax.distributed` bootstrap, 2 processes x 2 virtual CPU devices
-  -> one 4-device mesh (collectives cross the process boundary via gloo),
+- `jax.distributed` bootstrap, N processes x 2 virtual CPU devices
+  -> one 2N-device mesh (collectives cross process boundaries via gloo),
 - the ingest host (process 0) reads the sample stream and ships each
   follower ONLY its time-shard raw rows over a real TCP link (the DCN
   path), plus the replicated control block (channel table, views, due
   layout, frame counter),
-- a follower-side retune flows BACK over the link (table_update) and
-  lands in the global table for a later step,
+- EVERY follower retunes one of its own slots concurrently, and all the
+  retunes flow BACK over the links (table_update) into the global table
+  for a later step -- the N>2 case exercises the multi-link fan-in,
 - each host runs the same jitted sharded step and extracts the audio of
   ITS channel slots from local device memory only,
 - the concatenated per-host audio is compared against the single-device
   HopPipeline on the identical stream: must match within 1 LSB, and the
-  replicated waterfall rows must match the single-device gather.
+  replicated waterfall rows must be identical on every host.
 
-Run:  python tools/multihost_dryrun.py          (orchestrates 2 procs)
-      python tools/multihost_dryrun.py --pid N  (one cluster process)
+Run:  python tools/multihost_dryrun.py             (orchestrates 2 procs)
+      python tools/multihost_dryrun.py --n-proc 3  (1 ingest + 2 followers)
+      python tools/multihost_dryrun.py --pid N ... (one cluster process)
 """
 
 from __future__ import annotations
@@ -35,24 +37,26 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-NPROCS = 2
 DEV_PER_PROC = 2
-COORD = "127.0.0.1:29610"
+COORD_PORT = 29610
 LINK_PORT = 28710
 STEPS = 4
-RETUNE_STEP = 2  # follower retunes its slot before this step
+RETUNE_STEP = 2  # followers retune their slot before this step
 
 
-def make_cfg():
+def make_cfg(nprocs: int):
     from phantomsdr_tpu.config import config_from_dict
 
+    n = nprocs * DEV_PER_PROC
     return config_from_dict({
         "input": {
             "sps": 192000, "frequency": 7000000, "fft_size": 2048,
             "signal": "iq", "audio_sps": 2000, "waterfall_size": 256,
             "driver": {"format": "s16"},
         },
-        "tpu": {"hop_batch": 8, "max_channels": 4},
+        # divisibility over the mesh (sharded.py): keep the historical
+        # 2-proc shape (8/4) and scale it for wider clusters
+        "tpu": {"hop_batch": 2 * n, "max_channels": n},
     })
 
 
@@ -72,9 +76,14 @@ def base_table(cfg):
             np.zeros(c, bool)]  # active, nr, rds, am_env
 
 
-def retuned_row():
-    """Follower's retune of its first slot (applied before RETUNE_STEP)."""
-    return {"slot": 2, "l": 400, "r": 500, "m_idx": 450, "mode": 1}
+def retuned_row(pid: int):
+    """Follower `pid`'s retune of its first own slot (applied before
+    RETUNE_STEP).  Each follower owns DEV_PER_PROC slots starting at
+    pid*DEV_PER_PROC (cpd=1 in this config), so slot choices never
+    collide -- the ingest host must merge ALL of them."""
+    slot = pid * DEV_PER_PROC
+    return {"slot": slot, "l": 400 + 20 * pid, "r": 500 + 20 * pid,
+            "m_idx": 450 + 20 * pid, "mode": (pid + 1) % 4}
 
 
 def views_for(cfg):
@@ -88,7 +97,7 @@ def views_for(cfg):
     return start, length, meta
 
 
-def cluster_main(pid: int, outdir: str):
+def cluster_main(pid: int, outdir: str, nprocs: int):
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
@@ -98,8 +107,9 @@ def cluster_main(pid: int, outdir: str):
         MultihostRuntime,
     )
 
-    bootstrap(COORD, NPROCS, pid, cpu_devices=DEV_PER_PROC)
-    cfg = make_cfg()
+    bootstrap(f"127.0.0.1:{COORD_PORT}", nprocs, pid,
+              cpu_devices=DEV_PER_PROC)
+    cfg = make_cfg(nprocs)
     rt = MultihostRuntime(cfg)
     import jax.numpy as jnp
 
@@ -116,25 +126,26 @@ def cluster_main(pid: int, outdir: str):
         wph = cfg.hop_size * 2
         blk_w = cfg.hop_batch * wph
         table = base_table(cfg)
-        links = serve_links(LINK_PORT, NPROCS - 1, host="127.0.0.1")
-        follower = links[1]
+        links = serve_links(LINK_PORT, nprocs - 1, host="127.0.0.1")
         for s in range(STEPS):
-            # lockstep: wait for the follower's previous step-done ack,
-            # applying any table updates it pushed first (a follower
-            # retune is sent BEFORE its step_done, so TCP ordering makes
-            # the merge deterministic)
+            # lockstep: wait for EVERY follower's previous step-done
+            # ack, applying any table updates each pushed first (a
+            # follower retune is sent BEFORE its step_done, so TCP
+            # ordering makes the per-link merge deterministic; links
+            # are drained one by one, exercising the N-link fan-in)
             if s > 0:
-                while True:
-                    hdr, _ = follower.recv()
-                    if hdr.get("type") == "table_update":
-                        u = hdr["row"]
-                        table[0][u["slot"]] = u["l"]
-                        table[1][u["slot"]] = u["r"]
-                        table[2][u["slot"]] = u["m_idx"]
-                        table[3][u["slot"]] = u["mode"]
-                    elif hdr.get("type") == "step_done":
-                        assert hdr["seq"] == s - 1
-                        break
+                for follower in links.values():
+                    while True:
+                        hdr, _ = follower.recv()
+                        if hdr.get("type") == "table_update":
+                            u = hdr["row"]
+                            table[0][u["slot"]] = u["l"]
+                            table[1][u["slot"]] = u["r"]
+                            table[2][u["slot"]] = u["m_idx"]
+                            table[3][u["slot"]] = u["mode"]
+                        elif hdr.get("type") == "step_done":
+                            assert hdr["seq"] == s - 1
+                            break
 
             frame0 = s * cfg.hop_batch
             idx, counts = rt.sp.due_layout(frame0)
@@ -176,9 +187,10 @@ def cluster_main(pid: int, outdir: str):
             audio_out.append(rt.local_audio(out))
             wf_out.append(rt.local_wf(out))
             # a follower-side retune rides upstream BEFORE step_done so
-            # the ingest host's next control block includes it
+            # the ingest host's next control block includes it; every
+            # follower retunes concurrently in the same step
             if s + 1 == RETUNE_STEP:
-                link.send({"type": "table_update", "row": retuned_row()})
+                link.send({"type": "table_update", "row": retuned_row(pid)})
             link.send({"type": "step_done", "seq": s})
 
     np.save(f"{outdir}/audio_pid{pid}.npy",
@@ -205,14 +217,14 @@ def run_step(rt, state, my_rows, table, views_dev, idx, due, cfg):
                       due_idx=jnp.asarray(idx))
 
 
-def orchestrate(outdir: str):
-    """Spawn the 2-process cluster, then check against single-device."""
+def orchestrate(outdir: str, nprocs: int):
+    """Spawn the N-process cluster, then check against single-device."""
     procs = []
-    for pid in range(NPROCS):
+    for pid in range(nprocs):
         env = dict(os.environ, JAX_PLATFORMS="cpu")
         procs.append(subprocess.Popen(
             [sys.executable, __file__, "--pid", str(pid),
-             "--out", outdir], env=env,
+             "--out", outdir, "--n-proc", str(nprocs)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     fail = False
     for pid, p in enumerate(procs):
@@ -234,7 +246,7 @@ def orchestrate(outdir: str):
         HopPipeline, WaterfallViews, channels_from_numpy,
     )
 
-    cfg = make_cfg()
+    cfg = make_cfg(nprocs)
     stream = make_stream(cfg)
     table = base_table(cfg)
     views_start, views_length, _ = views_for(cfg)
@@ -246,11 +258,12 @@ def orchestrate(outdir: str):
     ref_audio = []
     for s in range(STEPS):
         if s == RETUNE_STEP:
-            u = retuned_row()
-            table[0][u["slot"]] = u["l"]
-            table[1][u["slot"]] = u["r"]
-            table[2][u["slot"]] = u["m_idx"]
-            table[3][u["slot"]] = u["mode"]
+            for fpid in range(1, nprocs):
+                u = retuned_row(fpid)
+                table[0][u["slot"]] = u["l"]
+                table[1][u["slot"]] = u["r"]
+                table[2][u["slot"]] = u["m_idx"]
+                table[3][u["slot"]] = u["mode"]
         blk = stream[s * blk_w:(s + 1) * blk_w]
         st, o = pipe.step(st, jnp.asarray(np.concatenate([halo, blk])),
                           channels_from_numpy(*table), waterfall="off")
@@ -260,7 +273,7 @@ def orchestrate(outdir: str):
 
     # ---- compare each host's channel range ----
     max_err = 0
-    for pid in range(NPROCS):
+    for pid in range(nprocs):
         rng_info = json.load(open(f"{outdir}/range_pid{pid}.json"))
         got = np.load(f"{outdir}/audio_pid{pid}.npy")  # [S, B, C_loc, half]
         o, c = rng_info["offset"], rng_info["count"]
@@ -268,10 +281,11 @@ def orchestrate(outdir: str):
         err = np.abs(got.astype(int) - want.astype(int)).max()
         max_err = max(max_err, err)
         print(f"pid {pid}: channels [{o},{o + c}) max |err| = {err}")
-    # both hosts must also hold identical replicated waterfall rows
+    # every host must also hold identical replicated waterfall rows
     wf0 = np.load(f"{outdir}/wf_pid0.npy")
-    wf1 = np.load(f"{outdir}/wf_pid1.npy")
-    wf_equal = wf0.shape == wf1.shape and np.array_equal(wf0, wf1)
+    wf_equal = all(
+        (w := np.load(f"{outdir}/wf_pid{pid}.npy")).shape == wf0.shape
+        and np.array_equal(w, wf0) for pid in range(1, nprocs))
     print(f"waterfall replicas equal: {wf_equal} (shape {wf0.shape})")
     if max_err <= 1 and wf_equal:
         print("MULTIHOST_DRYRUN_OK")
@@ -284,12 +298,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pid", type=int, default=None)
     ap.add_argument("--out", default="/tmp/phantomsdr_multihost")
+    ap.add_argument("--n-proc", type=int, default=2,
+                    help="cluster processes (1 ingest + n-1 followers)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     if args.pid is None:
-        orchestrate(args.out)
+        orchestrate(args.out, args.n_proc)
     else:
-        cluster_main(args.pid, args.out)
+        cluster_main(args.pid, args.out, args.n_proc)
 
 
 if __name__ == "__main__":

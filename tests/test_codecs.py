@@ -154,6 +154,76 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
     return sample_rate, np.array(out, np.int32)
 
 
+def _subframe_types(data: bytes) -> set:
+    """Decode a stream recording each subframe's type tag:
+    'constant' | 'verbatim' | 'fixed' | 'lpc'."""
+    seen = set()
+    import tests.test_codecs as m
+
+    real = m._decode_subframe
+
+    def spy(br, n):
+        pos0 = br.pos
+        br.bits(1)
+        sub = br.bits(6)
+        br.pos = pos0
+        seen.add("constant" if sub == 0 else "verbatim" if sub == 1
+                 else "fixed" if (sub >> 3) == 1 else "lpc")
+        return real(br, n)
+
+    m._decode_subframe = spy
+    try:
+        decode_flac(data)
+    finally:
+        m._decode_subframe = real
+    return seen
+
+
+def test_flac_subframe_type_selection():
+    """The level-5-parity encoder must actually USE its predictors:
+    tonal content -> LPC subframes win; silence -> CONSTANT; and the
+    LPC stream must carry a partition order > 0 somewhere (the exact
+    Rice partition search isn't a dead knob)."""
+    t = np.arange(12 * 4096)
+    tone = (9000 * np.sin(2 * np.pi * 700 / 12000 * t)
+            + 40 * np.random.default_rng(2).standard_normal(t.size))
+    enc = FlacEncoder(12000)
+    data = enc.process(tone.astype(np.int16)) + enc.finish()
+    assert "lpc" in _subframe_types(data)
+
+    enc = FlacEncoder(12000)
+    data = enc.process(np.zeros(3 * 4096, np.int16)) + enc.finish()
+    assert _subframe_types(data) == {"constant"}
+
+    # impulsive content: rice stats vary along the frame, so the exact
+    # partition search must pick order > 0 for at least one subframe
+    rng = np.random.default_rng(7)
+    x = (60 * rng.standard_normal(8 * 4096)).astype(np.int16)
+    x[::5000] = 28000  # sparse clicks concentrate cost locally
+    enc = FlacEncoder(12000)
+    data = enc.process(x) + enc.finish()
+    sr, got = decode_flac(data)
+    np.testing.assert_array_equal(got, x.astype(np.int32))
+    # scan partition orders out of the stream via a bits-spy
+    orders = []
+    real_residual = _decode_residual
+
+    def spy(br, n, order):
+        method = br.bits(2)
+        po = br.bits(4)
+        br.pos -= 6
+        orders.append(po)
+        return real_residual(br, n, order)
+
+    import tests.test_codecs as m
+    m._decode_residual = spy
+    try:
+        decode_flac(data)
+    finally:
+        m._decode_residual = real_residual
+    assert any(po > 0 for po in orders), orders
+
+
 def test_flac_roundtrip_random():
     r = np.random.default_rng(0)
     enc = FlacEncoder(12000, blocksize=512)

@@ -138,6 +138,24 @@ class FlacStreamMirror:
         return out
 
 
+def test_flac_js_tracks_decoder_subset():
+    """html/flac.js must textually track the encoder's subset (no JS
+    runtime here to execute it): LPC subframes, rice partitions, and
+    the float-division prediction that dodges JS 32-bit bitwise
+    truncation (15-bit coefs x 16-bit samples x order 8 > 2^31)."""
+    js = (HTML / "flac.js").read_text()
+    for marker in [
+        "sub & 0x20",                 # LPC subframe tag
+        "(sub & 0x1f) + 1",           # LPC order coding
+        "br.bits(4) + 1",             # qlp precision field
+        "br.bits(5)",                 # qlp shift field
+        "Math.floor(pred / div)",     # >32-bit-safe arithmetic shift
+        "const po = br.bits(4)",      # rice partition order
+        "x.fill(flacSigned",          # constant subframe
+    ]:
+        assert marker in js, f"html/flac.js missing marker {marker}"
+
+
 @pytest.mark.parametrize("channels", [1, 2])
 @pytest.mark.parametrize("split", ["per_hop", "dribble_17", "one_blob"])
 def test_flac_stream_mirror(channels, split):

@@ -330,6 +330,78 @@ def demodulate(
     return new_state, audio, avg_power
 
 
+def _demod_barrier(c: int, fusion_barriers: bool | None):
+    """Above ~1024 channels XLA's fused gather+IFFT+demod mega-kernel
+    leaves the VMEM-friendly regime and the composed stage goes
+    super-linear (12.3 -> 40.6 ms for 1024 -> 2048 on a v5e) while
+    every sub-stage stays linear in isolation (PERF.md round-4
+    scaling section; tools/chunk_exp.py).  Materialization barriers
+    at the gather->IFFT and IFFT->demod-math seams keep the fusions
+    sized to what was measured linear.  Semantically the identity."""
+    if fusion_barriers is None:
+        fusion_barriers = c > 1024
+    return (jax.lax.optimization_barrier if fusion_barriers
+            else (lambda x: x))
+
+
+def gather_channel_bins(
+    spec_ext: jnp.ndarray,
+    chans: ChannelTable,
+    *,
+    audio_fft_size: int,
+    fft_result_size: int,
+    base_idx: int,
+    fusion_barriers: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Stage A of demodulate_batch: the three dense bin gathers.
+    [B, R+A] -> (ssb_bins [B, C, A/2+1], cplx_bins [B, C, A],
+    avg_power [B, C]).  Split out so the gather->demod seam can run as
+    two dispatches (tools/chunk_exp.py --split experiment)."""
+    a = audio_fft_size
+    half = a // 2
+    c = chans.l.shape[0]
+    barrier = _demod_barrier(c, fusion_barriers)
+
+    start = (chans.l + base_idx) % fft_result_size
+    audio_r = chans.r - chans.l
+    m_rel = chans.m_idx - chans.l
+    maxi = spec_ext.shape[-1] - 1
+
+    def gather(rel_idx, valid):
+        """[C, K] slice-relative bins -> [B, C, K] values (one gather)."""
+        safe = jnp.clip(start[:, None] + rel_idx, 0, maxi)
+        vals = spec_ext[:, safe]                         # [B, C, K]
+        return jnp.where(valid[None], vals, jnp.zeros((), spec_ext.dtype))
+
+    # ---- average slice power (signal.cpp:117-119) ----
+    k_a = jnp.arange(a, dtype=jnp.int32)
+    slice_vals = gather(k_a[None, :].repeat(c, 0),
+                        k_a[None, :] < audio_r[:, None])
+    avg_power = jnp.sum(
+        jnp.real(slice_vals) ** 2 + jnp.imag(slice_vals) ** 2, axis=-1)
+
+    # ---- SSB bins (signal.cpp:126-156) ----
+    k_r = jnp.arange(half + 1, dtype=jnp.int32)
+    usb_rel = m_rel[:, None] + k_r[None, :]
+    lsb_rel = m_rel[:, None] - k_r[None, :]
+    is_lsb = (chans.mode == MODE_LSB)[:, None]
+    ssb_rel = jnp.where(is_lsb, lsb_rel, usb_rel)
+    ssb_valid = (ssb_rel >= 0) & (ssb_rel < audio_r[:, None])
+    ssb_bins = barrier(gather(ssb_rel, ssb_valid))       # [B, C, A/2+1]
+
+    # ---- AM/FM bins (signal.cpp:173-214) ----
+    t = jnp.arange(a, dtype=jnp.int32)
+    pos_rel = m_rel[:, None] + t[None, :]
+    neg_rel = m_rel[:, None] - (a - t)[None, :]
+    is_pos = t[None, :] < half
+    is_neg = t[None, :] > half
+    cplx_rel = jnp.where(is_pos, pos_rel, neg_rel)
+    cplx_valid = ((is_pos | is_neg) & (cplx_rel >= 0)
+                  & (cplx_rel < audio_r[:, None]))
+    cplx_bins = barrier(gather(cplx_rel, cplx_valid))    # [B, C, A]
+    return ssb_bins, cplx_bins, avg_power
+
+
 def demodulate_batch(
     spec_ext: jnp.ndarray,
     chans: ChannelTable,
@@ -357,63 +429,47 @@ def demodulate_batch(
     PREVIOUS hop's wave, available in-batch) and, for the PLL alone, a
     per-sample scan.  Cuts the profiled demod stage ~4x at the
     north-star config (PERF.md).
+
+    Composed as gather_channel_bins (stage A) + demodulate_from_bins
+    (stage B); the split exists for the two-dispatch experiment and
+    keeps this function the single production entry point.
     """
+    ssb_bins, cplx_bins, avg_power = gather_channel_bins(
+        spec_ext, chans, audio_fft_size=audio_fft_size,
+        fft_result_size=fft_result_size, base_idx=base_idx,
+        fusion_barriers=fusion_barriers)
+    return demodulate_from_bins(
+        ssb_bins, cplx_bins, avg_power, chans, state, frame0,
+        audio_fft_size=audio_fft_size, is_real=is_real, am_sync=am_sync,
+        carrier_cutoff=carrier_cutoff, fusion_barriers=fusion_barriers)
+
+
+def demodulate_from_bins(
+    ssb_bins: jnp.ndarray,
+    cplx_bins: jnp.ndarray,
+    avg_power: jnp.ndarray,
+    chans: ChannelTable,
+    state: ChannelState,
+    frame0: jnp.ndarray,
+    *,
+    audio_fft_size: int,
+    is_real: bool,
+    am_sync: bool = False,
+    carrier_cutoff: int = 0,
+    fusion_barriers: bool | None = None,
+) -> tuple[ChannelState, jnp.ndarray, jnp.ndarray]:
+    """Stage B of demodulate_batch: batched IFFTs, parity fix-up,
+    overlap-add and the per-mode demod math."""
     a = audio_fft_size
     half = a // 2
-    b = spec_ext.shape[0]
+    b = ssb_bins.shape[0]
     c = chans.l.shape[0]
-
-    # Above ~1024 channels XLA's fused gather+IFFT+demod mega-kernel
-    # leaves the VMEM-friendly regime and the composed stage goes
-    # super-linear (12.3 -> 40.6 ms for 1024 -> 2048 on a v5e) while
-    # every sub-stage stays linear in isolation (PERF.md round-4
-    # scaling section; tools/chunk_exp.py).  Materialization barriers
-    # at the gather->IFFT and IFFT->demod-math seams keep the fusions
-    # sized to what was measured linear.  Semantically the identity.
-    if fusion_barriers is None:
-        fusion_barriers = c > 1024
-    barrier = (jax.lax.optimization_barrier if fusion_barriers
-               else (lambda x: x))
-
-    start = (chans.l + base_idx) % fft_result_size
-    audio_r = chans.r - chans.l
-    m_rel = chans.m_idx - chans.l
-    maxi = spec_ext.shape[-1] - 1
-
-    def gather(rel_idx, valid):
-        """[C, K] slice-relative bins -> [B, C, K] values (one gather)."""
-        safe = jnp.clip(start[:, None] + rel_idx, 0, maxi)
-        vals = spec_ext[:, safe]                         # [B, C, K]
-        return jnp.where(valid[None], vals, jnp.zeros((), spec_ext.dtype))
-
-    # ---- average slice power (signal.cpp:117-119) ----
-    k_a = jnp.arange(a, dtype=jnp.int32)
-    slice_vals = gather(k_a[None, :].repeat(c, 0),
-                        k_a[None, :] < audio_r[:, None])
-    avg_power = jnp.sum(
-        jnp.real(slice_vals) ** 2 + jnp.imag(slice_vals) ** 2, axis=-1)
-
-    # ---- SSB bins + batched c2r IFFT (signal.cpp:126-156) ----
-    k_r = jnp.arange(half + 1, dtype=jnp.int32)
-    usb_rel = m_rel[:, None] + k_r[None, :]
-    lsb_rel = m_rel[:, None] - k_r[None, :]
+    barrier = _demod_barrier(c, fusion_barriers)
     is_lsb = (chans.mode == MODE_LSB)[:, None]
-    ssb_rel = jnp.where(is_lsb, lsb_rel, usb_rel)
-    ssb_valid = (ssb_rel >= 0) & (ssb_rel < audio_r[:, None])
-    ssb_bins = barrier(gather(ssb_rel, ssb_valid))       # [B, C, A/2+1]
+    t = jnp.arange(a, dtype=jnp.int32)
+
     ssb_wave = barrier(jnp.fft.irfft(ssb_bins, n=a) * a)  # [B, C, A]
     ssb_wave = jnp.where(is_lsb[None], ssb_wave[..., ::-1], ssb_wave)
-
-    # ---- AM/FM bins + batched c2c IFFT (signal.cpp:173-214) ----
-    t = jnp.arange(a, dtype=jnp.int32)
-    pos_rel = m_rel[:, None] + t[None, :]
-    neg_rel = m_rel[:, None] - (a - t)[None, :]
-    is_pos = t[None, :] < half
-    is_neg = t[None, :] > half
-    cplx_rel = jnp.where(is_pos, pos_rel, neg_rel)
-    cplx_valid = ((is_pos | is_neg) & (cplx_rel >= 0)
-                  & (cplx_rel < audio_r[:, None]))
-    cplx_bins = barrier(gather(cplx_rel, cplx_valid))    # [B, C, A]
     cplx_wave = barrier(jnp.fft.ifft(cplx_bins) * a)
 
     # ---- parity fix-up, vectorized over hops (signal.cpp:160-168) ----

@@ -43,6 +43,14 @@ def main():
                     help="gather formulations: per-element index "
                          "gather (production) vs vmapped dynamic_slice "
                          "(contiguity visible to XLA)")
+    ap.add_argument("--split", action="store_true",
+                    help="two-DISPATCH demod: jit(gather_channel_bins) "
+                         "then jit(demodulate_from_bins) vs the "
+                         "composed one-jit stage (VERDICT r4 item 6: "
+                         "the last ~10%% of the >1024-channel fusion "
+                         "penalty)")
+    ap.add_argument("--iters", type=int, default=30,
+                    help="--split timing iterations")
     ap.add_argument("--out", default="/tmp/chunk_exp.json")
     args = ap.parse_args()
 
@@ -94,6 +102,56 @@ def main():
             pll_phase=np.zeros((c,), np.float32),
             pll_freq=np.zeros((c,), np.float32),
         )
+
+        if args.split:
+            # Two-dispatch split at the gather->demod seam.  Timed with
+            # the async-queue method (enqueue N chained dispatches, ONE
+            # device->host fetch at the end fences them all) so the
+            # one-jit baseline and the two-jit chain are measured the
+            # same way -- the slope method cannot hold two dispatches.
+            import time as _time
+            from phantomsdr_tpu.ops.channelizer import (
+                gather_channel_bins, demodulate_from_bins,
+            )
+
+            j_comp = jax.jit(lambda s: demodulate_batch(
+                extend_spectrum(s, cfg.is_real, r, a), table, st,
+                jnp.int32(0), audio_fft_size=a, fft_result_size=r,
+                base_idx=cfg.base_idx, is_real=cfg.is_real)[1])
+            j_gather = jax.jit(lambda s: gather_channel_bins(
+                extend_spectrum(s, cfg.is_real, r, a), table,
+                audio_fft_size=a, fft_result_size=r,
+                base_idx=cfg.base_idx))
+            j_demod = jax.jit(lambda sb, cb, ap_: demodulate_from_bins(
+                sb, cb, ap_, table, st, jnp.int32(0), audio_fft_size=a,
+                is_real=cfg.is_real)[1])
+
+            def fence(x):
+                np.asarray(jax.device_get(x[0, 0, :1]))
+
+            def run_comp():
+                out = None
+                for _ in range(args.iters):
+                    out = j_comp(spec)
+                return out
+
+            def run_split():
+                out = None
+                for _ in range(args.iters):
+                    sb, cb, ap_ = j_gather(spec)
+                    out = j_demod(sb, cb, ap_)
+                return out
+
+            for name, fn in (("composed", run_comp), ("split", run_split)):
+                fence(fn())               # compile + warm
+                t0 = _time.perf_counter()
+                out = fn()
+                fence(out)
+                ms = 1e3 * (_time.perf_counter() - t0) / args.iters
+                key = f"demod_c{c}_{name}_2dispatch"
+                results[key] = round(ms, 3)
+                print(key, results[key], flush=True)
+            continue
 
         if args.barrier:
             for fb in (False, True):

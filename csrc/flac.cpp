@@ -10,9 +10,11 @@
 // subframes, and an exact Rice partition-order search (orders 0-6);
 // per subframe the cheaper of the best-fixed and best-LPC encodings
 // is emitted, each under its own best partitioning.  16-bit mono or
-// independent 2-channel stereo (the device-side WBFM stereo path),
-// streamable subset (sample rate coded in each frame header), fixed
-// blocksize.
+// 2-channel stereo (the device-side WBFM stereo path) with per-frame
+// adaptive channel decorrelation (independent / left-side /
+// right-side / mid-side, chosen by an order-2 cost estimate like
+// libFLAC's adaptive mid-side); streamable subset (sample rate coded
+// in each frame header), fixed blocksize.
 //
 // C ABI (used from Python via ctypes, one encoder per audio client):
 //   void*   phantom_flac_create(int sample_rate, int blocksize,
@@ -197,7 +199,8 @@ struct FlacEncoder {
     uint32_t frame_number = 0;
     bool header_sent = false;
     std::vector<int16_t> pending;   // interleaved when channels == 2
-    std::vector<int16_t> chbuf;     // deinterleave scratch
+    std::vector<int32_t> chbuf[2];  // de-interleave / decorrelation
+                                    // scratch (side channel is 17-bit)
     std::vector<int64_t> residual;  // scratch (fixed-predictor residual)
     std::vector<int64_t> lpcres;    // scratch (LPC residual)
     std::vector<uint64_t> uzz;      // scratch (zigzag residual)
@@ -231,8 +234,26 @@ struct FlacEncoder {
         out.insert(out.end(), bw.buf.begin(), bw.buf.end());
     }
 
+    // order-2 fixed-difference residual cost estimate for one channel
+    // candidate -- the adaptive stereo-decorrelation decision (libFLAC
+    // level 5 style: estimate, don't exhaustively encode all four)
+    static uint64_t est_channel_bits(const int32_t *x, int n) {
+        if (n < 3) return 16u * (unsigned)n;
+        uint64_t usum = 0;
+        for (int i = 2; i < n; i++) {
+            int64_t v = (int64_t)x[i] - 2 * (int64_t)x[i - 1]
+                        + (int64_t)x[i - 2];
+            usum += (uint64_t)((v << 1) ^ (v >> 63));
+        }
+        uint64_t nres = (uint64_t)(n - 2);
+        uint64_t best = ~0ull;
+        for (int k = 0; k < KMAX; k++)
+            best = std::min(best, nres * (uint64_t)(k + 1) + (usum >> k));
+        return best;
+    }
+
     // best fixed predictor order by minimal sum of |residual|
-    int best_order(const int16_t *x, int n) {
+    int best_order(const int32_t *x, int n) {
         // running difference chains in int64
         uint64_t best_sum = ~0ull;
         int best = 0;
@@ -255,7 +276,7 @@ struct FlacEncoder {
         return best;
     }
 
-    void compute_residual(const int16_t *x, int n, int order) {
+    void compute_residual(const int32_t *x, int n, int order) {
         residual.assign(x, x + n);
         for (int o = 0; o < order; o++)
             for (int i = n - 1; i >= o + 1; i--)
@@ -283,7 +304,7 @@ struct FlacEncoder {
 
     // Windowed autocorrelation -> Levinson-Durbin -> order pick by the
     // prediction-error bit estimate -> error-feedback quantization.
-    LpcCand analyze_lpc(const int16_t *x, int n) {
+    LpcCand analyze_lpc(const int32_t *x, int n) {
         LpcCand c;
         if (n < 4 * MAX_LPC_ORDER) return c;
         const std::vector<double> &w = tukey(n);
@@ -353,7 +374,7 @@ struct FlacEncoder {
         return c;
     }
 
-    void lpc_residual(const int16_t *x, int n, const LpcCand &c) {
+    void lpc_residual(const int32_t *x, int n, const LpcCand &c) {
         lpcres.resize(n);
         for (int i = c.order; i < n; i++) {
             int64_t pred = 0;
@@ -391,7 +412,8 @@ struct FlacEncoder {
     }
 
     // Best of CONSTANT / best-fixed / best-LPC, each rice-partitioned.
-    void encode_subframe(const int16_t *x, int n, BitWriter &bw) {
+    // bps = 16, or 17 for a stereo-decorrelation side channel.
+    void encode_subframe(const int32_t *x, int n, int bps, BitWriter &bw) {
         bool constant = true;
         for (int i = 1; i < n; i++)
             if (x[i] != x[0]) { constant = false; break; }
@@ -399,7 +421,7 @@ struct FlacEncoder {
             bw.put(0, 1);
             bw.put(0, 6);                // CONSTANT subframe
             bw.put(0, 1);
-            bw.put((uint16_t)x[0], 16);
+            bw.put((uint32_t)x[0], bps);
             return;
         }
         // fixed candidate (the round-4 encoder's path)
@@ -408,7 +430,7 @@ struct FlacEncoder {
         zigzag(residual, n, forder);
         RicePlan fplan = plan_rice(uzz, n, forder);
         std::vector<uint64_t> fzz;
-        uint64_t fbits = 8 + (uint64_t)forder * 16 + fplan.bits;
+        uint64_t fbits = 8 + (uint64_t)forder * bps + fplan.bits;
         // LPC candidate
         LpcCand c = lpc_enabled ? analyze_lpc(x, n) : LpcCand{};
         RicePlan lplan;
@@ -418,7 +440,7 @@ struct FlacEncoder {
             lpc_residual(x, n, c);
             zigzag(lpcres, n, c.order);
             lplan = plan_rice(uzz, n, c.order);
-            lbits = 8 + (uint64_t)c.order * 16 + 4 + 5 +
+            lbits = 8 + (uint64_t)c.order * bps + 4 + 5 +
                     (uint64_t)c.order * QLP_PRECISION + lplan.bits;
         }
         if (c.ok && lbits < fbits) {
@@ -426,7 +448,7 @@ struct FlacEncoder {
             bw.put(0x20 | (c.order - 1), 6);   // LPC subframe
             bw.put(0, 1);                      // no wasted bits
             for (int i = 0; i < c.order; i++)
-                bw.put((uint16_t)x[i], 16);    // warmup
+                bw.put((uint32_t)x[i], bps);   // warmup
             bw.put(QLP_PRECISION - 1, 4);
             bw.put(c.shift, 5);
             for (int j = 0; j < c.order; j++)
@@ -438,7 +460,7 @@ struct FlacEncoder {
             bw.put(0x08 | forder, 6);          // fixed subframe
             bw.put(0, 1);
             for (int i = 0; i < forder; i++)
-                bw.put((uint16_t)x[i], 16);
+                bw.put((uint32_t)x[i], bps);
             write_residual(bw, fu, n, forder, fplan);
         }
     }
@@ -471,8 +493,45 @@ struct FlacEncoder {
                     : (sample_rate % 10 == 0 && sample_rate / 10 <= 0xFFFF)
                         ? 14 : 0;
         bw.put(sr_code, 4);
-        // channel assignment: 0 = mono, 1 = independent L/R stereo
-        bw.put(channels - 1, 4);
+        // channel assignment: 0 = mono; stereo picks per frame among
+        // independent (1) / left-side (8) / right-side (9) / mid-side
+        // (10) by the order-2 cost estimate -- libFLAC level 5's
+        // adaptive stereo decorrelation.  Stereo FM audio is mono-
+        // dominant, so the side channel is usually near-silent.
+        int assign = 0;
+        if (channels == 2) {
+            chbuf[0].resize(n);
+            chbuf[1].resize(n);
+            for (int i = 0; i < n; i++) {
+                chbuf[0][i] = x[2 * i];
+                chbuf[1][i] = x[2 * i + 1];
+            }
+            std::vector<int32_t> mid(n), sidev(n);
+            for (int i = 0; i < n; i++) {
+                int32_t l0 = chbuf[0][i], r0 = chbuf[1][i];
+                sidev[i] = l0 - r0;
+                mid[i] = (l0 + r0) >> 1;
+            }
+            uint64_t el = est_channel_bits(chbuf[0].data(), n);
+            uint64_t er = est_channel_bits(chbuf[1].data(), n);
+            uint64_t em = est_channel_bits(mid.data(), n);
+            uint64_t es = est_channel_bits(sidev.data(), n) + n;  // +1 bit
+            uint64_t costs[4] = {el + er, el + es, es + er, em + es};
+            int codes[4] = {1, 8, 9, 10};
+            assign = 1;
+            uint64_t bc = costs[0];
+            for (int i = 1; i < 4; i++)
+                if (costs[i] < bc) { bc = costs[i]; assign = codes[i]; }
+            if (assign == 8) {           // left-side: ch0=left, ch1=side
+                chbuf[1] = std::move(sidev);
+            } else if (assign == 9) {    // right-side: ch0=side, ch1=right
+                chbuf[0] = std::move(sidev);
+            } else if (assign == 10) {   // mid-side
+                chbuf[0] = std::move(mid);
+                chbuf[1] = std::move(sidev);
+            }
+        }
+        bw.put(assign, 4);
         bw.put(4, 3);                // sample size: 16 bps
         bw.put(0, 1);                // reserved
         put_coded_number(bw, frame_number);
@@ -483,15 +542,18 @@ struct FlacEncoder {
         uint8_t c8 = crc8(bw.buf.data(), bw.buf.size());
         bw.put(c8, 8);
 
-        // ---- one subframe per channel (x is interleaved) ----
-        for (int ch = 0; ch < channels; ch++) {
-            const int16_t *s = x;
-            if (channels > 1) {
-                chbuf.resize(n);
-                for (int i = 0; i < n; i++) chbuf[i] = x[i * channels + ch];
-                s = chbuf.data();
+        // ---- one subframe per channel ----
+        if (channels == 1) {
+            chbuf[0].assign(x, x + n);
+            encode_subframe(chbuf[0].data(), n, 16, bw);
+        } else {
+            // chbuf holds the decorrelated pair; the SIDE channel (ch1
+            // for left-side/mid-side, ch0 for right-side) is 17-bit
+            for (int ch = 0; ch < 2; ch++) {
+                int bps = 16 + ((assign == 9 && ch == 0)
+                                || (assign >= 8 && assign != 9 && ch == 1));
+                encode_subframe(chbuf[ch].data(), n, bps, bw);
             }
-            encode_subframe(s, n, bw);
         }
         bw.align_zero();
         uint16_t c16 = crc16(bw.buf.data(), bw.buf.size());

@@ -1,7 +1,8 @@
 /* Streaming decoder for the FLAC subset csrc/flac.cpp emits: 16-bit
    constant / fixed-predictor (orders 0-4) / LPC (orders 1-8)
-   subframes, rice partitions of any order, mono or independent
-   stereo.  JS port of the from-spec decoder in tests/test_codecs.py,
+   subframes, rice partitions of any order, mono or stereo with
+   per-frame decorrelation (independent / left-side / right-side /
+   mid-side).  JS port of the from-spec decoder in tests/test_codecs.py,
    made incremental: push() consumes whole frames greedily and keeps a
    partial tail for the next packet (per-hop CBOR payloads always
    carry whole frames, but the stream header and any coalesced packets
@@ -36,28 +37,29 @@ function flacSigned(v, bits) {
 
 const FLAC_FIXED_COEF = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]];
 
-function flacSubframe(br, n) {
+function flacSubframe(br, n, bps) {
+  // bps = 17 for the side channel of a stereo-decorrelated frame
   if (br.bits(1) !== 0) throw new Error("flac: bad subframe pad");
   const sub = br.bits(6);
   if (br.bits(1) !== 0) throw new Error("flac: wasted bits unsupported");
   const x = new Int32Array(n);
   if (sub === 0) {                             // CONSTANT
-    x.fill(flacSigned(br.bits(16), 16));
+    x.fill(flacSigned(br.bits(bps), bps));
     return x;
   }
   if (sub === 1) {                             // VERBATIM
-    for (let i = 0; i < n; i++) x[i] = flacSigned(br.bits(16), 16);
+    for (let i = 0; i < n; i++) x[i] = flacSigned(br.bits(bps), bps);
     return x;
   }
   let order, coef, shift;
   if (sub >> 3 === 1) {                        // FIXED
     order = sub & 7;
-    for (let i = 0; i < order; i++) x[i] = flacSigned(br.bits(16), 16);
+    for (let i = 0; i < order; i++) x[i] = flacSigned(br.bits(bps), bps);
     coef = FLAC_FIXED_COEF[order];
     shift = 0;
   } else if (sub & 0x20) {                     // LPC
     order = (sub & 0x1f) + 1;
-    for (let i = 0; i < order; i++) x[i] = flacSigned(br.bits(16), 16);
+    for (let i = 0; i < order; i++) x[i] = flacSigned(br.bits(bps), bps);
     const precision = br.bits(4) + 1;
     if (precision === 16) throw new Error("flac: invalid qlp precision");
     shift = br.bits(5);
@@ -88,6 +90,24 @@ function flacSubframe(br, n) {
     }
   }
   return x;
+}
+
+function flacUndecorrelate(chan, subs) {
+  // channel assignment 8/9/10 -> [left, right] (RFC 9639 4.1)
+  const [a, b] = subs;
+  const n = a.length;
+  const left = new Int32Array(n), right = new Int32Array(n);
+  for (let i = 0; i < n; i++) {
+    if (chan === 8) {        // left-side: b = left - right
+      left[i] = a[i]; right[i] = a[i] - b[i];
+    } else if (chan === 9) { // right-side: a = left - right
+      right[i] = b[i]; left[i] = b[i] + a[i];
+    } else {                 // mid-side
+      let m = (a[i] << 1) | (b[i] & 1);
+      left[i] = (m + b[i]) >> 1; right[i] = (m - b[i]) >> 1;
+    }
+  }
+  return [left, right];
 }
 
 class FlacStream {
@@ -130,8 +150,9 @@ class FlacStream {
     const bsCode = br.bits(4);
     const srCode = br.bits(4);
     const chan = br.bits(4);
-    if (chan > 1) throw new Error("flac: channel mode " + chan);
-    const channels = chan + 1;
+    if (chan > 1 && !(chan >= 8 && chan <= 10))
+      throw new Error("flac: channel mode " + chan);
+    const channels = chan === 0 ? 1 : 2;
     if (br.bits(3) !== 4) throw new Error("flac: not 16-bit");
     br.bits(1);
     let first = br.bits(8), extra = 0;  // UTF-8 coded frame number
@@ -150,8 +171,12 @@ class FlacStream {
     else if (srCode === 14) this.sampleRate = br.bits(16) * 10;
     else if (srCode === 12) this.sampleRate = br.bits(8) * 1000;
     br.bits(8);                       // crc8
-    const subs = [];
-    for (let c = 0; c < channels; c++) subs.push(flacSubframe(br, n));
+    let subs = [];
+    for (let c = 0; c < channels; c++) {
+      const side = chan >= 8 && c === (chan === 9 ? 0 : 1);
+      subs.push(flacSubframe(br, n, side ? 17 : 16));
+    }
+    if (chan >= 8) subs = flacUndecorrelate(chan, subs);
     br.align();
     br.bits(16);                      // crc16
     this.channels = channels;

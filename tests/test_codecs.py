@@ -57,17 +57,18 @@ def _decode_residual(br: "BitReader", n: int, order: int) -> list[int]:
     return res
 
 
-def _decode_subframe(br: "BitReader", n: int) -> list[int]:
+def _decode_subframe(br: "BitReader", n: int, bps: int = 16) -> list[int]:
+    """bps = 17 for the side channel of a stereo-decorrelated frame."""
     assert br.bits(1) == 0
     sub = br.bits(6)
     assert br.bits(1) == 0  # no wasted bits
     if sub == 0:  # CONSTANT
-        return [signed(br.bits(16), 16)] * n
+        return [signed(br.bits(bps), bps)] * n
     if sub == 1:  # VERBATIM
-        return [signed(br.bits(16), 16) for _ in range(n)]
+        return [signed(br.bits(bps), bps) for _ in range(n)]
     if (sub >> 3) == 1:  # FIXED, integer coefficients, no shift
         order = sub & 7
-        x = [signed(br.bits(16), 16) for _ in range(order)]
+        x = [signed(br.bits(bps), bps) for _ in range(order)]
         coef = {
             0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1],
         }[order]
@@ -75,7 +76,7 @@ def _decode_subframe(br: "BitReader", n: int) -> list[int]:
     else:  # LPC: quantized coefficients, arithmetic-shifted prediction
         assert sub & 0x20, f"unknown subframe type: {sub:06b}"
         order = (sub & 0x1F) + 1
-        x = [signed(br.bits(16), 16) for _ in range(order)]
+        x = [signed(br.bits(bps), bps) for _ in range(order)]
         precision = br.bits(4) + 1
         assert precision != 16  # 15 = invalid field value
         shift = br.bits(5)
@@ -87,11 +88,29 @@ def _decode_subframe(br: "BitReader", n: int) -> list[int]:
     return x
 
 
+def _undecorrelate(chan: int, subs: list[list[int]]) -> list[list[int]]:
+    """Channel assignment 8/9/10 -> [left, right] (RFC 9639 4.1)."""
+    a, b = subs
+    if chan == 8:     # left-side: b = left - right
+        return [a, [l - s for l, s in zip(a, b)]]
+    if chan == 9:     # right-side: a = left - right
+        return [[r + s for s, r in zip(a, b)], b]
+    if chan == 10:    # mid-side: a = (l+r)>>1, b = l-r
+        left, right = [], []
+        for m, s in zip(a, b):
+            m = (m << 1) | (s & 1)
+            left.append((m + s) >> 1)
+            right.append((m - s) >> 1)
+        return [left, right]
+    return subs
+
+
 def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
     """Decode the subset our encoder emits: 16-bit constant / fixed /
-    LPC subframes, any rice partition order, mono or independent
-    stereo.  Returns (sample_rate, samples) -- stereo interleaved
-    L0 R0 L1 R1 ..."""
+    LPC subframes, any rice partition order, mono or stereo with
+    per-frame channel decorrelation (independent / left-side /
+    right-side / mid-side).  Returns (sample_rate, samples) -- stereo
+    interleaved L0 R0 L1 R1 ..."""
     assert data[:4] == b"fLaC"
     pos = 4
     # metadata blocks
@@ -112,8 +131,8 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
         bs_code = br.bits(4)
         sr_code = br.bits(4)
         chan = br.bits(4)
-        assert chan in (0, 1)  # mono / independent stereo
-        channels = chan + 1
+        assert chan in (0, 1, 8, 9, 10), chan  # mono / indep / decorrelated
+        channels = 1 if chan == 0 else 2
         bps_code = br.bits(3)
         assert bps_code == 4  # 16 bit
         br.bits(1)
@@ -144,7 +163,10 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
         elif sr_code == 12:
             sample_rate = br.bits(8) * 1000
         br.bits(8)  # crc8 (assume ok; content verified by sample equality)
-        subs = [_decode_subframe(br, n) for _ in range(channels)]
+        subs = [_decode_subframe(
+            br, n, 16 + (ch == (0 if chan == 9 else 1) and chan >= 8))
+            for ch in range(channels)]
+        subs = _undecorrelate(chan, subs) if chan >= 8 else subs
         for i in range(n):
             for s in subs:
                 out.append(s[i])
@@ -162,14 +184,14 @@ def _subframe_types(data: bytes) -> set:
 
     real = m._decode_subframe
 
-    def spy(br, n):
+    def spy(br, n, bps=16):
         pos0 = br.pos
         br.bits(1)
         sub = br.bits(6)
         br.pos = pos0
         seen.add("constant" if sub == 0 else "verbatim" if sub == 1
                  else "fixed" if (sub >> 3) == 1 else "lpc")
-        return real(br, n)
+        return real(br, n, bps)
 
     m._decode_subframe = spy
     try:
@@ -222,6 +244,45 @@ def test_flac_subframe_type_selection():
     finally:
         m._decode_residual = real_residual
     assert any(po > 0 for po in orders), orders
+
+
+def test_flac_stereo_decorrelation():
+    """Mono-dominant stereo (the WBFM case: L ~= R) must pick a
+    decorrelated channel assignment (side channel near-silent) and
+    still decode bit-exact; anti-correlated content must NOT be forced
+    into mid-side."""
+    rng = np.random.default_rng(4)
+    t = np.arange(6 * 4096)
+    mono = 9000 * np.sin(2 * np.pi * 600 / 12000 * t)
+    l = mono + 60 * rng.standard_normal(t.size)
+    r_ = mono + 60 * rng.standard_normal(t.size)
+    x = np.stack([l, r_], 1).reshape(-1).astype(np.int16)
+    enc = FlacEncoder(12000, channels=2)
+    data = enc.process(x) + enc.finish()
+    # channel assignment out of the frame headers
+    assigns = set()
+    pos = data.index(b"\xff\xf8")  # first frame sync (byte-aligned)
+    d = data[pos:]
+    i = 0
+    while i < len(d) - 4:
+        if d[i] == 0xFF and (d[i + 1] & 0xFC) == 0xF8:
+            assigns.add(d[i + 3] >> 4)
+            i += 16
+        else:
+            i += 1
+    assert assigns & {8, 9, 10}, assigns  # decorrelation used
+    _, got = decode_flac(data)
+    np.testing.assert_array_equal(got, x.astype(np.int32))
+    # smaller than independent-channel encoding of the same signal
+    indep = (9000 * np.sin(2 * np.pi * 600 / 12000 * t))  # baseline ref
+    del indep
+    # anti-correlated: R = -L(ish) -> side = 2L is WORSE than indep
+    r2 = -l + 60 * rng.standard_normal(t.size)
+    x2 = np.stack([l, r2], 1).reshape(-1).astype(np.int16)
+    enc2 = FlacEncoder(12000, channels=2)
+    data2 = enc2.process(x2) + enc2.finish()
+    _, got2 = decode_flac(data2)
+    np.testing.assert_array_equal(got2, x2.astype(np.int32))
 
 
 def test_flac_roundtrip_random():

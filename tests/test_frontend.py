@@ -27,7 +27,9 @@ import pytest
 
 from phantomsdr_tpu.runtime import cbor
 from phantomsdr_tpu.runtime.codecs import FlacEncoder
-from tests.test_codecs import decode_flac, BitReader, signed, _decode_subframe
+from tests.test_codecs import (
+    decode_flac, BitReader, signed, _decode_subframe, _undecorrelate,
+)
 
 HTML = Path(__file__).resolve().parent.parent / "html"
 
@@ -83,7 +85,7 @@ class FlacStreamMirror:
         bs_code = br.bits(4)
         sr_code = br.bits(4)
         chan = br.bits(4)
-        channels = chan + 1
+        channels = 1 if chan == 0 else 2
         assert br.bits(3) == 4
         br.bits(1)
         first = br.bits(8)
@@ -111,7 +113,11 @@ class FlacStreamMirror:
         elif sr_code == 12:
             br.bits(8)
         br.bits(8)
-        subs = [_decode_subframe(br, n) for _ in range(channels)]
+        subs = [_decode_subframe(
+            br, n, 16 + (ch == (0 if chan == 9 else 1) and chan >= 8))
+            for ch in range(channels)]
+        if chan >= 8:
+            subs = _undecorrelate(chan, subs)
         br.align()
         br.bits(16)
         self.channels = channels

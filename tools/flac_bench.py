@@ -104,6 +104,18 @@ def _stereo(n, sps, rng):
     return x.reshape(-1)
 
 
+def _stereo_mono_dom(n, sps, rng):
+    # real broadcast stereo is mono-dominant: shared program + a small
+    # L-R difference -- the adaptive mid-side case (round 5)
+    t = np.arange(n)
+    mono = 0.4 * np.sin(2 * np.pi * 800 / sps * t) \
+        + 0.15 * np.sin(2 * np.pi * 2500 / sps * t)
+    diff = 0.04 * np.sin(2 * np.pi * 1300 / sps * t)
+    noise = 0.002 * rng.standard_normal((n, 2))
+    x = np.stack([mono + diff, mono - diff], axis=1) + noise
+    return x.reshape(-1)
+
+
 def measure(name, samples, sps, channels):
     """Encode int16 interleaved `samples` with and without LPC;
     round-trips both through the from-spec decoder."""
@@ -211,6 +223,7 @@ def main():
             ("am", 12000, 1, _am),
             ("voice", 12000, 1, _voice),
             ("stereo", 192000, 2, _stereo),
+            ("stereo_mono_dom", 192000, 2, _stereo_mono_dom),
             ("noisy", 12000, 1, _noisy),
             ("silence", 12000, 1, lambda nn, s, r: np.zeros(nn)),
         ):

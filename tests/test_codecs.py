@@ -10,6 +10,35 @@ from phantomsdr_tpu.runtime.codecs import FlacEncoder, OpusChunkEncoder, ZstdStr
 
 # ----------------------------------------------------- minimal FLAC decoder
 
+def _crc_table(poly: int, width: int) -> list[int]:
+    top, mask = 1 << (width - 1), (1 << width) - 1
+    tab = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) if crc & top else (crc << 1)
+        tab.append(crc & mask)
+    return tab
+
+
+_CRC8_TAB = _crc_table(0x07, 8)     # FLAC frame-header CRC (RFC 9639 9.1.1)
+_CRC16_TAB = _crc_table(0x8005, 16)  # FLAC frame CRC
+
+
+def _crc8(d: bytes) -> int:
+    crc = 0
+    for b in d:
+        crc = _CRC8_TAB[crc ^ b]
+    return crc
+
+
+def _crc16(d: bytes) -> int:
+    crc = 0
+    for b in d:
+        crc = _CRC16_TAB[(crc >> 8) ^ b] ^ ((crc << 8) & 0xFFFF)
+    return crc
+
+
 class BitReader:
     def __init__(self, data: bytes):
         self.d = data
@@ -162,7 +191,10 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
             sample_rate = br.bits(16) * 10
         elif sr_code == 12:
             sample_rate = br.bits(8) * 1000
-        br.bits(8)  # crc8 (assume ok; content verified by sample equality)
+        got_crc8 = br.bits(8)
+        hdr_len = br.pos // 8          # header is byte-aligned here
+        assert got_crc8 == _crc8(data[pos:pos + hdr_len - 1]), \
+            "frame header CRC-8 mismatch"
         subs = [_decode_subframe(
             br, n, 16 + (ch == (0 if chan == 9 else 1) and chan >= 8))
             for ch in range(channels)]
@@ -171,8 +203,11 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
             for s in subs:
                 out.append(s[i])
         br.align()
-        br.bits(16)  # crc16
-        pos += br.pos // 8
+        got_crc16 = br.bits(16)
+        frame_len = br.pos // 8
+        assert got_crc16 == _crc16(data[pos:pos + frame_len - 2]), \
+            "frame CRC-16 mismatch"
+        pos += frame_len
     return sample_rate, np.array(out, np.int32)
 
 
@@ -304,6 +339,94 @@ def test_flac_roundtrip_tonal():
     sr, got = decode_flac(data)
     np.testing.assert_array_equal(got, x.astype(np.int32))
     assert len(data) < 2 * x.size  # better than raw int16
+
+
+def _ar_process(rng, n, coefs, scale):
+    """Stable AR(p) driven by white noise, clipped to int16 rails --
+    the signal family LPC models exactly."""
+    p = len(coefs)
+    x = np.zeros(n + p)
+    e = rng.standard_normal(n + p) * scale
+    for i in range(p, n + p):
+        x[i] = np.dot(coefs, x[i - p:i][::-1]) + e[i]
+    return np.clip(x[p:], -32768, 32767).astype(np.int16)
+
+
+def test_flac_lpc_fuzz():
+    """Randomized round-trip sweep over the signal classes and header
+    variants the serving edge can emit: LPC-favorable AR content near
+    the int16 rails, impulsive square waves, random walks, stereo with
+    17-bit side-channel extremes, every blocksize-code family
+    (192 / 576<<k / 8-bit / 16-bit), the daHz sample-rate path
+    (192 kHz), partial final frames down to 1 sample, and multibyte
+    UTF-8 frame numbers.  Every stream must decode sample-exact with
+    frame CRCs verified (decode_flac checks CRC-8 + CRC-16)."""
+    rng = np.random.default_rng(11)
+
+    # 1. near-rail AR(8), 192 kHz (sr code 14 = daHz), 31-sample tail
+    ar = _ar_process(rng, 3 * 4096 + 31,
+                     [1.8, -0.9, 0.05, -0.02, 0.01, 0.0, 0.005, -0.001],
+                     6000)
+    enc = FlacEncoder(192000, blocksize=4096)
+    data = enc.process(ar) + enc.finish()
+    sr, got = decode_flac(data)
+    assert sr == 192000
+    np.testing.assert_array_equal(got, ar.astype(np.int32))
+    assert "lpc" in _subframe_types(data)
+
+    # 2. full-scale square wave (impulsive residuals), blocksize 576
+    sq = np.where(np.arange(2 * 576 + 5) % 14 < 7, 32767, -32768)
+    enc = FlacEncoder(44100, blocksize=576)
+    data = enc.process(sq.astype(np.int16)) + enc.finish()
+    _, got = decode_flac(data)
+    np.testing.assert_array_equal(got, sq)
+
+    # 3. clipped random walk, blocksize 192 (bs code 1), 1-sample tail
+    walk = np.clip(np.cumsum(rng.integers(-900, 900, 4 * 192 + 1)),
+                   -32768, 32767).astype(np.int16)
+    enc = FlacEncoder(12000, blocksize=192)
+    data = enc.process(walk) + enc.finish()
+    _, got = decode_flac(data)
+    np.testing.assert_array_equal(got, walk.astype(np.int32))
+
+    # 4. stereo rail extremes: side channel hits its 17-bit corners
+    n = 2 * 512 + 3
+    l = np.full(n, 32767, np.int16)
+    r_ = np.full(n, -32768, np.int16)
+    r_[::7] = 32767                     # side flips 0 <-> 65535
+    x = np.stack([l, r_], 1).reshape(-1)
+    enc = FlacEncoder(48000, blocksize=512, channels=2)
+    data = enc.process(x) + enc.finish()
+    _, got = decode_flac(data)
+    np.testing.assert_array_equal(got, x.astype(np.int32))
+
+    # 5. stereo anti-correlated AR (decorrelation must not hurt)
+    a = _ar_process(rng, 3 * 512 + 9, [1.6, -0.7], 3000)
+    b = (-a + rng.integers(-50, 50, a.size)).astype(np.int16)
+    x = np.stack([a, b], 1).reshape(-1)
+    enc = FlacEncoder(48000, blocksize=512, channels=2)
+    data = enc.process(x) + enc.finish()
+    _, got = decode_flac(data)
+    np.testing.assert_array_equal(got, x.astype(np.int32))
+
+    # 6. full-scale chirp (time-varying spectrum across one frame)
+    t = np.arange(4096 + 17)
+    ch = (32000 * np.sin(2 * np.pi * (50 + t * 0.03) * t / 48000))
+    enc = FlacEncoder(48000, blocksize=4096)
+    data = enc.process(ch.astype(np.int16)) + enc.finish()
+    _, got = decode_flac(data)
+    np.testing.assert_array_equal(got, ch.astype(np.int16).astype(np.int32))
+
+
+def test_flac_multibyte_frame_numbers():
+    """2100 frames crosses both UTF-8 coded-number boundaries (0x80,
+    0x800); the header CRC now verified per frame pins the coding."""
+    enc = FlacEncoder(12000, blocksize=64)
+    x = np.zeros(64 * 2100, np.int16)
+    x[::64] = np.arange(2100) % 17      # not all-constant streams
+    data = enc.process(x) + enc.finish()
+    _, got = decode_flac(data)
+    np.testing.assert_array_equal(got, x.astype(np.int32))
 
 
 def test_flac_process_chunks_bit_identical():

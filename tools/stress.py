@@ -144,8 +144,13 @@ async def audio_client(session, url, idx, stats, stop, churn_secs=0.0,
             # decode integrity of this session's stream (FLAC can only
             # be decoded from the stream start, so per session)
             if chunks:
-                n, e = await loop.run_in_executor(
-                    None, _decode_flac_count, chunks)
+                try:
+                    n, e = await loop.run_in_executor(
+                        None, _decode_flac_count, chunks)
+                except asyncio.CancelledError:
+                    # end-of-run task cancellation: still verify the
+                    # stream (no-churn sessions only ever end here)
+                    n, e = _decode_flac_count(chunks)
                 stats["decoded_audio_samples"] += n
                 stats["decode_errors"] += e
             if opus_dec is not None:
@@ -275,6 +280,10 @@ async def main():
         dt = time.monotonic() - t0
         for t in tasks:
             t.cancel()
+        # drain the cancellations BEFORE reading stats: the per-session
+        # decode-integrity finallys run during cancellation, and without
+        # this await they race process exit (decoded counts read as 0)
+        await asyncio.gather(*tasks, return_exceptions=True)
         http_url = args.url.replace("ws://", "http://")
         try:
             async with session.get(http_url + "/metrics") as resp:

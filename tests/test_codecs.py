@@ -294,23 +294,23 @@ def test_flac_stereo_decorrelation():
     x = np.stack([l, r_], 1).reshape(-1).astype(np.int16)
     enc = FlacEncoder(12000, channels=2)
     data = enc.process(x) + enc.finish()
-    # channel assignment out of the frame headers
+    # record channel assignments via the decoder's real frame walk
+    # (byte-scanning for 0xFF 0xF8 false-positives inside residuals)
+    import tests.test_codecs as m
     assigns = set()
-    pos = data.index(b"\xff\xf8")  # first frame sync (byte-aligned)
-    d = data[pos:]
-    i = 0
-    while i < len(d) - 4:
-        if d[i] == 0xFF and (d[i + 1] & 0xFC) == 0xF8:
-            assigns.add(d[i + 3] >> 4)
-            i += 16
-        else:
-            i += 1
+    real_undecorrelate = m._undecorrelate
+
+    def spy(chan, subs):
+        assigns.add(chan)
+        return real_undecorrelate(chan, subs)
+
+    m._undecorrelate = spy
+    try:
+        _, got = decode_flac(data)
+    finally:
+        m._undecorrelate = real_undecorrelate
     assert assigns & {8, 9, 10}, assigns  # decorrelation used
-    _, got = decode_flac(data)
     np.testing.assert_array_equal(got, x.astype(np.int32))
-    # smaller than independent-channel encoding of the same signal
-    indep = (9000 * np.sin(2 * np.pi * 600 / 12000 * t))  # baseline ref
-    del indep
     # anti-correlated: R = -L(ish) -> side = 2L is WORSE than indep
     r2 = -l + 60 * rng.standard_normal(t.size)
     x2 = np.stack([l, r2], 1).reshape(-1).astype(np.int16)

@@ -143,6 +143,8 @@ def measure(name, samples, sps, channels):
 async def _collect_pcm(variant, port, secs):
     """Launch the verify server for `variant` on CPU, collect the live
     FLAC stream, decode to the exact int16 PCM it carried."""
+    import asyncio
+
     import aiohttp
 
     sys.path.insert(0, str(REPO / "tools" / "verify"))
@@ -175,7 +177,7 @@ async def _collect_pcm(variant, port, secs):
                     pass
                 if time.monotonic() > deadline:
                     raise RuntimeError(f"{variant}: server never served")
-                time.sleep(1.0)
+                await asyncio.sleep(1.0)
             info, _ = await collect_audio(s, url, 0.1)
             mode = "WBFM" if variant == "stereo" else "AM"
             cmds = _audio_cmds(info, truth, mode)
@@ -185,7 +187,11 @@ async def _collect_pcm(variant, port, secs):
         return sr, channels, samples.astype(np.int16)
     finally:
         srv.terminate()
-        srv.wait(timeout=10)
+        try:
+            srv.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            srv.kill()  # don't mask the in-flight error / leak the port
+            srv.wait()
         log.close()
 
 

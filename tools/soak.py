@@ -119,6 +119,10 @@ async def soak(args) -> dict:
             stop.set()
             for t in tasks:
                 t.cancel()
+            # drain cancellations BEFORE reading stats: per-session
+            # decode-integrity finallys run during cancellation (same
+            # race stress.py main() fixes)
+            await asyncio.gather(*tasks, return_exceptions=True)
     finally:
         srv.terminate()
         try:
@@ -140,6 +144,14 @@ async def soak(args) -> dict:
     third = max(1, len(lat) // 3)
     lat_early = sum(lat[:third]) / third
     lat_late = sum(lat[-third:]) / third
+    # cumulative server counters: take the max over samples so a failed
+    # final /metrics fetch (None) can't mask errors accumulated earlier
+    dev_errors = max((p["device_errors"] for p in samples
+                      if isinstance(p.get("device_errors"), int)),
+                     default=0)
+    enc_dropped = max((p["encode_dropped"] for p in samples
+                       if isinstance(p.get("encode_dropped"), int)),
+                      default=0)
     verdict = {
         "secs": args.secs,
         "clients": {"audio": args.audio, "wf": args.wf,
@@ -158,13 +170,13 @@ async def soak(args) -> dict:
         "decoded_wf_rows": stats["decoded_wf_rows"],
         "decode_errors": stats["decode_errors"],
         "client_errors": stats["audio_errors"] + stats["wf_errors"],
-        "device_errors": samples[-1]["device_errors"],
-        "encode_dropped": samples[-1]["encode_dropped"],
+        "device_errors": dev_errors,
+        "encode_dropped": enc_dropped,
         "pass": (rss_pct_per_h < args.rss_budget_pct
                  and lat_late <= args.lat_factor * lat_early
                  and stats["decode_errors"] == 0
                  and stats["audio_errors"] + stats["wf_errors"] == 0
-                 and (samples[-1]["device_errors"] or 0) == 0),
+                 and dev_errors == 0),
     }
     return {"samples": samples, "verdict": verdict}
 

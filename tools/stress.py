@@ -55,6 +55,9 @@ async def audio_client(session, url, idx, stats, stop, churn_secs=0.0,
 
     rng = random.Random(idx)
     loop = asyncio.get_event_loop()
+    cbor_decode = None
+    if decode:  # hoisted out of the per-packet hot loop
+        from tools.verify.client import cbor_decode
     while not stop.is_set():
         chunks = None
         opus_dec = None
@@ -110,8 +113,6 @@ async def audio_client(session, url, idx, stats, stop, churn_secs=0.0,
                         stats["audio_bytes"] += len(msg.data)
                         if decode:
                             try:
-                                from tools.verify.client import cbor_decode
-
                                 d = bytes(cbor_decode(msg.data)["data"])
                                 if opus_dec is not None:
                                     if d:

@@ -459,7 +459,10 @@ class DSPDriver:
                 import traceback
 
                 traceback.print_exc()
-                pending = None
+                # the PREVIOUS step completed before this one failed --
+                # deliver it (flush_pending tolerates a dead device and
+                # counts its own error) instead of dropping a good step
+                flush_pending()
                 state = self.pipe.init_state()
                 if small and k_cur != cfg.max_channels:
                     state = self.pipe.resize_channel_rows(state, k_cur)

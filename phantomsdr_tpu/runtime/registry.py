@@ -147,7 +147,13 @@ class ChannelRegistry:
             s = slot.slot
             self.l[s] = l
             self.r[s] = r
-            self.m_idx[s] = int(np.floor(mid))
+            # any finite mid is accepted (the reference accepts it too
+            # and its copy-intersection yields silence when m is outside
+            # the slice, src/signal.cpp:106-137; the device channelizer's
+            # validity masks reproduce that) -- but the int32 table entry
+            # must be clamped or np.floor(3e9) would raise OverflowError
+            # mid-update, leaving the registry half-applied
+            self.m_idx[s] = int(np.clip(np.floor(mid), -2**31, 2**31 - 1))
             self.mid[s] = mid
             self.active[s] = True
             self.version += 1

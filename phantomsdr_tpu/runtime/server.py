@@ -156,6 +156,20 @@ class EncodePool:
             self.dropped += 1
             return False
 
+    def submit_control(self, key: int, fn) -> None:
+        """Enqueue a rare control op (e.g. a compression swap) that must
+        NOT be shed under saturation: data jobs are droppable, but a
+        dropped swap loses its protocol ack and the client waits on it
+        forever.  On a full queue the blocking put happens on a side
+        thread so the asyncio event loop never stalls; FIFO order vs
+        jobs submitted afterwards is not required (pre-swap rows are
+        dropped client-side until the ack arrives anyway)."""
+        q = self.queues[key % self.n]
+        try:
+            q.put_nowait(fn)
+        except queue.Full:
+            threading.Thread(target=q.put, args=(fn,), daemon=True).start()
+
     @property
     def depth(self) -> int:
         return sum(q.qsize() for q in self.queues)
@@ -170,9 +184,11 @@ class AudioConn:
                  slot: AudioSlot):
         self.server = server
         self.ws = ws
-        self.out = _SendQueue(ws)
         self.slot = slot
         cfg = server.cfg
+        # codec construction can raise (missing native lib); the sender
+        # task is spawned only after it succeeds so a failed ctor can't
+        # leak a pending _SendQueue task
         if cfg.audio_compression == "opus":
             # with device decimation the stream already arrives at the
             # legal Opus rate; otherwise the encoder host-decimates
@@ -187,6 +203,7 @@ class AudioConn:
         # per-listener RDS protocol decoder ({"cmd":"rds"}); only read
         # by this conn's affine encode worker, so no locking
         self.rds_decoder = None
+        self.out = _SendQueue(ws)
 
     def handle_command(self, msg: str):
         try:
@@ -287,10 +304,10 @@ class WaterfallConn:
                  cid: int, slot: WaterfallSlot):
         self.server = server
         self.ws = ws
-        self.out = _SendQueue(ws)
         self.cid = cid
         self.slot = slot
         self.user_id = ""
+        # codec ctor first (can raise), sender task after -- see AudioConn
         if server.cfg.waterfall_compression == "av1":
             from .av1 import AV1Encoder
 
@@ -299,6 +316,7 @@ class WaterfallConn:
         else:
             self.av1 = None
             self.encoder = ZstdStream()
+        self.out = _SendQueue(ws)
 
     def handle_command(self, msg: str):
         try:
@@ -332,7 +350,7 @@ class WaterfallConn:
                     c.encoder = DeflateStream()
                     srv._post_threadsafe(c, [json.dumps(
                         {"type": "compression", "waterfall": "deflate"})])
-                srv.encode_pool.submit(
+                srv.encode_pool.submit_control(
                     srv.channels.cfg.max_channels + self.cid, swap)
 
 
@@ -703,7 +721,11 @@ class SpectrumServer:
             self.signal_changes = {}
             msg = json.dumps(info)
             for q in list(self.event_conns.values()):
-                q.send_nowait(msg)
+                # same 50 kB slow-client gate every other endpoint gets
+                # (src/websocket.cpp:174,222): a stalled /events reader
+                # must not grow its queue by one JSON blob per tick
+                if not q.backlogged:
+                    q.send_nowait(msg)
 
     # -------------------------------------------------------- dispatch
     def dispatch(self, frame0: int, audio: np.ndarray, pwr: np.ndarray,

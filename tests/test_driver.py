@@ -254,3 +254,53 @@ def test_device_error_recovery():
     # the failed step's frames still advanced; later steps kept serving
     assert len(got) >= 3
     assert got == sorted(got)
+
+
+def test_device_error_flushes_pending_step():
+    """One-step-in-flight means a completed step is usually held in
+    `pending` when the NEXT step raises.  The error path must deliver
+    that already-computed batch instead of dropping it -- a transient
+    device error costs exactly one step of audio, not two."""
+    cfg = make_cfg()
+    wph = cfg.hop_size * 2
+    nblocks = 8
+    rng = np.random.default_rng(7)
+    data = rng.integers(-20000, 20000, size=wph * cfg.hop_batch * nblocks,
+                        dtype=np.int16)
+    src = SampleSource(cfg, io.BytesIO(data.tobytes()))
+    channels = ChannelRegistry(cfg)
+    slot = channels.acquire("t")
+    channels.retune(slot, 100, 150.0, 200)
+
+    got = []
+    done = threading.Event()
+
+    def consumer(frame0, audio, pwr, wf, due, wf_meta, audio_meta,
+                 rds=None):
+        got.append(frame0)
+        if len(got) >= 3:
+            done.set()
+
+    drv = DSPDriver(cfg, src, channels, consumer,
+                    waterfall_active=lambda: False,
+                    audio_active=lambda: True)
+    real_step = drv.pipe.step
+    calls = {"n": 0}
+
+    def flaky_step(*a, **k):
+        # warmup also calls pipe.step (no kwargs); count only the
+        # serving loop's calls (they pass reset/due_idx kwargs)
+        if "due_idx" in k:
+            calls["n"] += 1
+            if calls["n"] == 2:  # step 0 succeeded and is pending
+                raise RuntimeError("injected device failure")
+        return real_step(*a, **k)
+
+    drv.pipe.step = flaky_step
+    drv.start()
+    assert done.wait(timeout=120), f"only {len(got)} batches after error"
+    drv.stop()
+    assert drv.metrics.device_errors == 1
+    # the pre-error step's outputs were delivered, not discarded
+    assert got[0] == 0, got
+    assert got == sorted(got)

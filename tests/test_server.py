@@ -926,7 +926,8 @@ async def test_command_fuzz_survival(cfg):
         if kind == 2:  # window with pathological numbers
             return json.dumps({"cmd": "window",
                                "l": rng.choice([-5, 0, 10, 2**62]),
-                               "m": rng.choice([150.0, -1.0]),
+                               "m": rng.choice([150.0, -1.0, 3e9, -3e9,
+                                                float(2**62)]),
                                "r": rng.choice([-9, 100, 2**62])})
         if kind == 3:  # NaN / Infinity literals (json.loads accepts)
             return ('{"cmd":"window","l":1,"m":' +
@@ -1029,3 +1030,106 @@ async def test_dual_stack_listen():
                 assert r.status == 200
     finally:
         await runner2.cleanup()
+
+
+@async_test
+async def test_events_backpressure_gate(cfg):
+    """A stalled /events reader gets the same 50 kB gate as every other
+    endpoint (src/websocket.cpp:174,222): the 1 Hz timer must stop
+    enqueueing for a backlogged connection instead of growing its
+    _SendQueue by one JSON blob per tick forever."""
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        ws_e = await client.ws_connect("/events")
+        await ws_e.receive()  # initial state
+        q = next(iter(server.event_conns.values()))
+        # pin the backpressure signal high (in-memory test transports
+        # never block, so simulate the stalled-reader state directly)
+        q.outstanding_bytes += 100_000
+        with pytest.raises(asyncio.TimeoutError):
+            await ws_e.receive(timeout=2.5)  # >2 ticks: all gated
+        q.outstanding_bytes -= 100_000       # reader drained; resume
+        msg = await ws_e.receive(timeout=2.5)
+        assert "signal_clients" in json.loads(msg.data)
+        await ws_e.close()
+    finally:
+        await client.close()
+
+
+@async_test
+async def test_retune_huge_finite_mid(cfg):
+    """Any finite m is accepted like the reference (its bin-copy
+    intersection just yields silence when m is outside the slice,
+    src/signal.cpp:106-137), including values beyond int32: the device
+    table entry is clamped instead of raising OverflowError mid-update
+    and killing the /audio handler."""
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        ws = await client.ws_connect("/audio")
+        await ws.receive()  # basic_info
+        await ws.send_str(json.dumps(
+            {"cmd": "window", "l": 10, "m": 3e9, "r": 30}))
+        await asyncio.sleep(0.05)
+        slot = next(iter(server.channels.slots.values()))
+        assert (slot.l, slot.r) == (10, 30)
+        assert slot.mid == 3e9
+        assert server.channels.m_idx[slot.slot] == 2**31 - 1
+        # the handler survived: a followup command still lands
+        await ws.send_str(json.dumps(
+            {"cmd": "window", "l": 5, "m": 15.0, "r": 25}))
+        await asyncio.sleep(0.05)
+        assert (slot.l, slot.r) == (5, 25)
+        await ws.close()
+    finally:
+        await client.close()
+
+
+@async_test
+async def test_conn_ctor_failure_leaks_no_sender_task():
+    """A failing codec constructor must not leave a pending _SendQueue
+    sender task behind: the queue (and its task) is created only after
+    the fallible codec ctor succeeds."""
+    from phantomsdr_tpu.runtime import server as srvmod
+
+    cfg = make_cfg(input={"audio_compression": "opus"})
+    server = SpectrumServer(cfg)
+    slot = server.channels.acquire("leak-test")
+
+    class Boom:
+        def __init__(self, *a, **k):
+            raise RuntimeError("codec unavailable")
+
+    real = srvmod.OpusChunkEncoder
+    srvmod.OpusChunkEncoder = Boom
+    try:
+        before = {t for t in asyncio.all_tasks() if not t.done()}
+        with pytest.raises(RuntimeError, match="codec unavailable"):
+            srvmod.AudioConn(server, None, slot)
+        after = {t for t in asyncio.all_tasks() if not t.done()}
+        assert after == before  # no orphaned sender task
+    finally:
+        srvmod.OpusChunkEncoder = real
+        server.channels.release(slot)
+
+
+def test_submit_control_never_shed_under_saturation():
+    """Data jobs are droppable under pool saturation, but control ops
+    (compression swaps) carry a protocol ack the client waits on -- a
+    control submit must survive a full queue."""
+    import threading as th
+
+    from phantomsdr_tpu.runtime.server import EncodePool
+
+    pool = EncodePool(1)
+    gate = th.Event()
+    done = th.Event()
+    assert pool.submit(0, gate.wait)   # park the single worker
+    while pool.submit(0, lambda: None):
+        pass                           # fill the queue to Full
+    assert pool.dropped >= 1           # data path sheds as designed
+    pool.submit_control(0, done.set)   # control path must not
+    gate.set()
+    assert done.wait(5), "control op was shed under saturation"
+    pool.stop()

@@ -131,7 +131,11 @@ def _gain_frame(p: NRParams, st: NRState, x_pow: jnp.ndarray):
     pslp = jnp.where(fresh, jnp.float32(PSINI), st.pslp)
     hk_old = jnp.where(fresh, 1.0, st.hk_old)
     nest = jnp.where(fresh, 0.0, st.nest)
-    stage = st.stage + 1
+    # clamp once past INIT_FRAMES: an unclamped int32 wraps negative
+    # after ~2^31 frames (~265 days at the WBFM rate), which would
+    # re-arm `accum` and grow the noise estimate without bound (same
+    # wrap class as AGCState.seen, ops/agc.py)
+    stage = jnp.minimum(st.stage + 1, INIT_FRAMES + 1)
     # sequential-if semantics of the C (NR_spectral.c:168,183): the
     # 20th frame both finishes the accumulation AND runs the reducer
     accum = (stage <= INIT_FRAMES)[:, None]

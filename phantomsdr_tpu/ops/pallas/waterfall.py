@@ -39,10 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..quantize import quantize_power
-
-_LOG2_TO_DB = 0.3010299956639812 * 20.0
-_DB_PER_OCTAVE = 6.020599913279624
+from ..quantize import _DB_PER_OCTAVE, _LOG2_TO_DB, quantize_power
 
 
 def _quantize_block(p, power_offset):

@@ -57,11 +57,9 @@ import jax.numpy as jnp
 
 from .polyphase import design_lowpass
 
-# same liquid loop-gain convention as the AM sync PLL
-# (ops/channelizer.py: nco_crcf_pll_set_bandwidth(0.001))
-PLL_BW = 0.001
-PLL_ALPHA = PLL_BW
-PLL_BETA = PLL_BW ** 0.5
+# same liquid loop-gain convention as the AM sync PLL -- imported so a
+# future retuning can't silently diverge the two lock dynamics
+from .channelizer import PLL_ALPHA, PLL_BETA, PLL_BW  # noqa: F401
 
 PILOT_HZ = 19000.0
 # stereo needs the 38 kHz DSB subcarrier (+15 kHz audio) inside Nyquist

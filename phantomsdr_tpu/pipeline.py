@@ -497,7 +497,6 @@ def audio_from_spectra(
                 st_st, stereo_params, stream, fm_mask)
         stream = jnp.stack([s_l, s_r], axis=1).reshape(2 * c, b * half)
 
-    nch = 2 if stereo_params is not None else 1
     de_st = audio_state.de
     if deemph_a is not None:
         # FM de-emphasis pole AFTER the RDS tap and stereo demix (the
@@ -569,26 +568,37 @@ class HopPipeline:
                           donate_argnums=(0,))
             for mode in ("views", "full", "off")
         }
+        # jitted helpers are cached per instance (and per k for the
+        # resizer): a fresh jax.jit wrapper per call would re-trace on
+        # every bucket switch / error recovery in the serving loop
+        self._init_jit = None
+        self._resize_jit: dict[int, object] = {}
 
     # ------------------------------------------------------------------
     def init_state(self) -> HopState:
         # built inside jit: eager complex64 array creation is broken on
         # some remote backends (axon), and this keeps state on-device
-        def mk():
-            return HopState(
-                frame=jnp.zeros((), jnp.int32),
-                audio=init_audio_state(self.cfg, self.num_channels,
-                                       self.agc_params, self.dc_delay),
-            )
-        return jax.jit(mk)()
+        if self._init_jit is None:
+            def mk():
+                return HopState(
+                    frame=jnp.zeros((), jnp.int32),
+                    audio=init_audio_state(self.cfg, self.num_channels,
+                                           self.agc_params, self.dc_delay),
+                )
+            self._init_jit = jax.jit(mk)
+        return self._init_jit()
 
     def empty_channels(self) -> ChannelTable:
         c = self.num_channels
         z = jnp.zeros((c,), jnp.int32)
+        # every column materialized, mirroring channels_from_numpy: a
+        # None am_env here would give this table a different pytree
+        # structure and force a full pipeline retrace when mixed
         return ChannelTable(l=z, r=z, m_idx=z, mode=z,
                             active=jnp.zeros((c,), bool),
                             nr=jnp.zeros((c,), bool),
-                            rds=jnp.zeros((c,), bool))
+                            rds=jnp.zeros((c,), bool),
+                            am_env=jnp.zeros((c,), bool))
 
     def resize_channel_rows(self, state: HopState, k: int) -> HopState:
         """Slice (shrink) or zero-pad (grow) every per-channel carry to
@@ -606,29 +616,31 @@ class HopPipeline:
         (audio_channels per channel, interleaved), hence the separate
         row multiplier."""
         nch = self.cfg.audio_channels
+        fn = self._resize_jit.get(k)
+        if fn is None:
+            def conv(x, mult):
+                kk = k * mult
+                if x.shape[0] == kk:
+                    return x
+                if x.shape[0] > kk:
+                    return x[:kk]
+                return jnp.pad(x, [(0, kk - x.shape[0])]
+                               + [(0, 0)] * (x.ndim - 1))
 
-        def conv(x, mult):
-            kk = k * mult
-            if x.shape[0] == kk:
-                return x
-            if x.shape[0] > kk:
-                return x[:kk]
-            return jnp.pad(x, [(0, kk - x.shape[0])]
-                           + [(0, 0)] * (x.ndim - 1))
-
-        def mk(st):
-            a = st.audio
-            return HopState(frame=st.frame, audio=AudioState(
-                chan=jax.tree.map(lambda x: conv(x, 1), a.chan),
-                dc=jax.tree.map(lambda x: conv(x, 1), a.dc),
-                agc=jax.tree.map(lambda x: conv(x, 1), a.agc),
-                dec=jax.tree.map(lambda x: conv(x, nch), a.dec),
-                st=jax.tree.map(lambda x: conv(x, 1), a.st),
-                nr=jax.tree.map(lambda x: conv(x, 1), a.nr),
-                rds=jax.tree.map(lambda x: conv(x, 1), a.rds),
-                de=conv(a.de, nch),
-            ))
-        return jax.jit(mk)(state)
+            def mk(st):
+                a = st.audio
+                return HopState(frame=st.frame, audio=AudioState(
+                    chan=jax.tree.map(lambda x: conv(x, 1), a.chan),
+                    dc=jax.tree.map(lambda x: conv(x, 1), a.dc),
+                    agc=jax.tree.map(lambda x: conv(x, 1), a.agc),
+                    dec=jax.tree.map(lambda x: conv(x, nch), a.dec),
+                    st=jax.tree.map(lambda x: conv(x, 1), a.st),
+                    nr=jax.tree.map(lambda x: conv(x, 1), a.nr),
+                    rds=jax.tree.map(lambda x: conv(x, 1), a.rds),
+                    de=conv(a.de, nch),
+                ))
+            fn = self._resize_jit[k] = jax.jit(mk)
+        return fn(state)
 
     # ------------------------------------------------------------------
     def _step(self, state: HopState, raw: jnp.ndarray, chans: ChannelTable,

@@ -199,3 +199,25 @@ def test_reset_mask_zeroes_slot_state():
     gr = np.asarray(st_r.audio.agc.seen)
     assert gr[1] == cfg.hop_batch * (cfg.audio_fft_size // 2)  # seen reset
     assert gr[0] == 2 * cfg.hop_batch * (cfg.audio_fft_size // 2)
+
+
+def test_empty_channels_matches_production_table_structure():
+    """empty_channels and channels_from_numpy must build pytree-identical
+    ChannelTables (every optional column materialized): a structural
+    mismatch (e.g. am_env None vs array) would force a full pipeline
+    retrace -- minutes on the remote TPU backend -- the first time the
+    two are mixed on one jitted step."""
+    import jax
+
+    cfg = small_cfg(False)
+    pipe = HopPipeline(cfg)
+    empty = pipe.empty_channels()
+    prod = channels_from_numpy(
+        l=[0] * cfg.max_channels, r=[0] * cfg.max_channels,
+        m_idx=[0] * cfg.max_channels, mode=[0] * cfg.max_channels,
+        active=[False] * cfg.max_channels)
+    assert (jax.tree_util.tree_structure(empty)
+            == jax.tree_util.tree_structure(prod))
+    for a, b in zip(jax.tree_util.tree_leaves(empty),
+                    jax.tree_util.tree_leaves(prod)):
+        assert a.shape == b.shape and a.dtype == b.dtype

@@ -28,8 +28,9 @@ def opus_decim_factor(audio_sps: int) -> int:
     """Smallest integer decimation landing exactly on a legal Opus rate
     (1 = none found / not needed).  The ONLY place this selection lives;
     runtime/codecs.py consumes it too."""
-    if audio_sps <= 48000:
-        return 1
+    if audio_sps in OPUS_RATES:
+        return 1  # already legal; anything else searches, including
+        # sub-48k rates like 32000 (/2 -> 16000) or 36000 (/3 -> 12000)
     for factor in range(2, 65):
         if audio_sps % factor == 0 and audio_sps // factor in OPUS_RATES:
             return factor

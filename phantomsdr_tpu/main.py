@@ -180,16 +180,19 @@ def main(argv=None):
         print(f"phantomsdr-tpu serving on {bind_host}:{cfg.port} "
               f"(fft_size={cfg.fft_size}, sps={cfg.sps}, "
               f"{'real' if cfg.is_real else 'iq'})")
+        reg_task = None  # keep a strong ref: the loop holds tasks weakly
         if cfg.register_enable:
             from .runtime.register import registration_task
 
-            asyncio.create_task(registration_task(
+            reg_task = asyncio.create_task(registration_task(
                 cfg, lambda: len(server.event_conns)))
         stop = asyncio.Event()
         loop = asyncio.get_running_loop()
         for sig in (signal.SIGINT, signal.SIGTERM):
             loop.add_signal_handler(sig, stop.set)
         await stop.wait()
+        if reg_task is not None:
+            reg_task.cancel()
         driver.stop()
         await runner.cleanup()
 

@@ -149,9 +149,25 @@ def serve_links(port: int, num_followers: int, host: str = "0.0.0.0",
                 conn, _ = srv.accept()
             except socket.timeout:
                 continue
+            # accept() returns a BLOCKING socket regardless of the
+            # listener's timeout: a peer that connects but never sends a
+            # complete hello (health check, scanner, crashed follower)
+            # must not park this thread in recv() forever
+            conn.settimeout(10.0)
             link = Link(conn)
-            hello, _ = link.recv()
-            links[int(hello["pid"])] = link
+            try:
+                hello, _ = link.recv()
+                pid = int(hello["pid"])
+            except Exception:
+                link.close()  # malformed / timed-out hello: not a follower
+                continue
+            if pid in links or not (0 < pid <= num_followers):
+                # duplicate or out-of-range id: reject the newcomer
+                # rather than silently replacing (and leaking) a live link
+                link.close()
+                continue
+            conn.settimeout(None)  # blocking link; idle gaps are normal
+            links[pid] = link
     finally:
         srv.close()
     return links
@@ -420,6 +436,12 @@ class MultihostDriver:
         self._uid_lock = threading.Lock()
         self._ack_test_delay = float(
             os.environ.get("PHANTOM_MH_TEST_ACK_DELAY", "0") or 0)
+        # device-resident (table, views) cache keyed by the ingest's
+        # registry versions (shipped as "tver" in the step header):
+        # re-uploading the full control table every step costs per-step
+        # host->device transfer for state that changes only on retunes
+        # (mirrors DSPDriver._tables_for's version-keyed cache)
+        self._dev_cache: tuple | None = None
 
     # ------------------------------------------------------------ plumbing
     def start(self):
@@ -461,6 +483,14 @@ class MultihostDriver:
     def _reader(self, pid: int, link: "Link"):
         """Ingest-side per-follower reader: applies host updates into
         the global registries, tracks step acks."""
+        # the only offsets this follower may legitimately claim: its
+        # device span (registries are range-partitioned identically,
+        # main.py slot_offset=rt.chan_offset) -- anything else is
+        # version skew or a rogue peer and must not poison the global
+        # tables other listeners are served from
+        cpd = self.cfg.max_channels // self.rt.n
+        dpp = self.rt.n // self.rt.num_processes
+        exp_off, exp_cnt = pid * dpp * cpd, dpp * cpd
         try:
             while not self._stop.is_set():
                 try:
@@ -469,6 +499,15 @@ class MultihostDriver:
                     continue  # idle link; healthy followers may be quiet
                 t = hdr.get("type")
                 if t == "host_update":
+                    if ((hdr["chan_offset"], hdr["chan_count"])
+                            != (exp_off, exp_cnt)
+                            or (hdr["wf_offset"], hdr["wf_count"])
+                            != (exp_off, exp_cnt)):
+                        raise ValueError(
+                            f"follower {pid} claimed slot range "
+                            f"{hdr['chan_offset']}+{hdr['chan_count']}/"
+                            f"wf {hdr['wf_offset']}+{hdr['wf_count']}, "
+                            f"expected {exp_off}+{exp_cnt}")
                     tbl, resets, wrows = unpack_host_update(hdr, blob)
                     self.server.channels.merge_rows(hdr["chan_offset"],
                                                     tbl, resets)
@@ -510,6 +549,17 @@ class MultihostDriver:
             # not a fault.
             if not (self._stop.is_set() or self.metrics.eof):
                 self._fail_cluster(f"follower {pid} link lost")
+        except Exception as e:
+            # malformed frame (corrupt header, version skew, bad claimed
+            # slot range): fail at the decode error with its cause, not
+            # 60 s later as a misdiagnosed ack-barrier timeout from a
+            # silently-dead reader thread
+            if not (self._stop.is_set() or self.metrics.eof):
+                import traceback
+
+                traceback.print_exc()
+                self._fail_cluster(
+                    f"follower {pid} protocol error: {repr(e)[:120]}")
 
     def _fail_cluster(self, why: str):
         """Fail LOUDLY and promptly.  The jitted step is a collective
@@ -547,9 +597,10 @@ class MultihostDriver:
             th = threading.Thread(target=self._reader, args=(pid, link),
                                   daemon=True)
             th.start()
-        state = rt.sp.init_state()
+        state = self._warmup()
         scalars = 1 if cfg.is_real else 2
         seq = 0
+        was_idle = False
 
         def send_all(hdr, blob=b""):
             for pid, link in list(self._links.items()):
@@ -575,10 +626,14 @@ class MultihostDriver:
             # follower that stops acking means the next collective
             # would hang every host -> fail the cluster loudly instead
             with self._ack_cv:
+                # generous grace on the FIRST real ack: a follower with
+                # a cold compile cache may still be in its warmup when
+                # the ingest (warm cache) starts stepping
                 ok = self._ack_cv.wait_for(
                     lambda: all(self._acked.get(p, -1) >= seq - 2
                                 for p in self._links)
-                    or self._stop.is_set(), timeout=60)
+                    or self._stop.is_set(),
+                    timeout=600 if seq <= 2 else 60)
             if self._stop.is_set():
                 return
             if not ok:
@@ -588,9 +643,9 @@ class MultihostDriver:
                                    f"at seq {seq - 2}")
                 return
 
-            _, tbl_arrays, resets, (_, _, mids) = \
+            cv, tbl_arrays, resets, (_, _, mids) = \
                 self.server.channels.snapshot()
-            _, vstart, vlength, wf_meta = self.server.waterfalls.snapshot()
+            wv, vstart, vlength, wf_meta = self.server.waterfalls.snapshot()
             frame0 = self.metrics.frames
             audio_any = bool(tbl_arrays[4].any())
             wf_any = bool((vlength > 0).any())
@@ -618,7 +673,17 @@ class MultihostDriver:
                 self.metrics.idle_frames += cfg.hop_batch
                 self.metrics.frames += cfg.hop_batch
                 seq += 1
+                was_idle = True
                 continue
+            fresh = was_idle
+            was_idle = False
+            if fresh:
+                # the sharded pipeline keeps the 50%-overlap halo ON
+                # DEVICE; it went stale across the idle gap -- re-init
+                # everywhere (followers via the step header) rather than
+                # windowing minutes-old samples into the resume frame
+                # (same as DSPDriver's sharded resume, runtime/driver.py)
+                state = rt.sp.init_state()
             idx, counts = rt.sp.due_layout(frame0)
             due = [i * rt.sp.hops_per_shard + int(idx[i, j])
                    for i in range(rt.n) for j in range(counts[i])]
@@ -639,7 +704,8 @@ class MultihostDriver:
                                "frame0": frame0, "mode": mode, "due": due,
                                "idx": idx.tolist(), "counts": counts,
                                "control": meta, "nrows": len(their),
-                               "events": events},
+                               "events": events, "fresh": fresh,
+                               "tver": [cv, wv]},
                               cblob + rbytes)
                 except (OSError, socket.timeout) as e:
                     self._fail_cluster(f"send to follower {pid}: {e!r}")
@@ -651,7 +717,7 @@ class MultihostDriver:
             state = self._step_and_serve(
                 state, rows[rt.local_shards], tbl_arrays, mids,
                 (vstart, vlength), wf_meta, resets, idx, counts, due,
-                mode, frame0, t0)
+                mode, frame0, t0, tver=(cv, wv))
             self.metrics.frames += cfg.hop_batch
             seq += 1
 
@@ -661,7 +727,7 @@ class MultihostDriver:
         rt = self.rt
         link = connect_link(self.link_addr, rt.process_id)
         self._links = {0: link}
-        state = rt.sp.init_state()
+        state = self._warmup()
         self._last_chan_v = -1
         self._last_wf_v = -1
         while not self._stop.is_set():
@@ -684,6 +750,10 @@ class MultihostDriver:
                 link.send({"type": "step_done", "seq": hdr["seq"]})
                 continue
             assert t == "step"
+            if hdr.get("fresh"):
+                # ingest resumed from a global-idle gap: drop the stale
+                # device halo in lockstep with every other host
+                state = rt.sp.init_state()
             rows_bytes = (hdr["nrows"] * rt.sp.raw_shard_len
                           * self.row_dtype.itemsize)
             tbl, mids, views_np, wf_meta, resets = unpack_control(
@@ -699,7 +769,7 @@ class MultihostDriver:
             state = self._step_and_serve(
                 state, rows, tbl, mids, views_np, wf_meta, resets, idx,
                 hdr["counts"], hdr["due"], hdr["mode"], hdr["frame0"],
-                t0)
+                t0, tver=tuple(hdr["tver"]) if "tver" in hdr else None)
             self.metrics.frames += cfg.hop_batch
             # push local registry changes upstream BEFORE the ack so the
             # ingest host merges them for the next control block
@@ -731,6 +801,40 @@ class MultihostDriver:
             dict(events.get("uids", {})), int(events.get("wf_clients", 0)))
 
     # -------------------------------------------------------------- step
+    def _warmup(self):
+        """Compile both step variants up front, mirroring DSPDriver's
+        warmup (runtime/driver.py): the no-client skip path would
+        otherwise defer the minutes-long sharded pipeline compile to
+        the moment the first listener connects -- on EVERY process, on
+        the live serving path.  Runs concurrently on all hosts right
+        after link formation.  Returns a fresh serving state.
+
+        Shapes are taken from the real registry snapshots so the
+        compiled signatures are exactly the serving loop's."""
+        import jax.numpy as jnp
+        from ..pipeline import WaterfallViews, channels_from_numpy
+
+        rt = self.rt
+        t0 = time.monotonic()
+        _, tbl_arrays, _, (_, _, mids) = self.server.channels.snapshot()
+        _, vstart, vlength, _ = self.server.waterfalls.snapshot()
+        table = channels_from_numpy(*tbl_arrays)
+        views = WaterfallViews(start=jnp.asarray(vstart),
+                               length=jnp.asarray(vlength))
+        zrows = np.zeros((len(rt.local_shards), rt.sp.raw_shard_len),
+                         self.row_dtype)
+        idx, _ = rt.sp.due_layout(0)
+        for mode in ("views", "off"):
+            st = rt.sp.init_state()
+            st, out = rt.sp.step(st, rt.global_raw(zrows), table, views,
+                                 mode, reset=None,
+                                 due_idx=jnp.asarray(idx))
+            np.asarray(rt.local_power(out))
+        print(f"multihost pipeline compiled in "
+              f"{time.monotonic() - t0:.1f}s (process "
+              f"{rt.process_id}/{rt.num_processes})", flush=True)
+        return rt.sp.init_state()
+
     @property
     def row_dtype(self):
         """Dtype of rows ON THE WIRE: the ingest host runs
@@ -741,16 +845,22 @@ class MultihostDriver:
 
     def _step_and_serve(self, state, my_rows, tbl_arrays, mids, views_np,
                         wf_meta, resets, idx, counts, due, mode, frame0,
-                        t0):
+                        t0, tver=None):
         import jax.numpy as jnp
         from ..pipeline import WaterfallViews, channels_from_numpy
 
         cfg = self.cfg
         rt = self.rt
         raw = rt.global_raw(np.ascontiguousarray(my_rows))
-        table = channels_from_numpy(*tbl_arrays)
-        views = WaterfallViews(start=jnp.asarray(views_np[0]),
-                               length=jnp.asarray(views_np[1]))
+        if tver is not None and self._dev_cache is not None \
+                and self._dev_cache[0] == tver:
+            table, views = self._dev_cache[1], self._dev_cache[2]
+        else:
+            table = channels_from_numpy(*tbl_arrays)
+            views = WaterfallViews(start=jnp.asarray(views_np[0]),
+                                   length=jnp.asarray(views_np[1]))
+            if tver is not None:
+                self._dev_cache = (tver, table, views)
         reset_dev = jnp.asarray(resets) if resets is not None else None
         state, out = rt.sp.step(state, raw, table, views, mode,
                                 reset=reset_dev, due_idx=jnp.asarray(idx))

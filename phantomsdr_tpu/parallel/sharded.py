@@ -262,12 +262,14 @@ class ShardedHopPipeline:
         )
         new_inner = HopState(frame=state.inner.frame + cfg.hop_batch,
                              audio=audio_st)
-        # gather_wf mode fetches wf from its local replica, never via
-        # packed (packing the replicated rows per shard would ship n
-        # copies)
-        packed = pack_outputs(audio16, pwr,
-                              wf if not self.gather_wf
-                              else jnp.zeros((0,), jnp.int8), rds8)
+        # gather_wf mode (multihost) fetches EVERY output from its local
+        # per-leaf views (MultihostRuntime.local_*), never via packed --
+        # emit an empty buffer instead of materializing an unread
+        # audio+pwr+rds copy in HBM each step
+        if self.gather_wf:
+            packed = jnp.zeros((0,), jnp.uint8)
+        else:
+            packed = pack_outputs(audio16, pwr, wf, rds8)
         return (
             ShardedHopState(inner=new_inner, halo=new_halo[None, :]),
             HopOutputs(audio=audio16, avg_power=pwr, wf=wf, pyramid=pyr,

@@ -521,3 +521,51 @@ def test_multihost_dryrun_three_processes(tmp_path):
     assert res.returncode == 0, res.stdout + res.stderr
     assert "MULTIHOST_DRYRUN_OK" in res.stdout, res.stdout + res.stderr
     assert res.stdout.count("max |err| = 0") == 3, res.stdout
+
+
+def test_serve_links_survives_rogue_peers():
+    """Cluster formation hardening: a TCP peer that connects without a
+    valid hello (health check, scanner, crashed follower) must neither
+    wedge the accept loop nor occupy a follower slot; a duplicate or
+    out-of-range pid must not replace (and leak) a live link."""
+    import socket
+    import threading
+
+    from phantomsdr_tpu.parallel.multihost import (Link, connect_link,
+                                                   serve_links)
+
+    port = 28799
+    result = {}
+
+    def _serve():
+        result["links"] = serve_links(port, 1, host="127.0.0.1")
+
+    th = threading.Thread(target=_serve, daemon=True)
+    th.start()
+    # rogue 1: connects and sends garbage (recv raises immediately)
+    rogue = socket.create_connection(("127.0.0.1", port), timeout=5)
+    rogue.sendall(b"\x00" * 16)
+    # rogue 2: valid framing, out-of-range pid
+    bad = connect_link(f"127.0.0.1:{port}", pid=7)
+    # the real follower
+    good = connect_link(f"127.0.0.1:{port}", pid=1)
+    th.join(timeout=30)
+    assert not th.is_alive(), "serve_links wedged on a rogue peer"
+    assert set(result["links"]) == {1}
+    rogue.close()
+    bad.close()
+    for ln in result["links"].values():
+        ln.close()
+
+
+def test_opus_decim_covers_sub48k_rates():
+    """opus_decim_factor must search for sub-48 kHz rates too: 32000
+    decimates by 2 to a legal 16000 -- the old early return rejected a
+    servable config with a wrong error."""
+    from phantomsdr_tpu.config import OPUS_RATES, opus_decim_factor
+
+    for sps, want in ((48000, 1), (12000, 1), (32000, 2), (36000, 3),
+                      (40000, 5), (192000, 4)):
+        assert opus_decim_factor(sps) == want, sps
+        assert sps // opus_decim_factor(sps) in OPUS_RATES
+    assert opus_decim_factor(44100) == 1  # genuinely unreachable

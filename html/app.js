@@ -25,6 +25,7 @@ let viewL = 0, viewR = 0; // waterfall view window, full-res bins
 let audioWs = null, wfWs = null;
 let actx = null, gain = null, playCursor = 0;
 let flac = null, flacOk = true;
+let audioAlive = false;  // /audio ws connected + handshake seen
 let opusDec = null, opusTs = 0;  // WebCodecs AudioDecoder (opus mode)
 let muted = false;
 const others = new Map(); // uid -> mid bin of other listeners (/events)
@@ -51,8 +52,11 @@ function windowFor(m, md) {
   else if (md === "LSB") { l = mi - offBins(3000); r = mi; }
   else if (md === "WBFM") { l = mi - offBins(96000); r = mi + offBins(96000); }
   else { l = mi - offBins(5000); r = mi + offBins(5000); } // AM / FM
-  l = Math.max(0, Math.min(R, l));
-  r = Math.max(0, Math.min(R, r));
+  // the server rejects l >= R or r >= R (registry.retune, matching
+  // src/signal.cpp:305-308) -- clamp INCLUSIVE of R-1, not R, or
+  // tuning near the top band edge is silently ignored
+  l = Math.max(0, Math.min(R - 1, l));
+  r = Math.max(0, Math.min(R - 1, r));
   const a = info.audio_max_fft;   // audio slice capacity (basic_info)
   if (r - l > a) {
     // clamp toward the tuned bin so the side carrying the signal
@@ -60,7 +64,7 @@ function windowFor(m, md) {
     // symmetric modes shrink around m.
     if (md === "LSB") l = r - a;
     else if (md === "USB") r = l + a;
-    else { l = Math.max(0, Math.min(R - a, mi - Math.floor(a / 2))); r = l + a; }
+    else { l = Math.max(0, Math.min(R - 1 - a, mi - Math.floor(a / 2))); r = l + a; }
   }
   return { l, m, r };
 }
@@ -112,7 +116,7 @@ function sendTune() {
 // --------------------------------------------------------------- audio
 
 function startAudioCtx() {
-  if (actx) return;
+  if (actx || !info) return;  // handshake not in yet: ignore the click
   const rate = info.audio_max_sps;
   try { actx = new AudioContext({ sampleRate: rate }); }
   catch (e) { actx = new AudioContext(); }
@@ -209,8 +213,18 @@ function connectAudio() {
     if (typeof pkt.pwr === "number") updateSmeter(pkt.pwr);
     if (!pkt.data || !pkt.data.length) return;  // muted keep-alive
     if (flacOk) {
-      for (const pcm of flac.push(pkt.data))
-        enqueuePcm(pcm, flac.channels);
+      try {
+        for (const pcm of flac.push(pkt.data))
+          enqueuePcm(pcm, flac.channels);
+      } catch (e) {
+        // FLAC is stateful -- after a hard decode error (lost sync,
+        // reserved subframe) the buffered bytes would rethrow forever.
+        // Stop decoding with a visible cause; S-meter/tuning stay live.
+        flacOk = false;
+        statusEl.textContent =
+          "audio decode error: " + ((e && e.message) || e) +
+          " — reload to resume";
+      }
     } else if (opusDec && opusDec.state === "configured") {
       // one raw opus packet per CBOR data field (20 ms frames);
       // every opus packet is independently decodable -> type "key"
@@ -219,7 +233,10 @@ function connectAudio() {
       opusTs += 20000;  // µs
     }
   };
-  audioWs.onclose = () => { statusEl.textContent = "audio disconnected"; };
+  audioWs.onclose = () => {
+    audioAlive = false;  // gates the /events status overwrite
+    statusEl.textContent = "audio disconnected";
+  };
 }
 
 function onInfo(d) {
@@ -247,12 +264,17 @@ function onInfo(d) {
       "in this browser (S-meter/tuning still live)";
   viewL = 0;
   viewR = d.fft_result_size;
-  mBin = d.defaults.m || d.fft_result_size / 2;
-  mode = d.defaults.modulation || "USB";
+  mBin = d.defaults.m !== undefined ? d.defaults.m  // 0 is a valid bin
+    : d.fft_result_size / 2;
+  // only modes this UI implements; an unknown server default (e.g. a
+  // future config string) must not NaN the tune-step table
+  mode = TUNE_STEP_HZ[d.defaults.modulation] !== undefined
+    ? d.defaults.modulation : "USB";
   document.querySelectorAll("#modes button").forEach((b) =>
     b.setAttribute("aria-pressed", String(b.dataset.mode === mode)));
   $("nr-wrap").hidden = !d.nr_available;
   $("rds-wrap").hidden = !d.rds_available;
+  audioAlive = true;
   if (flacOk || opusDec) statusEl.textContent = "connected";
   $("info-line").textContent =
     `${(d.sps / 1e6).toFixed(2)} MSPS · fft ${d.fft_size} · ` +
@@ -430,6 +452,8 @@ function connectWaterfall() {
   let zstd = null;              // zstd.js ZstdStream (stock protocol)
   let acc = new Uint8Array(0);  // CBOR packet reassembly
 
+  let rowL = null, rowR = null;  // real coords of the last-drawn row
+
   function drainCbor(dec) {
     const merged = new Uint8Array(acc.length + dec.length);
     merged.set(acc); merged.set(dec, acc.length);
@@ -438,6 +462,17 @@ function connectWaterfall() {
       const r = cborTryDecode(acc);
       if (!r) break;
       acc = acc.slice(r.used);
+      // each packet carries its slice's REAL coordinates (l<<level);
+      // when they change (server re-viewed after a zoom/pan) clear the
+      // history so in-flight rows for the old view are never mixed
+      // into the new view's canvas at the wrong scale
+      if (r.value.l !== rowL || r.value.r !== rowR) {
+        rowL = r.value.l; rowR = r.value.r;
+        if (wfCtx) {
+          wfCtx.fillStyle = "#1b1e23";
+          wfCtx.fillRect(0, 0, rowLen, wfCanvas.height);
+        }
+      }
       drawRow(new Int8Array(r.value.data.buffer,
                             r.value.data.byteOffset,
                             r.value.data.length));
@@ -464,8 +499,18 @@ function connectWaterfall() {
       return;
     }
     if (zstd) {
-      const dec = zstd.push(new Uint8Array(ev.data));
-      if (dec.length) drainCbor(dec);
+      try {
+        const dec = zstd.push(new Uint8Array(ev.data));
+        if (dec.length) drainCbor(dec);
+      } catch (e) {
+        // a corrupt stateful stream cannot be resynced mid-flight:
+        // stop decoding with a visible cause instead of rethrowing
+        // the same buffered error on every subsequent packet
+        zstd = null;
+        statusEl.textContent =
+          "waterfall decode error: " + ((e && e.message) || e) +
+          " — reload to resume";
+      }
     } else if (av1Feed) {
       av1Feed(new Uint8Array(ev.data));
     }
@@ -477,7 +522,10 @@ function connectEvents() {
   ws.onmessage = (ev) => {
     try {
       const d = JSON.parse(ev.data);
-      if (typeof d.signal_clients === "number" && (flacOk || opusDec))
+      // audioAlive: a dead audio connection's "audio disconnected"
+      // status must not be overwritten by the 1 Hz listener count
+      if (typeof d.signal_clients === "number" && audioAlive
+          && (flacOk || opusDec))
         statusEl.textContent =
           `connected · ${d.signal_clients} listener` +
           (d.signal_clients === 1 ? "" : "s");

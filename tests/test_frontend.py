@@ -365,8 +365,9 @@ def _window_for(info, m, md):
         l, r = mi - _off_bins(info, 96000), mi + _off_bins(info, 96000)
     else:
         l, r = mi - _off_bins(info, 5000), mi + _off_bins(info, 5000)
-    l = max(0, min(R, l))
-    r = max(0, min(R, r))
+    # server rejects l >= R or r >= R (registry.retune): clamp to R-1
+    l = max(0, min(R - 1, l))
+    r = max(0, min(R - 1, r))
     a = info["audio_max_fft"]
     if r - l > a:
         if md == "LSB":
@@ -374,7 +375,7 @@ def _window_for(info, m, md):
         elif md == "USB":
             r = l + a
         else:
-            l = max(0, min(R - a, mi - a // 2))
+            l = max(0, min(R - 1 - a, mi - a // 2))
             r = l + a
     return l, m, r
 
@@ -404,11 +405,14 @@ def test_window_for_clamps_toward_tuned_bin():
     for md in ("AM", "FM", "WBFM"):
         l, _, r = _window_for(info, mi, md)
         assert r - l == 64 and l <= mi <= r
-    # Edge safety: clamped windows stay inside [0, R] at both ends.
-    for mi in (1, 4095):
+    # Edge safety: windows must be SERVER-ACCEPTABLE at both band
+    # edges -- registry.retune rejects l >= R or r >= R, so a window
+    # touching R would be silently ignored (dead zone at the edge).
+    for mi in (0, 1, 4095, 4096):
         for md in ("USB", "LSB", "AM", "WBFM"):
             l, _, r = _window_for(info, mi, md)
-            assert 0 <= l <= r <= 4096
+            assert 0 <= l <= r <= 4095
+            assert r - l <= info["audio_max_fft"]
 
 
 def test_window_for_mirror_matches_js():

@@ -257,7 +257,7 @@ struct FlacEncoder {
         // running difference chains in int64
         uint64_t best_sum = ~0ull;
         int best = 0;
-        std::vector<int64_t> d(x, x + n), nd(n);
+        std::vector<int64_t> d(x, x + n);
         for (int order = 0; order <= 4; order++) {
             if (order > 0) {
                 for (int i = n - 1; i >= order; i--) d[i] = d[i] - d[i - 1];
@@ -271,7 +271,6 @@ struct FlacEncoder {
                 best_sum = s;
                 best = order;
             }
-            // early exit: higher orders rarely win after a big jump up
         }
         return best;
     }
@@ -621,6 +620,12 @@ extern "C" {
 
 void *phantom_flac_create(int sample_rate, int blocksize, int channels) {
     if (channels < 1 || channels > 2) return nullptr;
+    // blocksize: 16-bit STREAMINFO/frame-header field, and 0 would make
+    // process_vec's need==0 an infinite loop; sample_rate: 20-bit
+    // STREAMINFO field (the frame header falls back to code 0 =
+    // get-from-STREAMINFO when no 16-bit code fits)
+    if (blocksize < 1 || blocksize > 0xFFFF) return nullptr;
+    if (sample_rate < 1 || sample_rate >= (1 << 20)) return nullptr;
     auto *e = new FlacEncoder();
     e->sample_rate = sample_rate;
     e->blocksize = blocksize;

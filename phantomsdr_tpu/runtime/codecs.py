@@ -2,9 +2,11 @@
 ctypes), zstd waterfall compression (python-zstandard / libzstd).
 
 Mirrors the reference codec layer:
-- FLAC: 1 channel, 16-bit, streamed; reference uses libFLAC level 5
-  (src/signal.cpp:17-28).  Here: csrc/flac.cpp, a from-scratch fixed-
-  predictor + Rice encoder (this image has no libFLAC).
+- FLAC: 16-bit, streamed; reference uses libFLAC level 5
+  (src/signal.cpp:17-28).  Here: csrc/flac.cpp, a from-scratch encoder
+  at level-5 parity (LPC orders 1-8 + fixed predictors, exact Rice
+  partition search, adaptive stereo decorrelation; this image has no
+  libFLAC).
 - Opus: <=48 kHz mono, 20 ms frames, 80 kbps, partial-frame queue
   (src/audio.cpp:55-84).
 - zstd: per-client streaming compression of CBOR waterfall rows,
@@ -75,12 +77,13 @@ def _load_hostlib():
 class FlacEncoder:
     """Streaming FLAC encoder (native).  blocksize 4096 like libFLAC's
     default at the reference's level-5 settings.  channels=2 encodes
-    interleaved L/R (independent-channel stereo subframes) for the
-    device WBFM stereo path."""
+    interleaved L/R with per-frame adaptive decorrelation (independent/
+    left-side/right-side/mid-side) for the device WBFM stereo path."""
 
     def __init__(self, sample_rate: int, blocksize: int = 4096,
                  channels: int = 1):
         self._lib = _load_hostlib()
+        self.channels = channels
         self._enc = self._lib.phantom_flac_create(sample_rate, blocksize,
                                                   channels)
         if not self._enc:
@@ -112,6 +115,12 @@ class FlacEncoder:
     def process(self, samples: np.ndarray) -> bytes:
         """samples: int16 numpy array -> encoded bytes (may be empty)."""
         samples = np.ascontiguousarray(samples, dtype=np.int16)
+        if samples.size % self.channels:
+            # a half pair would permanently swap L/R interleave for the
+            # REST of the stream with no error anywhere downstream
+            raise ValueError(
+                f"sample count {samples.size} not a multiple of "
+                f"{self.channels} channels")
         n = self._lib.phantom_flac_process(
             self._enc, samples.ctypes.data, samples.size, self._out, self._cap
         )
@@ -129,6 +138,10 @@ class FlacEncoder:
         less Python/ctypes overhead per client per step)."""
         chunks = np.ascontiguousarray(chunks, dtype=np.int16)
         nch, clen = chunks.shape
+        if clen % self.channels:
+            raise ValueError(
+                f"chunk length {clen} not a multiple of "
+                f"{self.channels} channels")
         sizes = (ctypes.c_int * nch)()
         n = self._lib.phantom_flac_process_chunks(
             self._enc, chunks.ctypes.data, nch, clen, self._out,
@@ -225,11 +238,13 @@ class OpusChunkEncoder:
         if err.value != 0 or not self._enc:
             raise RuntimeError(f"opus_encoder_create failed: {err.value}")
         # varargs call: wrap every argument explicitly
-        self._lib.opus_encoder_ctl(
+        rc = self._lib.opus_encoder_ctl(
             ctypes.c_void_p(self._enc),
             ctypes.c_int(_OPUS_SET_BITRATE_REQUEST),
             ctypes.c_int(80000),
         )
+        if rc != 0:
+            raise RuntimeError(f"opus_encoder_ctl(SET_BITRATE): {rc}")
         self.frame_size = self.rate * 20 // 1000
         self._pending = np.zeros(0, np.int16)
         self._buf = ctypes.create_string_buffer(1024)
@@ -244,6 +259,11 @@ class OpusChunkEncoder:
         n_use = (x.shape[0] // self._decim) * self._decim
         self._dec_rem = x[n_use:]
         x = x[:n_use]
+        if n_use == 0:
+            # np.convolve(mode="valid") SWAPS arguments when the input
+            # is shorter than the kernel -- with only the (taps-1)-long
+            # history it would fabricate samples out of thin air
+            return np.zeros(0, np.int16)
         y_in = np.concatenate([self._dec_tail, x], axis=0)
         self._dec_tail = y_in[-(self._taps.shape[0] - 1):]
         y = np.stack(
@@ -266,6 +286,10 @@ class OpusChunkEncoder:
             n = self._lib.opus_encode(
                 self._enc, frame.ctypes.data, fs, self._buf, 1024
             )
+            if n < 0:
+                # surface libopus errors (OPUS_BAD_ARG etc.) instead of
+                # silently dropping 20 ms of audio per frame forever
+                raise RuntimeError(f"opus_encode failed: {n}")
             if n > 1:
                 out.append(ctypes.string_at(self._buf, n))
             self._pending = self._pending[need:]

@@ -545,3 +545,44 @@ def test_opus_rate_60000_picks_legal_rate():
     assert 60000 % enc._decim == 0
     x = np.zeros(6000, np.int16)
     enc.process(x)  # must not raise
+
+
+def test_flac_create_rejects_illegal_params():
+    """blocksize=0 would make the C encode loop's need==0 an infinite
+    loop; blocksize/sample_rate beyond their STREAMINFO field widths
+    would silently truncate into a corrupt stream.  Reject at create."""
+    for kwargs in (dict(sample_rate=12000, blocksize=0),
+                   dict(sample_rate=12000, blocksize=70000),
+                   dict(sample_rate=0),
+                   dict(sample_rate=1 << 20)):
+        with pytest.raises(RuntimeError):
+            FlacEncoder(**kwargs)
+    FlacEncoder(sample_rate=(1 << 20) - 1, blocksize=65535)  # edges OK
+
+
+def test_flac_stereo_rejects_odd_sample_count():
+    """A half L/R pair would permanently swap the interleave for the
+    rest of the stream with no error downstream."""
+    enc = FlacEncoder(12000, channels=2)
+    with pytest.raises(ValueError):
+        enc.process(np.zeros(4097, np.int16))
+    with pytest.raises(ValueError):
+        enc.process_chunks(np.zeros((2, 333), np.int16))
+    data = enc.process(np.zeros(8192, np.int16)) + enc.finish()
+    _, got = decode_flac(data)
+    assert got.size == 8192  # encoder still healthy after the rejects
+
+
+def test_opus_decimator_short_input_fabricates_nothing():
+    """np.convolve(mode='valid') swaps arguments when the input is
+    shorter than the kernel: with only the filter history buffered, a
+    sub-decim call must produce ZERO samples, not garbage."""
+    e = OpusChunkEncoder(192000)  # decim 4 -> 48 kHz
+    assert e._decim == 4
+    e.process(np.zeros(1024, np.int16))  # prime the filter history
+    out = e._decimate(np.zeros(3, np.int16))
+    assert out.size == 0  # 3 < decim: nothing decodable yet
+    # the 3 samples were stashed, not lost: one more sample completes
+    # the phase and yields exactly one output sample
+    out = e._decimate(np.zeros(1, np.int16))
+    assert out.size == 1

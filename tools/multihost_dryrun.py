@@ -170,6 +170,16 @@ def cluster_main(pid: int, outdir: str, nprocs: int):
                                   idx, due, cfg)
             audio_out.append(rt.local_audio(out))
             wf_out.append(rt.local_wf(out))
+        # drain the FINAL step's acks before exiting: unread data in the
+        # receive buffer would make process exit RST the links, and a
+        # follower whose last step_done send races that RST dies with
+        # EPIPE (a load-dependent flake seen in CI)
+        for follower in links.values():
+            while True:
+                hdr, _ = follower.recv()
+                if (hdr.get("type") == "step_done"
+                        and hdr["seq"] == STEPS - 1):
+                    break
     else:
         link = connect_link(f"127.0.0.1:{LINK_PORT}", pid)
         for s in range(STEPS):

@@ -542,8 +542,19 @@ def test_serve_links_survives_rogue_peers():
 
     th = threading.Thread(target=_serve, daemon=True)
     th.start()
-    # rogue 1: connects and sends garbage (recv raises immediately)
-    rogue = socket.create_connection(("127.0.0.1", port), timeout=5)
+    # rogue 1: connects and sends garbage (recv raises immediately);
+    # retry until the listener thread is actually bound (startup race)
+    import time as _time
+    deadline = _time.monotonic() + 10
+    while True:
+        try:
+            rogue = socket.create_connection(("127.0.0.1", port),
+                                             timeout=5)
+            break
+        except OSError:
+            if _time.monotonic() > deadline:
+                raise
+            _time.sleep(0.05)
     rogue.sendall(b"\x00" * 16)
     # rogue 2: valid framing, out-of-range pid
     bad = connect_link(f"127.0.0.1:{port}", pid=7)

@@ -34,44 +34,12 @@ def make_cfg(**over):
 
 
 def decode_cbor(data: bytes):
-    pos = 0
+    # ONE decoder for the server's nlohmann-compatible wire format:
+    # tools/verify/client.py's (also used by tools/stress.py) -- a
+    # second hand-rolled copy here silently diverged on extensions
+    from tools.verify.client import cbor_decode
 
-    def item():
-        nonlocal pos
-        ib = data[pos]; pos += 1
-        major, info = ib >> 5, ib & 31
-        if info < 24:
-            val = info
-        elif info == 24:
-            val = data[pos]; pos += 1
-        elif info == 25:
-            val = int.from_bytes(data[pos:pos + 2], "big"); pos += 2
-        elif info == 26:
-            val = int.from_bytes(data[pos:pos + 4], "big"); pos += 4
-        elif info == 27:
-            val = int.from_bytes(data[pos:pos + 8], "big"); pos += 8
-        else:
-            raise ValueError(info)
-        if major == 0:
-            return val
-        if major == 1:
-            return -1 - val
-        if major == 2:
-            v = data[pos:pos + val]; pos += val
-            return v
-        if major == 3:
-            v = data[pos:pos + val].decode(); pos += val
-            return v
-        if major == 4:
-            return [item() for _ in range(val)]
-        if major == 5:
-            return {item(): item() for _ in range(val)}
-        if major == 7 and info == 27:
-            import struct
-            return struct.unpack(">d", val.to_bytes(8, "big"))[0]
-        raise ValueError((major, info))
-
-    return item()
+    return cbor_decode(data)
 
 
 def async_test(f):

@@ -100,6 +100,8 @@ def main():
                          "XLA_FLAGS=--xla_force_host_platform_device_"
                          "count=N; hops/channels must divide by N)")
     args = ap.parse_args()
+    if args.kbig < 2:
+        ap.error("--kbig must be >= 2 (the slope divides by kbig - 1)")
 
     import jax
 
@@ -150,8 +152,6 @@ def main():
         from phantomsdr_tpu.parallel.sharded import (
             ShardedHopPipeline, make_mesh,
         )
-        from phantomsdr_tpu.pipeline import channels_from_numpy
-
         mesh = make_mesh(args.mesh)
         sp = ShardedHopPipeline(cfg, mesh)
         l64 = np.linspace(1000, r - 2000, c).astype(np.int64)
@@ -164,14 +164,14 @@ def main():
         state = sp.init_state()
         state, out = sp.step(state, jnp.asarray(sp.shard_raw(raws[0])),
                              table, waterfall="views")
-        jax.block_until_ready(out.packed)
-        times = []
+        np.asarray(out.avg_power)  # REAL fence: block_until_ready is a
+        times = []                 # no-op on the axon remote backend
         for i in range(8):
             t0 = time.monotonic()
             state, out = sp.step(
                 state, jnp.asarray(sp.shard_raw(raws[i % 2])), table,
                 waterfall="views")
-            jax.block_until_ready(out.packed)
+            np.asarray(out.avg_power)  # device->host fetch = the fence
             times.append(time.monotonic() - t0)
         times.sort()
         res = {"config": {
@@ -223,7 +223,7 @@ def main():
         "fft_size": cfg.fft_size, "hop_batch": b, "channels": c,
         "sps": sps, "audio_fft_size": a,
         "device": str(dev), "backend": jax.default_backend(),
-    }, "method": "fori_loop slope (K=1 vs K=%d), min of 3" % args.kbig,
+    }, "method": "fori_loop slope (K=1 vs K=%d), min of 5" % args.kbig,
         "stages_ms": {}}
 
     # ---- stage 1: framing + window + forward FFT ----

@@ -130,6 +130,14 @@ def make(variant: str, out: Path, port: int, secs: float,
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(7)
     truth: dict = {"variant": variant, "port": port}
+    if audio_compression == "opus" and variant in ("am", "nr", "lms",
+                                                   "nb", "de"):
+        # client.py's A/B decode paths for these checks are FLAC-only;
+        # silently writing an opus config would report false coverage
+        raise SystemExit(
+            f"--audio-compression opus is not supported for variant "
+            f"{variant!r} (client.py decodes these checks via FLAC); "
+            f"use tone/stereo/rds/both/soak")
 
     if variant in ("tone", "am", "nr", "lms"):
         sps, fft = 960_000, fft_override or 32_768
@@ -193,6 +201,7 @@ def make(variant: str, out: Path, port: int, secs: float,
                 extra_input={"nr": True, "nr_algo": "nb",
                              "nb_samples": 25},
                 modulation="AM", mesh=mesh,
+                wf_compression=wf_compression,
                 default_frequency=98_000_000 + sps // 2 + 10)
         truth.update(f_off_hz=10.0, tone_hz=1000.0, sps=sps,
                      fft_size=fft, audio_sps=192_000, wide_hz=90_000)
@@ -234,6 +243,7 @@ def make(variant: str, out: Path, port: int, secs: float,
     _write_iq(out / "capture.s16", iq)
     _config(out, port, sps, fft, 192_000, extra_input=extra,
             modulation="WBFM", mesh=mesh,
+            wf_compression=wf_compression,
             audio_compression=audio_compression)
     truth.update(f_off_hz=0.0, sps=sps, fft_size=fft, audio_sps=192_000)
     return truth

@@ -143,7 +143,7 @@ async def collect_audio(session, url, secs, cmds=(), text_frames=None,
 
     chunks, info = [], None
     async with session.ws_connect(url + "/audio", max_msg_size=1 << 22) as ws:
-        info = json.loads((await ws.receive()).data)
+        info = json.loads((await ws.receive(timeout=120)).data)  # bounded: a wedged server must fail, not hang
         for c in cmds:
             await ws.send_str(json.dumps(c))
         if probes:
@@ -212,7 +212,7 @@ async def check_waterfall_av1(session, url, truth):
     rows = peak_ok = 0
     async with session.ws_connect(url + "/waterfall",
                                   max_msg_size=1 << 22) as ws:
-        info = json.loads((await ws.receive()).data)
+        info = json.loads((await ws.receive(timeout=120)).data)  # bounded: a wedged server must fail, not hang
         assert info["waterfall_compression"] == "av1"
         rsize = info["fft_result_size"]
         m_bin = (0.5 + truth["f_off_hz"] / truth["sps"]) * rsize
@@ -274,7 +274,7 @@ async def check_waterfall(session, url, truth):
     rows = 0
     async with session.ws_connect(url + "/waterfall",
                                   max_msg_size=1 << 22) as ws:
-        info = json.loads((await ws.receive()).data)
+        info = json.loads((await ws.receive(timeout=120)).data)  # bounded: a wedged server must fail, not hang
         rsize = info["fft_result_size"]
         m_bin = (0.5 + truth["f_off_hz"] / truth["sps"]) * rsize
         span = min(2048, rsize)

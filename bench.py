@@ -45,6 +45,9 @@ def main():
                     help="override the profile's hop_batch (0 = default)")
     args = ap.parse_args()
 
+    import os
+    import threading
+
     import jax
     import jax.numpy as jnp
 
@@ -52,6 +55,32 @@ def main():
     # remote compile of the 2^20 pipeline
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    # The axon relay can go fully dark (TCP blackhole: device calls hang
+    # forever rather than raising).  Fail fast with a diagnostic instead
+    # of hanging the driver: 15 min budget for the first device round
+    # trip, 60 min for the whole bench (a healthy run is ~5-15 min
+    # including a cold remote compile).
+    probe_ok = threading.Event()
+    t_start = time.monotonic()
+
+    def _watchdog():
+        if not probe_ok.wait(900):
+            print("# BENCH ABORT: device probe stuck >900 s -- TPU "
+                  "relay dark (blackhole); committed BENCH_DETAILS.json "
+                  "is the claim of record", file=sys.stderr, flush=True)
+            os._exit(3)
+        rest = 3600 - (time.monotonic() - t_start)
+        if rest > 0:
+            time.sleep(rest)
+        print("# BENCH ABORT: run exceeded 3600 s -- relay died "
+              "mid-run; committed BENCH_DETAILS.json is the claim of "
+              "record", file=sys.stderr, flush=True)
+        os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    np.asarray(jnp.zeros((8,), jnp.float32) + 1.0)  # device round trip
+    probe_ok.set()
 
     from phantomsdr_tpu.config import config_from_dict
     from phantomsdr_tpu.ops.quantize import pyramid_level_offsets

@@ -40,11 +40,11 @@ class BackwardBits {
     return v;
   }
   peek(n) {
-    const save = this.bitpos;
+    const save = this.bitpos, saveOv = this.overflow;
     const v = this.read(n);
     this.bitpos = save;
-    this.overflow = false;
-    return v;
+    this.overflow = saveOv;  // never ERASE a prior overflow: it is the
+    return v;                // FSE termination signal
   }
 }
 
@@ -159,6 +159,8 @@ function hufReadWeights(d, pos, end) {
   const hb = d[pos];
   if (hb >= 128) {
     const n = hb - 127;
+    if (pos + 1 + ((n + 1) >> 1) > end)  // same bound the FSE path has
+      throw new ZstdError("truncated huffman description");
     const weights = [];
     for (let i = 0; i < n; i++) {
       const b = d[pos + 1 + (i >> 1)];
@@ -185,6 +187,10 @@ function hufReadWeights(d, pos, end) {
     if (bb.overflow) { weights.push(s1.symbol()); break; }
     if (weights.length > 255) throw new ZstdError("too many huffman weights");
   }
+  // the break paths can push past the in-loop guard (up to 256): with
+  // 256 explicit + 1 implicit weights, hufBuild's Uint8Array would
+  // WRAP symbol 256 to 0 and decode silent garbage
+  if (weights.length > 255) throw new ZstdError("too many huffman weights");
   return { weights, consumed: 1 + hb };
 }
 
@@ -314,6 +320,8 @@ class ZstdStream {
     if ((magic & 0xfffffff0) === 0x184d2a50) {  // skippable frame
       if (b.length < 8) return false;
       const size = this._le(b, 4, 4);
+      if (size > 1 << 20)  // corrupt header would buffer up to 4 GB
+        throw new ZstdError("skippable frame too large");
       if (b.length < 8 + size) return false;
       this.buf = b.subarray(8 + size);
       return true;
@@ -406,8 +414,14 @@ class ZstdStream {
       if ((sf & 1) === 0) { rs = b0 >> 3; p += 1; }
       else if (sf === 1) { rs = (b0 >> 4) | (d[p + 1] << 4); p += 2; }
       else { rs = (b0 >> 4) | (d[p + 1] << 4) | (d[p + 2] << 12); p += 3; }
-      if (ltype === 0)
+      if (rs > 1 << 17)  // > Block_Maximum_Size: corrupt (output cap)
+        throw new ZstdError("literal size too large");
+      if (ltype === 0) {
+        if (p + rs > end)  // would consume the NEXT block's bytes
+          throw new ZstdError("raw literals overrun block");
         return { lits: Array.from(d.subarray(p, p + rs)), next: p + rs };
+      }
+      if (p >= end) throw new ZstdError("RLE literal byte missing");
       return { lits: new Array(rs).fill(d[p]), next: p + 1 };
     }
     // Compressed (2) / Treeless (3)
@@ -428,6 +442,8 @@ class ZstdStream {
     // Compressed and Treeless literals (libzstd emits treeless
     // single-stream whenever it reuses a tree on a <256 B section).
     const streams = sf === 0 ? 1 : 4;
+    if (rs > 1 << 17)  // > Block_Maximum_Size: corrupt (output cap)
+      throw new ZstdError("literal size too large");
     const cend = p + cs;
     if (cend > end) throw new ZstdError("literals overrun block");
     if (ltype === 2) {

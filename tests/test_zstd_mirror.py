@@ -253,5 +253,36 @@ def test_mirror_matches_js():
         "sf === 0 ? 1 : 4",      # treeless+compressed single-stream rule
         "counts.length > maxSymbols + 1",  # FSE count bound containment
         "llcode < 36",           # sequence symbol-code validation
+        "raw literals overrun block",      # literal-section bounds
+        "literal size too large",          # 128 kB regenerated-size cap
+        "RLE literal byte missing",
+        "skippable frame too large",       # 4 GB buffering containment
+        "truncated huffman description",   # direct-weights bounds too
+        "saveOv",                          # peek preserves overflow
     ]:
         assert marker in js, f"html/zstd.js missing mirror marker {marker}"
+
+
+def test_corrupt_literal_sections_are_contained():
+    """Hand-crafted corrupt literal sections must raise ZstdError, not
+    silently consume the next block's bytes or amplify output (the
+    round-5 containment pass; JS lockstep via the textual markers)."""
+    magic = b"\x28\xb5\x2f\xfd"
+    fhd = b"\x20\x64"  # single-segment, FCS=100
+
+    # raw literals (ltype 0, sf 1) claiming rs=4095 in a 2-byte block
+    blk = (1 | (2 << 1) | (2 << 3)).to_bytes(3, "little")
+    with pytest.raises(ZstdError, match="overrun|truncated|corrupt"):
+        ZstdStream().push(magic + fhd + blk + b"\xf4\xff")
+
+    # RLE literals (ltype 1, sf 3) claiming rs=0xFFFFF (> 128 kB cap)
+    blk = (1 | (2 << 1) | (4 << 3)).to_bytes(3, "little")
+    with pytest.raises(ZstdError, match="too large"):
+        ZstdStream().push(magic + fhd + blk + b"\xfd\xff\xff\x41")
+
+
+def test_huge_skippable_frame_is_rejected():
+    """A corrupt skippable-frame size must not buffer toward 4 GB."""
+    hdr = b"\x50\x2a\x4d\x18" + (0xFFFFFFFF).to_bytes(4, "little")
+    with pytest.raises(ZstdError, match="skippable"):
+        ZstdStream().push(hdr)

@@ -54,10 +54,11 @@ class BackwardBits:
         return v
 
     def peek(self, n):
-        save = self.bitpos
+        save, save_ov = self.bitpos, self.overflow
         v = self.read(n)
         self.bitpos = save
-        self.overflow = False
+        # never ERASE a prior overflow: it is the FSE termination signal
+        self.overflow = save_ov
         return v
 
 
@@ -195,6 +196,8 @@ def huf_read_weights(d, pos, end):
     hb = d[pos]
     if hb >= 128:
         n = hb - 127
+        if pos + 1 + ((n + 1) >> 1) > end:  # same bound as the FSE path
+            raise ZstdError("truncated huffman description")
         weights = []
         for i in range(n):
             b = d[pos + 1 + (i >> 1)]
@@ -224,6 +227,11 @@ def huf_read_weights(d, pos, end):
             break
         if len(weights) > 255:
             raise ZstdError("too many huffman weights")
+    # the break paths can push past the in-loop guard (up to 256
+    # explicit weights + 1 implicit = a 257th symbol) -- lockstep with
+    # the JS, which would otherwise wrap symbol 256 in a Uint8Array
+    if len(weights) > 255:
+        raise ZstdError("too many huffman weights")
     return weights, 1 + hb
 
 
@@ -361,6 +369,8 @@ class ZstdStream:
             if len(b) < 8:
                 return False
             size = int.from_bytes(b[4:8], "little")
+            if size > 1 << 20:  # corrupt header would buffer up to 4 GB
+                raise ZstdError("skippable frame too large")
             if len(b) < 8 + size:
                 return False
             self.buf = b[8 + size:]
@@ -468,10 +478,16 @@ class ZstdStream:
             else:
                 rs = (b0 >> 4) | (d[p + 1] << 4) | (d[p + 2] << 12)
                 p += 3
+            if rs > 1 << 17:  # > Block_Maximum_Size: corrupt (output cap)
+                raise ZstdError("literal size too large")
             if ltype == 0:
+                if p + rs > end:  # would consume the NEXT block's bytes
+                    raise ZstdError("raw literals overrun block")
                 lits = d[p:p + rs]
                 p += rs
             else:
+                if p >= end:
+                    raise ZstdError("RLE literal byte missing")
                 lits = bytes([d[p]]) * rs
                 p += 1
             return lits, p
@@ -492,6 +508,8 @@ class ZstdStream:
         # Compressed and Treeless literals (libzstd emits treeless
         # single-stream whenever it reuses a tree on a <256 B section).
         streams = 1 if sf == 0 else 4
+        if rs > 1 << 17:  # > Block_Maximum_Size: corrupt (output cap)
+            raise ZstdError("literal size too large")
         cend = p + cs
         if cend > end:
             raise ZstdError("literals overrun block")

@@ -437,10 +437,24 @@ function setView(l, r) {
 let av1Feed = null;  // set by startAv1Waterfall (av1.js + WebCodecs)
 
 function startAv1Waterfall() {
+  let rowL = null, rowR = null;  // same stale-view guard as drainCbor
   av1Feed = av1MakeFeed(
-    (row) => drawRow(row),
-    (e) => { statusEl.textContent =
-      "av1 decode error: " + ((e && e.message) || e); });
+    (row, h) => {
+      if (h && (h.l !== rowL || h.r !== rowR)) {
+        rowL = h.l; rowR = h.r;
+        if (wfCtx) {
+          wfCtx.fillStyle = "#1b1e23";
+          wfCtx.fillRect(0, 0, rowLen, wfCanvas.height);
+        }
+      }
+      drawRow(row);
+    },
+    (e) => {
+      av1Feed = null;  // decoder is closed; stop feeding it
+      statusEl.textContent =
+        "av1 decode error: " + ((e && e.message) || e) +
+        " — reload to resume";
+    });
   if (!av1Feed)
     statusEl.textContent =
       "av1 waterfall needs WebCodecs; unavailable in this browser";
@@ -512,7 +526,14 @@ function connectWaterfall() {
           " — reload to resume";
       }
     } else if (av1Feed) {
-      av1Feed(new Uint8Array(ev.data));
+      try {
+        av1Feed(new Uint8Array(ev.data));
+      } catch (e) {  // corrupt TU (parse throw): contain like zstd
+        av1Feed = null;
+        statusEl.textContent =
+          "av1 decode error: " + ((e && e.message) || e) +
+          " — reload to resume";
+      }
     }
   };
 }

@@ -32,11 +32,14 @@ function parseObus(d) {
     let p = pos + 1 + hasExt;
     let sz = 0, shift = 0;
     for (;;) {  // leb128
+      if (p >= d.length)  // undefined would coerce to a silent 0 size
+        throw new Error("truncated OBU leb128");
       const b = d[p++];
       sz += (b & 0x7f) * Math.pow(2, shift);
       shift += 7;
       if (!(b & 0x80)) break;
     }
+    if (p + sz > d.length) throw new Error("truncated OBU payload");
     obus.push({ type: obuType, payload: d.subarray(p, p + sz) });
     pos = p + sz;
   }
@@ -47,10 +50,10 @@ function av1HasSeqHdr(tu) {
   return parseObus(tu).some((o) => o.type === OBU_SEQUENCE_HEADER);
 }
 
-// Per-line headers out of the T.35 metadata OBU; returns an array of
-// AV1_LINES_PER_FRAME {frameNum, bytes, l, r} (or null if absent).
-function av1Headers(tu) {
-  const meta = parseObus(tu).find((o) => o.type === OBU_METADATA);
+// Per-line headers out of an already-parsed OBU list; returns an array
+// of AV1_LINES_PER_FRAME {frameNum, bytes, l, r} (or null if absent).
+function av1Headers(obus) {
+  const meta = obus.find((o) => o.type === OBU_METADATA);
   if (!meta) return null;
   const p = meta.payload;
   // payload = leb128 metadata_type (one byte here) + itu_t_t35_country
@@ -85,31 +88,37 @@ function av1MakeFeed(onRow, onError) {
                              height: frame.codedHeight } };
       const buf = new Uint8Array(frame.allocationSize(opts));
       frame.copyTo(buf, opts).then((layout) => {
-        const stride = layout[0].stride, off = layout[0].offset;
-        for (let y = 0; y < Math.min(AV1_LINES_PER_FRAME,
-                                     frame.codedHeight); y++) {
-          const h = hdrs[y];
-          if (!h || h.bytes === 0) continue;
-          const row = new Int8Array(h.bytes);
-          for (let i = 0; i < h.bytes; i++)
-            row[i] = ((buf[off + y * stride + i] ^ 0x80) << 24) >> 24;
-          onRow(row, h);
+        try {
+          const stride = layout[0].stride, off = layout[0].offset;
+          for (let y = 0; y < Math.min(AV1_LINES_PER_FRAME,
+                                       frame.codedHeight); y++) {
+            const h = hdrs[y];
+            if (!h || h.bytes === 0) continue;
+            const row = new Int8Array(h.bytes);
+            for (let i = 0; i < h.bytes; i++)
+              row[i] = ((buf[off + y * stride + i] ^ 0x80) << 24) >> 24;
+            onRow(row, h);
+          }
+        } finally {
+          frame.close();  // a leaked frame exhausts the decoder's pool
         }
-        frame.close();
-      }, onError);
+      }, (e) => { frame.close(); onError(e); });
     },
     error: onError,
   });
   let configured = false;
   let ts = 0;
   return (tu) => {
-    const key = av1HasSeqHdr(tu);
+    if (dec.state === "closed")  // fatal error already reported via
+      return;                    // onError; don't throw on every packet
+    const obus = parseObus(tu);  // ONE walk per TU for both questions
+    const key = obus.some((o) => o.type === OBU_SEQUENCE_HEADER);
     if (!configured) {
       if (!key) return;            // wait for the first keyframe TU
       dec.configure({ codec: "av01.0.31M.08", optimizeForLatency: true });
       configured = true;
     }
-    pending.push(av1Headers(tu) || []);
+    pending.push(av1Headers(obus) || []);
     dec.decode(new EncodedVideoChunk(
       { type: key ? "key" : "delta", timestamp: ts++, data: tu }));
   };

@@ -6,6 +6,8 @@
    packet (the deflate stream chunks don't align with packets). */
 "use strict";
 
+const CBOR_TEXT = new TextDecoder();  // hoisted: several keys per packet
+
 function cborTryDecode(b) {
   const view = new DataView(b.buffer, b.byteOffset, b.byteLength);
   let p = 0;
@@ -35,7 +37,7 @@ function cborTryDecode(b) {
       }
       case 3: {
         need(val);
-        const s = new TextDecoder().decode(b.subarray(p, p + val));
+        const s = CBOR_TEXT.decode(b.subarray(p, p + val));
         p += val; return s;
       }
       case 4: {
@@ -44,7 +46,9 @@ function cborTryDecode(b) {
         return out;
       }
       case 5: {
-        const out = {};
+        // null prototype: a third-party server's "__proto__" key must
+        // create an own property, not hit the prototype setter
+        const out = Object.create(null);
         for (let i = 0; i < val; i++) { const k = item(); out[k] = item(); }
         return out;
       }
@@ -53,7 +57,9 @@ function cborTryDecode(b) {
         if (info === 20) return false;
         if (info === 21) return true;
         if (info === 22) return null;
-        return val;
+        // lockstep with the Python mirror: half-floats (info 25) and
+        // other simple values raise rather than leak raw ints
+        throw new Error("cbor major 7 info " + info);
       default: throw new Error("cbor major " + major);
     }
   }

@@ -35,6 +35,37 @@ function flacSigned(v, bits) {
   return v >= 1 << (bits - 1) ? v - (1 << bits) : v;
 }
 
+// CRC-8 (poly 0x07) and CRC-16 (poly 0x8005) per RFC 9639 9.1.1 --
+// verified like the Python lockstep decoder (tests/test_codecs.py):
+// a corrupted frame must trip the contained error path, not play as
+// loud garbage PCM.
+function flacCrcTable(poly, width) {
+  const top = 1 << (width - 1), mask = (width === 16 ? 0xffff : 0xff);
+  const tab = new Array(256);
+  for (let b = 0; b < 256; b++) {
+    let crc = b << (width - 8);
+    for (let i = 0; i < 8; i++)
+      crc = crc & top ? ((crc << 1) ^ poly) : (crc << 1);
+    tab[b] = crc & mask;
+  }
+  return tab;
+}
+const FLAC_CRC8_TAB = flacCrcTable(0x07, 8);
+const FLAC_CRC16_TAB = flacCrcTable(0x8005, 16);
+
+function flacCrc8(d, start, end) {
+  let c = 0;
+  for (let i = start; i < end; i++) c = FLAC_CRC8_TAB[c ^ d[i]];
+  return c;
+}
+
+function flacCrc16(d, start, end) {
+  let c = 0;
+  for (let i = start; i < end; i++)
+    c = (FLAC_CRC16_TAB[((c >> 8) ^ d[i]) & 0xff] ^ (c << 8)) & 0xffff;
+  return c;
+}
+
 const FLAC_FIXED_COEF = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]];
 
 function flacSubframe(br, n, bps) {
@@ -143,8 +174,8 @@ class FlacStream {
     return true;
   }
 
-  _frame() {
-    const br = new FlacBitReader(this.buf, 0);
+  _frame(off) {
+    const br = new FlacBitReader(this.buf, off);
     if (br.bits(14) !== 0x3ffe) throw new Error("flac: lost sync");
     br.bits(2);                       // reserved + blocking strategy
     const bsCode = br.bits(4);
@@ -170,7 +201,10 @@ class FlacStream {
     if (srCode === 13) this.sampleRate = br.bits(16);
     else if (srCode === 14) this.sampleRate = br.bits(16) * 10;
     else if (srCode === 12) this.sampleRate = br.bits(8) * 1000;
-    br.bits(8);                       // crc8
+    const gotCrc8 = br.bits(8);
+    const hdrEnd = br.pos >> 3;       // header is byte-aligned here
+    if (gotCrc8 !== flacCrc8(this.buf, off, hdrEnd - 1))
+      throw new Error("flac: frame header crc8 mismatch");
     let subs = [];
     for (let c = 0; c < channels; c++) {
       const side = chan >= 8 && c === (chan === 9 ? 0 : 1);
@@ -178,12 +212,15 @@ class FlacStream {
     }
     if (chan >= 8) subs = flacUndecorrelate(chan, subs);
     br.align();
-    br.bits(16);                      // crc16
+    const gotCrc16 = br.bits(16);
+    const frameEnd = br.pos >> 3;
+    if (gotCrc16 !== flacCrc16(this.buf, off, frameEnd - 2))
+      throw new Error("flac: frame crc16 mismatch");
     this.channels = channels;
     const pcm = new Int32Array(n * channels);
     for (let i = 0; i < n; i++)
       for (let c = 0; c < channels; c++) pcm[i * channels + c] = subs[c][i];
-    return { pcm, used: br.pos >> 3 };
+    return { pcm, used: frameEnd - off };
   }
 
   /* Feed one packet's payload; returns an array of Int32Array blocks
@@ -196,17 +233,21 @@ class FlacStream {
       try { if (!this._header()) return out; }
       catch (e) { if (e instanceof FlacOverrun) return out; throw e; }
     }
+    // track a read offset and slice ONCE after the loop: a per-frame
+    // slice re-copied the whole remaining buffer per decoded frame
+    let off = 0;
     for (;;) {
-      if (this.buf.length === 0) break;
+      if (this.buf.length - off === 0) break;
       try {
-        const { pcm, used } = this._frame();
+        const { pcm, used } = this._frame(off);
         out.push(pcm);
-        this.buf = this.buf.slice(used);
+        off += used;
       } catch (e) {
         if (e instanceof FlacOverrun) break;
         throw e;
       }
     }
+    if (off) this.buf = this.buf.slice(off);
     return out;
   }
 }

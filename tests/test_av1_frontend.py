@@ -111,5 +111,7 @@ def test_mirror_matches_js():
           / "av1.js").read_text()
     for marker in ["parseObus", "av1HasSeqHdr", "av1Headers",
                    "OBU_METADATA_TYPE_ITUT_T35", "i * 24",
-                   "^ 0x80", "VideoDecoder", "EncodedVideoChunk"]:
+                   "^ 0x80", "VideoDecoder", "EncodedVideoChunk",
+                   "truncated OBU leb128",   # corrupt-TU containment
+                   "frame.close()"]:         # no leaked VideoFrames
         assert marker in js, f"html/av1.js missing mirror marker {marker}"

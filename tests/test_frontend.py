@@ -158,6 +158,9 @@ def test_flac_js_tracks_decoder_subset():
         "Math.floor(pred / div)",     # >32-bit-safe arithmetic shift
         "const po = br.bits(4)",      # rice partition order
         "x.fill(flacSigned",          # constant subframe
+        "crc8 mismatch",              # frame header CRC verified
+        "crc16 mismatch",             # frame CRC verified (lockstep
+                                      # with tests/test_codecs.py)
     ]:
         assert marker in js, f"html/flac.js missing marker {marker}"
 

@@ -65,14 +65,22 @@ RicePlan plan_rice(const std::vector<uint64_t> &u, int n, int order) {
     int parts = 1 << pmax;
     int psize = n >> pmax;
     // exact per-k unary+remainder sums at the deepest level:
-    // bits(part, k) = cnt*(k+1) + sum_i(u_i >> k)
+    // bits(part, k) = cnt*(k+1) + sum_i(u_i >> k).  v>>k is 0 for
+    // k >= bit_width(v), so the k loop stops there (typical residuals
+    // are a few bits; this is the encoder's hottest loop)
     std::vector<uint64_t> sums((size_t)parts * KMAX, 0);
     std::vector<uint32_t> cnt(parts, 0);
-    for (int i = order; i < n; i++) {
-        uint64_t v = u[i - order];
-        uint64_t *s = &sums[(size_t)(i / psize) * KMAX];
-        for (int k = 0; k < KMAX; k++) s[k] += v >> k;
-        cnt[i / psize]++;
+    for (int j = 0; j < parts; j++) {
+        int start = std::max(j * psize, order);  // only partition 0 is
+        int stop = (j + 1) * psize;              // shortened: psize>order
+        uint64_t *s = &sums[(size_t)j * KMAX];
+        cnt[j] = (uint32_t)(stop - start);
+        for (int i = start; i < stop; i++) {
+            uint64_t v = u[i - order];
+            int hb = v ? 64 - __builtin_clzll(v) : 0;
+            if (hb > KMAX) hb = KMAX;
+            for (int k = 0; k < hb; k++) s[k] += v >> k;
+        }
     }
     RicePlan best;
     best.bits = ~0ull;
@@ -140,23 +148,39 @@ struct BitWriter {
     }
 };
 
+// byte-at-a-time tables for the FLAC CRCs (poly 0x07 / 0x8005, both
+// init 0); same values as the bitwise loops, 8x fewer iterations over
+// every frame byte
+struct CrcTables {
+    uint8_t t8[256];
+    uint16_t t16[256];
+    CrcTables() {
+        for (int i = 0; i < 256; i++) {
+            uint8_t c = (uint8_t)i;
+            for (int b = 0; b < 8; b++)
+                c = (c & 0x80) ? (uint8_t)((c << 1) ^ 0x07)
+                               : (uint8_t)(c << 1);
+            t8[i] = c;
+            uint16_t w = (uint16_t)(i << 8);
+            for (int b = 0; b < 8; b++)
+                w = (w & 0x8000) ? (uint16_t)((w << 1) ^ 0x8005)
+                                 : (uint16_t)(w << 1);
+            t16[i] = w;
+        }
+    }
+};
+const CrcTables CRC;
+
 uint8_t crc8(const uint8_t *d, size_t n) {
     uint8_t crc = 0;
-    for (size_t i = 0; i < n; i++) {
-        crc ^= d[i];
-        for (int b = 0; b < 8; b++)
-            crc = (crc & 0x80) ? (uint8_t)((crc << 1) ^ 0x07) : (uint8_t)(crc << 1);
-    }
+    for (size_t i = 0; i < n; i++) crc = CRC.t8[crc ^ d[i]];
     return crc;
 }
 
 uint16_t crc16(const uint8_t *d, size_t n) {
     uint16_t crc = 0;
-    for (size_t i = 0; i < n; i++) {
-        crc ^= (uint16_t)d[i] << 8;
-        for (int b = 0; b < 8; b++)
-            crc = (crc & 0x8000) ? (uint16_t)((crc << 1) ^ 0x8005) : (uint16_t)(crc << 1);
-    }
+    for (size_t i = 0; i < n; i++)
+        crc = (uint16_t)((crc << 8) ^ CRC.t16[((crc >> 8) ^ d[i]) & 0xFF]);
     return crc;
 }
 

@@ -682,8 +682,11 @@ class MultihostDriver:
                 # DEVICE; it went stale across the idle gap -- re-init
                 # everywhere (followers via the step header) rather than
                 # windowing minutes-old samples into the resume frame
-                # (same as DSPDriver's sharded resume, runtime/driver.py)
-                state = rt.sp.init_state()
+                # (same as DSPDriver's sharded resume, runtime/driver.py).
+                # frame0 seeds the hop-counter parity (audio polarity
+                # continuity); followers seed the SAME value from the
+                # step header's frame0, staying in lockstep
+                state = rt.sp.init_state(frame0)
             idx, counts = rt.sp.due_layout(frame0)
             due = [i * rt.sp.hops_per_shard + int(idx[i, j])
                    for i in range(rt.n) for j in range(counts[i])]
@@ -752,8 +755,9 @@ class MultihostDriver:
             assert t == "step"
             if hdr.get("fresh"):
                 # ingest resumed from a global-idle gap: drop the stale
-                # device halo in lockstep with every other host
-                state = rt.sp.init_state()
+                # device halo in lockstep with every other host, seeding
+                # the same hop-counter parity as the ingest host
+                state = rt.sp.init_state(hdr["frame0"])
             rows_bytes = (hdr["nrows"] * rt.sp.raw_shard_len
                           * self.row_dtype.itemsize)
             tbl, mids, views_np, wf_meta, resets = unpack_control(
@@ -870,10 +874,7 @@ class MultihostDriver:
         if wf is not None:
             # padded per-shard replica rows -> due-list order (counts
             # from due_layout, shipped in the step header)
-            cl = rt.sp.due_cap_local
-            sel = [i * cl + j for i in range(rt.n)
-                   for j in range(counts[i])]
-            wf = wf[sel]
+            wf = wf[rt.sp.due_row_selector(counts)]
         self.metrics.step_seconds.append(time.monotonic() - t0)
         try:
             audio_meta = (tbl_arrays[0], tbl_arrays[1], mids)

@@ -163,7 +163,9 @@ class ShardedHopPipeline:
         """Structure without materializing arrays (safe on all backends)."""
         return jax.eval_shape(self._audio_state_proto)
 
-    def init_state(self) -> ShardedHopState:
+    def init_state(self, frame0: int = 0) -> ShardedHopState:
+        # frame0: see PipelineSingle.init_state -- seeds the hop-counter
+        # parity when the driver rebuilds state mid-stream
         sh = NamedSharding(self.mesh, P())
         shd = NamedSharding(self.mesh, P("d"))
         shardings = ShardedHopState(
@@ -180,7 +182,7 @@ class ShardedHopPipeline:
 
         def mk():
             return ShardedHopState(
-                inner=HopState(frame=jnp.zeros((), jnp.int32),
+                inner=HopState(frame=jnp.full((), frame0 & 1, jnp.int32),
                                audio=self._audio_state_proto()),
                 halo=jnp.zeros((self.n, self.wire_per_hop), dev_dt),
             )
@@ -307,6 +309,15 @@ class ShardedHopPipeline:
             counts.append(len(lst))
             idx[i, : len(lst)] = lst
         return idx, counts
+
+    def due_row_selector(self, counts: list[int]) -> list[int]:
+        """Row indices mapping the padded per-shard 'views' wf output
+        (due_cap_local rows per shard; see due_layout) back to global
+        due-list order.  Owned here so the single-host driver and the
+        multihost runtime cannot drift from due_layout's row contract."""
+        cl = self.due_cap_local
+        return [i * cl + j for i in range(self.n)
+                for j in range(counts[i])]
 
     def step(self, state: ShardedHopState, raw_shards, chans: ChannelTable,
              views: WaterfallViews | None = None, waterfall: str = "full",

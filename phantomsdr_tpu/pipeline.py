@@ -575,18 +575,23 @@ class HopPipeline:
         self._resize_jit: dict[int, object] = {}
 
     # ------------------------------------------------------------------
-    def init_state(self) -> HopState:
+    def init_state(self, frame0: int = 0) -> HopState:
         # built inside jit: eager complex64 array creation is broken on
-        # some remote backends (axon), and this keeps state on-device
+        # some remote backends (axon), and this keeps state on-device.
+        # frame0 seeds the hop counter when rebuilding mid-stream
+        # (error recovery / idle resume): only its PARITY is consumed
+        # (the (-1)^(m*hop) fix-up, channelizer.py demodulate_from_bins),
+        # so the true stream parity keeps audio polarity continuous
+        # across the rebuild.  Passed as a traced scalar: no retrace.
         if self._init_jit is None:
-            def mk():
+            def mk(f):
                 return HopState(
-                    frame=jnp.zeros((), jnp.int32),
+                    frame=f,
                     audio=init_audio_state(self.cfg, self.num_channels,
                                            self.agc_params, self.dc_delay),
                 )
             self._init_jit = jax.jit(mk)
-        return self._init_jit()
+        return self._init_jit(jnp.int32(frame0 & 1))
 
     def empty_channels(self) -> ChannelTable:
         c = self.num_channels

@@ -401,7 +401,9 @@ class DSPDriver:
                 # refreshes its host halo on every discarded block);
                 # re-init to a zero halo like a cold start rather than
                 # windowing minutes-old samples into the resume frame
-                state = self.pipe.init_state()
+                # (seeding the true stream hop parity keeps the
+                # (-1)^(m*hop) demod fix-up polarity-continuous)
+                state = self.pipe.init_state(self.metrics.frames)
             was_idle = False
             resets = self._refresh_table()
             if small:
@@ -437,9 +439,7 @@ class DSPDriver:
                 if self.sharded:
                     idx_np, counts = self.pipe.due_layout(frame0)
                     due_idx = jnp.asarray(idx_np)
-                    cl = self.pipe.due_cap_local
-                    wf_sel = [i * cl + j for i in range(cfg.mesh_devices)
-                              for j in range(counts[i])]
+                    wf_sel = self.pipe.due_row_selector(counts)
                 else:
                     due_idx = jnp.asarray(
                         pad_due_positions(due, self.pipe.due_cap), jnp.int32)
@@ -463,10 +463,13 @@ class DSPDriver:
                 # deliver it (flush_pending tolerates a dead device and
                 # counts its own error) instead of dropping a good step
                 flush_pending()
-                state = self.pipe.init_state()
+                self.metrics.frames += cfg.hop_batch
+                # seed the rebuilt counter with the NEXT step's stream
+                # parity so the (-1)^(m*hop) fix-up stays polarity-
+                # continuous across the rebuild
+                state = self.pipe.init_state(self.metrics.frames)
                 if small and k_cur != cfg.max_channels:
                     state = self.pipe.resize_channel_rows(state, k_cur)
-                self.metrics.frames += cfg.hop_batch
                 continue
             self.metrics.frames += cfg.hop_batch
             # start the device->host copy of THIS step's outputs now, so

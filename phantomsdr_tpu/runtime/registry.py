@@ -384,9 +384,14 @@ class WaterfallRegistry:
     def retune(self, cid: int, ws: WaterfallSlot, new_l: int, new_r: int) -> None:
         """Pick the pyramid level whose slice width lands closest to
         waterfall_size points (src/waterfall.cpp:53-94)."""
-        if new_l < 0 or new_r < 0 or new_l >= new_r:
-            return
         cfg = self.cfg
+        # reject out-of-spectrum requests like the audio side does
+        # (signal.cpp:300-314 validates r < fft_result_size): without
+        # the upper bound an absurd width never beats the level-search
+        # init and the raw level-0 l/r clamp to a zero-width view
+        if (new_l < 0 or new_r < 0 or new_l >= new_r
+                or new_r > cfg.fft_result_size):
+            return
         l_f, r_f = float(new_l), float(new_r)
         best_level = cfg.downsample_levels - 1
         best_diff = cfg.waterfall_size * 2.0

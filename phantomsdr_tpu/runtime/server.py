@@ -210,6 +210,9 @@ class AudioConn:
             cmd = json.loads(msg[:MAX_CMD_LEN])
         except (json.JSONDecodeError, UnicodeDecodeError):
             return
+        if not isinstance(cmd, dict):
+            return  # valid JSON scalar/array ("null", "[1]") must not
+            #          AttributeError the ws handler out of its loop
         name = cmd.get("cmd")
         if name == "window":
             m = cmd.get("m")
@@ -323,6 +326,8 @@ class WaterfallConn:
             cmd = json.loads(msg[:MAX_CMD_LEN])
         except (json.JSONDecodeError, UnicodeDecodeError):
             return
+        if not isinstance(cmd, dict):
+            return  # see AudioConn.handle_command
         name = cmd.get("cmd")
         if name == "window":
             try:
@@ -819,8 +824,13 @@ class SpectrumServer:
             else:  # direct-dispatch callers (tests) with no pipelining race
                 ws_slot = conn.slot
                 sl, sr, slev = ws_slot.l, ws_slot.r, ws_slot.level
+            # views, not copies: the O(rows x width) materialization
+            # happens on the encode worker (_encode_waterfall_job), not
+            # on the serving event loop; the step's host buffer is
+            # freshly allocated per step and never mutated, so the view
+            # stays valid for the job's lifetime
             n = min(sr - sl, wf.shape[2])
-            entries = [(frame0 + h, wf[d, cid, :n].tobytes())
+            entries = [(frame0 + h, wf[d, cid, :n])
                        for d, h in enumerate(due_positions)]
             if not entries:
                 continue
@@ -890,6 +900,8 @@ class SpectrumServer:
                               sl: int, sr: int, slev: int):
         pkts = []
         for fnum, row in entries:
+            if isinstance(row, np.ndarray):
+                row = row.tobytes()  # dispatch passes views; copy here
             if conn.av1 is not None:
                 # AV1: frame bytes go out raw, headers ride the T.35
                 # metadata OBU (src/waterfallcompression.cpp:84-125)

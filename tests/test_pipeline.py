@@ -221,3 +221,17 @@ def test_empty_channels_matches_production_table_structure():
     for a, b in zip(jax.tree_util.tree_leaves(empty),
                     jax.tree_util.tree_leaves(prod)):
         assert a.shape == b.shape and a.dtype == b.dtype
+
+
+def test_init_state_seeds_stream_parity():
+    """Error recovery / idle resume rebuild HopState mid-stream; the
+    rebuilt hop counter must carry the TRUE stream parity so the
+    (-1)^(m*hop) demod fix-up (channelizer.py demodulate_from_bins)
+    stays polarity-continuous.  Only parity is consumed, so init_state
+    seeds frame0 & 1 (also immune to int32 wrap of the metrics
+    counter)."""
+    cfg = small_cfg(False)
+    pipe = HopPipeline(cfg)
+    assert int(pipe.init_state().frame) == 0
+    assert int(pipe.init_state(7).frame) == 1
+    assert int(pipe.init_state(8).frame) == 0

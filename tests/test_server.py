@@ -882,7 +882,11 @@ async def test_command_fuzz_survival(cfg):
     client = await run_app(server)
 
     def fuzz_msg():
-        kind = rng.randrange(6)
+        kind = rng.randrange(7)
+        if kind == 6:  # valid JSON whose top level is not an object --
+            # json.loads succeeds, then .get() must not AttributeError
+            # the handler out of its read loop (round-5 fix)
+            return rng.choice(["null", "123", '"x"', "[1,2]", "true"])
         if kind == 0:  # random bytes pretending to be text
             return "".join(chr(rng.randrange(32, 0x2FF))
                            for _ in range(rng.randrange(1, 80)))
@@ -913,6 +917,21 @@ async def test_command_fuzz_survival(cfg):
         for endpoint in ("/audio", "/waterfall"):
             ws = await client.ws_connect(endpoint)
             await ws.receive()  # handshake
+            # deterministic non-object JSON probes (not just fuzz
+            # luck), then a valid retune that must land on the SAME
+            # connection -- an AttributeError would have killed this
+            # handler silently and only a fresh client would still work
+            for scalar in ("null", "[1]", "123", '"x"'):
+                await ws.send_str(scalar)
+            await ws.send_str(json.dumps(
+                {"cmd": "window", "l": 11, "m": 20.0, "r": 31}))
+            await asyncio.sleep(0.1)
+            if endpoint == "/audio":
+                slot = next(iter(server.channels.slots.values()))
+                assert (slot.l, slot.r) == (11, 31)
+            else:
+                wslot = next(iter(server.waterfalls.clients.values()))
+                assert (wslot.l, wslot.r) == (11, 31)
             for _ in range(120):
                 m = fuzz_msg()
                 if rng.random() < 0.15:
@@ -1049,6 +1068,40 @@ async def test_retune_huge_finite_mid(cfg):
             {"cmd": "window", "l": 5, "m": 15.0, "r": 25}))
         await asyncio.sleep(0.05)
         assert (slot.l, slot.r) == (5, 25)
+        await ws.close()
+    finally:
+        await client.close()
+
+
+@async_test
+async def test_waterfall_retune_out_of_spectrum_ignored(cfg):
+    """Waterfall window requests beyond fft_result_size are rejected
+    like the audio side's (signal.cpp:300-314 analogue): before the
+    round-5 bound, a request with l and r both past the spectrum never
+    beat the level-search init, so the raw level-0 coordinates clamped
+    to a ZERO-WIDTH view and the client's waterfall silently went
+    blank."""
+    server = SpectrumServer(cfg)
+    client = await run_app(server)
+    try:
+        ws = await client.ws_connect("/waterfall")
+        await ws.receive()  # basic_info
+        cid = next(iter(server.waterfalls.clients))
+        slot = server.waterfalls.clients[cid]
+        before = (slot.level, slot.l, slot.r)
+        R = cfg.fft_result_size
+        # asserted per message: later probes that clamp back to the
+        # default view must not mask an earlier zero-width corruption
+        for l, r in ((R * 100, R * 200), (0, R * 3000), (5, R + 1)):
+            await ws.send_str(json.dumps({"cmd": "window", "l": l, "r": r}))
+            await asyncio.sleep(0.05)
+            assert (slot.level, slot.l, slot.r) == before, (l, r)
+            assert server.waterfalls.length[cid] > 0
+        # a legitimate full-spectrum request still lands
+        await ws.send_str(json.dumps({"cmd": "window", "l": 0, "r": R}))
+        await asyncio.sleep(0.05)
+        assert slot.r > slot.l
+        assert server.waterfalls.length[cid] > 0
         await ws.close()
     finally:
         await client.close()
